@@ -1,0 +1,234 @@
+"""Phases 2+3 — tokenize, partial postings, and the posting merge.
+
+The reference builds postings with an in-heap ``postingDict`` spilled to
+term-sorted pickle segments every 200K terms (``/root/reference/
+indexer.py:19,130-168``) and then a 230-line k-way external merge
+(``indexer.py:329-554``). Here the same computation is two Ray Data
+stages:
+
+1. ``PartialPostings`` (``map_batches``, stateless-per-batch but with
+   per-worker analyzer state): tokenize a batch of docs, sort the
+   (term, doc) triplets, and compress each (term, doc-bucket) run into
+   self-contained VByte blocks — ONE vectorized numpy pass
+   (``codec.encode_segments``). Output rows are already-compressed
+   posting *segments*, so the shuffle that follows moves compressed
+   bytes, not raw triplets.
+
+2. ``MergePostingsPartWriter`` (``groupby("part").map_groups``): the
+   single all-to-all exchange. ``part = hash(term) % num_term_parts``,
+   so each group holds complete postings for its term subset. Because
+   every segment covers a disjoint ascending doc-id range (batches are
+   contiguous slices of doc-sorted partition files), merging is a sort
+   by (term, bucket, first_doc) + byte concatenation — no decode.
+
+Skew (SURVEY §4): a stop-word-heavy term's postings are split across
+``doc_id // doc_bucket_size`` buckets into separate index rows, so no
+single row/group exceeds one bucket of postings; partitions stay
+balanced because each part holds many terms.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from searchengine_ray.codec import encode_segments
+from searchengine_ray.config import IndexConfig
+from searchengine_ray.state.manifest import write_partition_atomic
+from searchengine_ray.tokenizer import Analyzer
+
+
+def term_part(term: str, num_parts: int) -> int:
+    h = hashlib.blake2b(term.encode("utf-8"), digest_size=8)
+    return int.from_bytes(h.digest(), "big") % num_parts
+
+
+def _large_binary_from(stream: np.ndarray, offsets: np.ndarray) -> pa.LargeBinaryArray:
+    """Zero-copy large_binary column from a byte stream + row offsets."""
+    return pa.Array.from_buffers(
+        pa.large_binary(), len(offsets) - 1,
+        [None, pa.py_buffer(np.ascontiguousarray(offsets, dtype=np.int64)),
+         pa.py_buffer(stream)])
+
+
+def _large_list(values: pa.Array, offsets: np.ndarray) -> pa.LargeListArray:
+    return pa.LargeListArray.from_arrays(
+        pa.array(np.ascontiguousarray(offsets, dtype=np.int64), pa.int64()), values)
+
+
+SEGMENT_SCHEMA = pa.schema([
+    ("part", pa.int64()), ("term", pa.string()), ("bucket", pa.int64()),
+    ("first_doc", pa.int64()), ("df", pa.int64()),
+    ("counts", pa.large_list(pa.int32())), ("last_docs", pa.large_list(pa.int64())),
+    ("max_tfs", pa.large_list(pa.int32())),
+    ("doc_sizes", pa.large_list(pa.int64())), ("tf_sizes", pa.large_list(pa.int64())),
+    ("doc_bytes", pa.large_binary()), ("tf_bytes", pa.large_binary()),
+])
+
+
+class PartialPostings:
+    """Callable class for ``map_batches`` — analyzer state built once per
+    worker (reference T1: regexes/stopwords/stemmer per ``Parse()``,
+    ``parser_module.py:20-56``)."""
+
+    def __init__(self, config: IndexConfig | None = None):
+        self.config = config or IndexConfig()
+        self.analyzer = Analyzer(self.config)
+        self._part_cache: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("content").to_pylist()
+        doc_ids = np.asarray(batch.column("doc_id").to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+        codes, docs, tfs, info = self.analyzer.tokenize_batch(texts, doc_ids)
+        if len(codes) == 0:
+            return SEGMENT_SCHEMA.empty_table()
+        vocab = info["vocab"]
+        order = np.lexsort((docs, codes))
+        codes, docs, tfs = codes[order], docs[order], tfs[order]
+        buckets = docs // self.config.doc_bucket_size
+        change = np.empty(len(codes), dtype=bool)
+        change[0] = True
+        change[1:] = (codes[1:] != codes[:-1]) | (buckets[1:] != buckets[:-1])
+        seg_starts = np.flatnonzero(change)
+        enc = encode_segments(docs, tfs, seg_starts, self.config.block_size)
+        seg_codes = codes[seg_starts]
+        seg_terms = vocab[seg_codes]
+        nparts = self.config.num_term_parts
+        cache = self._part_cache
+        parts = np.fromiter((cache.get(t) if t in cache else
+                             cache.setdefault(t, term_part(t, nparts))
+                             for t in seg_terms), dtype=np.int64, count=len(seg_terms))
+        seg_ends = np.concatenate([seg_starts[1:], [len(codes)]])
+        sbo = enc["seg_block_offsets"]
+        doc_row_offsets = enc["doc_boffsets"][sbo]
+        tf_row_offsets = enc["tf_boffsets"][sbo]
+        doc_sizes = np.diff(enc["doc_boffsets"])
+        tf_sizes = np.diff(enc["tf_boffsets"])
+        return pa.table({
+            "part": pa.array(parts, pa.int64()),
+            "term": pa.array(seg_terms, pa.string()),
+            "bucket": pa.array(buckets[seg_starts], pa.int64()),
+            "first_doc": pa.array(docs[seg_starts], pa.int64()),
+            "df": pa.array(seg_ends - seg_starts, pa.int64()),
+            "counts": _large_list(pa.array(enc["counts"], pa.int32()), sbo),
+            "last_docs": _large_list(pa.array(enc["last_docs"], pa.int64()), sbo),
+            "max_tfs": _large_list(pa.array(enc["max_tfs"], pa.int32()), sbo),
+            "doc_sizes": _large_list(pa.array(doc_sizes, pa.int64()), sbo),
+            "tf_sizes": _large_list(pa.array(tf_sizes, pa.int64()), sbo),
+            "doc_bytes": _large_binary_from(enc["doc_stream"], doc_row_offsets),
+            "tf_bytes": _large_binary_from(enc["tf_stream"], tf_row_offsets),
+        }, schema=SEGMENT_SCHEMA)
+
+
+def _flat_binary(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(data bytes, per-row offsets rebased to 0) of a large_binary column."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                         count=len(arr) + 1, offset=arr.offset * 8).copy()
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8,
+                         count=int(offs[-1]))[offs[0]:]
+    return data, offs - offs[0]
+
+
+POSTINGS_SCHEMA = pa.schema([
+    ("term", pa.string()), ("bucket", pa.int64()), ("df", pa.int64()),
+    ("counts", pa.large_list(pa.int32())), ("last_docs", pa.large_list(pa.int64())),
+    ("max_tfs", pa.large_list(pa.int32())),
+    ("doc_sizes", pa.large_list(pa.int64())), ("tf_sizes", pa.large_list(pa.int64())),
+    ("doc_bytes", pa.large_binary()), ("tf_bytes", pa.large_binary()),
+])
+
+
+class MergePostingsPartWriter:
+    """``groupby("part").map_groups`` body: merge one term partition and
+    write its postings + dictionary files atomically.
+
+    The entire reference merge (``indexer.py:329-554``) reduces to:
+    sort segment rows by (term, bucket, first_doc), concatenate bytes
+    and block metadata per (term, bucket), apply the min_df prune
+    (reference ``remove_redundant_terms``, ``indexer.py:604-615``).
+    """
+
+    def __init__(self, postings_dir: str, dictionary_dir: str,
+                 config: IndexConfig, fingerprint: str):
+        self.__name__ = 'MergePostingsPartWriter'  # ray map_groups wants a __name__
+        self.postings_dir = postings_dir
+        self.dictionary_dir = dictionary_dir
+        self.config = config
+        self.fingerprint = fingerprint
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        part = int(group.column("part")[0].as_py())
+        group = group.combine_chunks()
+        order = pc.sort_indices(group, sort_keys=[("term", "ascending"),
+                                                  ("bucket", "ascending"),
+                                                  ("first_doc", "ascending")])
+        group = group.take(order).combine_chunks()
+        terms = np.asarray(group.column("term").to_pylist(), dtype=object)
+        buckets = group.column("bucket").to_numpy(zero_copy_only=False)
+        n = len(terms)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
+        row_starts = np.flatnonzero(change)                      # output (term,bucket) rows
+        df_seg = group.column("df").to_numpy(zero_copy_only=False)
+        df_out = np.add.reduceat(df_seg, row_starts)
+
+        def merge_list(col_name: str, dtype: pa.DataType) -> pa.LargeListArray:
+            col = group.column(col_name).combine_chunks()
+            values = col.flatten()                                # concatenated in row order
+            seg_lens = np.asarray(col.value_lengths().to_numpy(zero_copy_only=False),
+                                  dtype=np.int64)
+            seg_offs = np.concatenate([[0], np.cumsum(seg_lens)])
+            out_offs = np.concatenate([seg_offs[row_starts], [seg_offs[-1]]])
+            return _large_list(values, out_offs)
+
+        def merge_binary(col_name: str) -> pa.LargeBinaryArray:
+            data, offs = _flat_binary(group.column(col_name))
+            out_offs = np.concatenate([offs[row_starts], [offs[-1]]])
+            return _large_binary_from(data, out_offs)
+
+        out = pa.table({
+            "term": pa.array(terms[row_starts], pa.string()),
+            "bucket": pa.array(buckets[row_starts], pa.int64()),
+            "df": pa.array(df_out, pa.int64()),
+            "counts": merge_list("counts", pa.int32()),
+            "last_docs": merge_list("last_docs", pa.int64()),
+            "max_tfs": merge_list("max_tfs", pa.int32()),
+            "doc_sizes": merge_list("doc_sizes", pa.int64()),
+            "tf_sizes": merge_list("tf_sizes", pa.int64()),
+            "doc_bytes": merge_binary("doc_bytes"),
+            "tf_bytes": merge_binary("tf_bytes"),
+        }, schema=POSTINGS_SCHEMA)
+
+        if self.config.min_df > 1:
+            # df per TERM (across buckets) — all of a term's buckets are in this part
+            t_out = terms[row_starts]
+            tchange = np.empty(len(t_out), dtype=bool)
+            tchange[0] = True
+            tchange[1:] = t_out[1:] != t_out[:-1]
+            tstarts = np.flatnonzero(tchange)
+            term_df = np.add.reduceat(df_out, tstarts)
+            term_ok = term_df >= self.config.min_df
+            row_ok = np.repeat(term_ok, np.diff(np.concatenate([tstarts, [len(t_out)]])))
+            out = out.filter(pa.array(row_ok))
+
+        manifest = write_partition_atomic(
+            out, Path(self.postings_dir) / f"part-{part:05d}.parquet",
+            kind="postings", partition=part, fingerprint=self.fingerprint,
+            extra={"n_postings": int(out.column("df").to_pandas().sum()),
+                   "n_terms": len(set(out.column("term").to_pylist()))})
+        dictionary = out.select(["term", "bucket", "df"]).append_column(
+            "part", pa.array(np.full(out.num_rows, part), pa.int64()))
+        write_partition_atomic(
+            dictionary, Path(self.dictionary_dir) / f"part-{part:05d}.parquet",
+            kind="dictionary", partition=part, fingerprint=self.fingerprint)
+        return pa.table({"partition": pa.array([part], pa.int64()),
+                         "rows": pa.array([out.num_rows], pa.int64()),
+                         "n_terms": pa.array([manifest["n_terms"]], pa.int64()),
+                         "n_postings": pa.array([manifest["n_postings"]], pa.int64())})

@@ -1,0 +1,54 @@
+"""Query engine: oracle rank identity (exact floats), BMW == exhaustive,
+actor-pool stage, edge cases."""
+
+import numpy as np
+
+from searchengine_ray.corpus import corpus_queries
+from searchengine_ray.pipelines.query import IndexSearcher, search_queries
+
+
+def test_rank_identity_vs_oracle(t1_index, t1_oracle, small_config):
+    s = IndexSearcher(t1_index, small_config)
+    nonzero = 0
+    for qid, text in corpus_queries(n=40):
+        got = s.search(text, 10)
+        want = t1_oracle.search(text, 10)
+        assert got == want, (qid, text)  # exact doc ids AND exact float scores
+        nonzero += bool(got)
+    assert nonzero >= 30  # the query set must actually hit the corpus
+
+
+def test_bmw_equals_exhaustive(t1_index, t1_oracle, small_config):
+    s = IndexSearcher(t1_index, small_config)
+    for qid, text in corpus_queries(n=40):
+        assert s.search(text, 10, method="bmw") == s.search(text, 10)
+
+
+def test_unknown_terms_empty(t1_index, small_config):
+    s = IndexSearcher(t1_index, small_config)
+    assert s.search("zzzznotindexedanywhere") == []
+    assert s.search("") == []
+    assert s.search("def return if") == []  # pure-stopword query
+
+
+def test_k_limits(t1_index, small_config):
+    s = IndexSearcher(t1_index, small_config)
+    r1 = s.search("parse", 1)
+    r250 = s.search("parse", 250)
+    assert len(r1) == 1
+    assert len(r250) <= 250
+    assert r1[0] == r250[0]
+    scores = [sc for _, sc in r250]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_actor_pool_stage(ray_session, t1_index, t1_oracle, small_config):
+    """search_queries = the stateful actor-pool map_batches path."""
+    qs = corpus_queries(n=12)
+    out = search_queries(t1_index, qs, k=5, config=small_config,
+                         concurrency=2).to_pandas()
+    for qid, text in qs:
+        want = t1_oracle.search(text, 5)
+        sub = out[out.query_id == qid].sort_values("rank")
+        assert list(sub.doc_id) == [d for d, _ in want]
+        assert np.allclose(list(sub.score), [s for _, s in want], rtol=0, atol=0)
