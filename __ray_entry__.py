@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — no
+``ray.init``/``ray.shutdown`` here or in the library code these
+callables use.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``       — flagship pipeline at sf0.001: build the full
+                      compressed inverted index over the documents
+                      corpus and answer the reference query set.
+- ``queries()``     — one callable per implemented operator/pipeline
+                      (SURVEY.md §2 + the training-data ops).
+- ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible
+                      entry; non-SQL ops (LSH/minhash/simhash/langid/
+                      fingerprints/decode stubs/scaling internals) are
+                      deliberately omitted -> rows-only check.
 """
 
 from __future__ import annotations
@@ -18,27 +20,70 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from searchengine_ray.pipelines import ann, dedup, docsearch, multimodal
+from searchengine_ray.pipelines import relational as rel
+from searchengine_ray.pipelines import textstats as ts
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full index build + BM25 top-k at sf0.001."""
+    return docsearch.bm25_topk("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- flagship full-text engine (index build + BM25 + WAND) ---
+        "bm25_topk": docsearch.bm25_topk,
+        "bm25_topk_wand": docsearch.bm25_topk_wand,
+        "index_dictionary": docsearch.index_dictionary,
+        # --- tokenizer / aggregation surface (SURVEY §2.2/§2.5) ---
+        "term_df": ts.term_df,
+        "doc_token_stats": ts.doc_token_stats,
+        "token_count_by_lang": ts.token_count_by_lang,
+        "text_quality": ts.text_quality,
+        # --- dedup family ---
+        "dedup_exact": dedup.dedup_exact,
+        "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
+        "simhash_near_dups": dedup.simhash_near_dups,
+        "embedding_near_dups": dedup.embedding_near_dups,
+        # --- similarity search ---
+        "ann_topk": ann.ann_topk,
+        "ann_lsh_topk": ann.ann_lsh_topk,
+        # --- text analysis (non-SQL) ---
+        "lang_id": ts.lang_id,
+        "doc_fingerprint": ts.doc_fingerprint,
+        # --- multimodal plumbing ---
+        "multimodal_meta": multimodal.multimodal_meta,
+        "image_decode_features": multimodal.image_decode_features,
+        "frame_sample": multimodal.frame_sample,
+        # --- relational operator surface (joins/aggs/sort/limit) ---
+        "pricing_summary": rel.pricing_summary,
+        "top_orders_by_revenue": rel.top_orders_by_revenue,
+        "events_daily": rel.events_daily,
+        "top_parts": rel.top_parts,
+        "suppliers_by_nation": rel.suppliers_by_nation,
+        "segment_counts": rel.segment_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bm25_topk": docsearch.bm25_topk_sql(),
+        "bm25_topk_wand": docsearch.bm25_topk_sql(),
+        "index_dictionary": docsearch.index_dictionary_sql(),
+        "term_df": ts.term_df_sql(),
+        "doc_token_stats": ts.doc_token_stats_sql(),
+        "token_count_by_lang": ts.token_count_by_lang_sql(),
+        "text_quality": ts.text_quality_sql(),
+        "dedup_exact": dedup.dedup_exact_sql(),
+        "embedding_near_dups": dedup.embedding_near_dups_sql(),
+        "ann_topk": ann.ann_topk_sql(),
+        "multimodal_meta": multimodal.multimodal_meta_sql(),
+        "frame_sample": multimodal.frame_sample_sql(),
+        "pricing_summary": rel.pricing_summary_sql(),
+        "top_orders_by_revenue": rel.top_orders_by_revenue_sql(),
+        "events_daily": rel.events_daily_sql(),
+        "top_parts": rel.top_parts_sql(),
+        "suppliers_by_nation": rel.suppliers_by_nation_sql(),
+        "segment_counts": rel.segment_counts_sql(),
+    }

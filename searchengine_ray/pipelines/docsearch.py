@@ -1,0 +1,160 @@
+"""Full-text search over the driver's ``documents`` table — the
+SQL-checkable face of the flagship engine.
+
+Maps ``documents(doc_id, text, ...)`` into the corpus schema, builds the
+full compressed index (simple analyzer, no stopwords — semantics a SQL
+oracle can express exactly), and answers a fixed reference query set
+with BM25 top-k. The DuckDB oracle recomputes BM25 from scratch in SQL;
+scores travel as integer basis points so float formatting can't drift.
+
+The index is built once per (sf_dir, config) under /tmp and reused —
+rebuilds are skipped via the manifest/resume machinery, so repeated
+driver calls don't pay the build.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+from searchengine_ray.config import IndexConfig
+from searchengine_ray.pipelines.build import IndexPaths, build_index
+from searchengine_ray.pipelines.common import int64_col, read
+from searchengine_ray.tokenizer import Analyzer
+
+# fixed reference query set over the documents vocabulary
+DOC_QUERIES: list[tuple[int, str]] = [
+    (1, "hash join table"),
+    (2, "window agg group"),
+    (3, "stream batch filter"),
+    (4, "customer order line"),
+    (5, "slow query scan fast"),
+    (6, "spark data column"),
+    (7, "merge sort part"),
+    (8, "value row"),
+    (9, "zzznosuchterm"),
+    (10, "big small data value table row"),
+]
+
+K = 10
+
+
+def doc_index_config() -> IndexConfig:
+    return IndexConfig(analyzer="simple", use_stopwords=False, min_df=1,
+                       num_doc_parts=4, num_term_parts=8)
+
+
+def _docs_as_corpus(sf_dir: str):
+    ds = read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def remap(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "repo": batch.column("source"),
+            "path": pa.array([f"doc_{i}.txt" for i in ids.tolist()], pa.string()),
+            "commit": pa.array([""] * n, pa.string()),
+            "lang": batch.column("lang"),
+            "content": batch.column("text"),
+        })
+
+    return ds.map_batches(remap, batch_format="pyarrow")
+
+
+def ensure_doc_index(sf_dir: str) -> IndexPaths:
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    root = f"/tmp/graft_doc_index/{tag}"
+    return build_index(_docs_as_corpus(sf_dir), root, doc_index_config(),
+                       id_column="doc_id", resume=True, source_tag=sf_dir)
+
+
+def bm25_topk(sf_dir: str, method: str = "vectorized"):
+    """(query_id, rank, doc_id, score_bp) — BM25 top-10 for DOC_QUERIES
+    via the actor-pool query executors over the compressed index."""
+    from searchengine_ray.pipelines.query import search_queries
+
+    paths = ensure_doc_index(sf_dir)
+    res = search_queries(paths, DOC_QUERIES, k=K, config=doc_index_config(),
+                         method=method, concurrency=(1, 2)).to_pandas()
+    res["score_bp"] = np.floor(res["score"].to_numpy() * 10000 + 0.5).astype(np.int64)
+    res["rank"] = res["rank"].astype(np.int64)
+    out = res[["query_id", "rank", "doc_id", "score_bp"]]
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def bm25_topk_wand(sf_dir: str):
+    """Same result set via block-max WAND — proves the pruned scorer is
+    rank-identical through the SQL oracle as well."""
+    return bm25_topk(sf_dir, method="bmw")
+
+
+def bm25_topk_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    analyzer = Analyzer(doc_index_config())
+    values = []
+    for qid, text in DOC_QUERIES:
+        for term, qtf in sorted(Counter(analyzer.terms(text)).items()):
+            values.append(f"({qid}, '{term}', {qtf})")
+    values_sql = ",\n        ".join(values)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks WHERE term <> '' GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+queries(query_id, qterm, qtf) AS (VALUES
+        {values_sql}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl))) AS score
+  FROM queries q
+  JOIN df ON df.term = q.qterm
+  JOIN tf ON tf.term = q.qterm
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scores)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_bp
+FROM ranked WHERE rnk <= {K}
+"""
+
+
+def index_dictionary(sf_dir: str):
+    """(term, df) of the real compressed index over documents — checkable
+    against SQL df because the simple analyzer == the SQL tokenizer."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    paths = ensure_doc_index(sf_dir)
+    tbl = pq.read_table(sorted(Path(paths.dictionary).glob("*.parquet")),
+                        columns=["term", "df"])
+    # sum bucket slices per term
+    import pandas as pd
+
+    df = tbl.to_pandas().groupby("term", as_index=False)["df"].sum()
+    df["df"] = df["df"].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def index_dictionary_sql() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM toks WHERE term <> '' GROUP BY term
+"""

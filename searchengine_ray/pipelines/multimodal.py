@@ -1,0 +1,150 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The container has no image/audio codecs, so the *decode kernel* is a
+deterministic stub (clearly marked), but the Ray-side plumbing is real
+and tested: binary columns stay in ``batch_format="pyarrow"`` end to
+end (zero-copy, never through pandas object dtype), decode runs in an
+actor pool sized for heavy per-item work, batches are small because
+rows are wide.
+
+Layout contract: a multimodal table is ``(item_id:int64,
+payload:binary, media_type:string, meta:string-json)``. Here we
+synthesize payloads from the documents table (utf-8 bytes) so the
+pipeline has real data to move.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from searchengine_ray.pipelines.common import int64_col, read
+
+
+def _to_payload(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    return pa.table({
+        "item_id": batch.column("doc_id"),
+        "payload": pa.array([t.encode("utf-8") for t in texts], pa.large_binary()),
+        "media_type": pa.array(["application/octet-stream"] * len(texts), pa.string()),
+    })
+
+
+def multimodal_table(sf_dir: str):
+    """documents -> the opaque-binary multimodal layout."""
+    return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _to_payload, batch_format="pyarrow", batch_size=256)
+
+
+def _meta_batch(batch: pa.Table) -> pa.Table:
+    payloads = batch.column("payload").to_pylist()
+    return pa.table({
+        "item_id": batch.column("item_id"),
+        "n_bytes": int64_col([len(p) for p in payloads]),
+        "sha256": pa.array([hashlib.sha256(p).hexdigest() for p in payloads],
+                           pa.string()),
+    })
+
+
+def multimodal_meta(sf_dir: str):
+    """(item_id, n_bytes, sha256) over binary payloads — the metadata
+    extraction stage every multimodal pipeline starts with."""
+    return multimodal_table(sf_dir).map_batches(_meta_batch,
+                                                batch_format="pyarrow",
+                                                batch_size=256)
+
+
+def multimodal_meta_sql() -> str:
+    # payload == utf-8 bytes of text, so octet_length/sha256 on text match
+    return """
+SELECT doc_id AS item_id, CAST(length(text) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+class FakeImageDecoder:
+    """Actor-pool decode stage — STUB KERNEL.
+
+    A real deployment replaces ``_decode`` with PIL/ffmpeg/torchvision;
+    the actor signature, batch sizing, zero-copy binary input and typed
+    output schema are the production shape. The stub derives
+    deterministic "dimensions" and a feature vector from the payload
+    hash so downstream stages are testable.
+    """
+
+    def __init__(self, feature_dim: int = 8, strict: bool = False):
+        self.feature_dim = feature_dim
+        self.strict = strict
+
+    def _decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        if self.strict:
+            raise NotImplementedError(
+                "image decode requires a codec library not present in this "
+                "container; run with strict=False for the deterministic stub")
+        h = hashlib.blake2b(payload, digest_size=16).digest()
+        width = 64 + h[0]
+        height = 64 + h[1]
+        feat = np.frombuffer(h, dtype=np.uint8).astype(np.float64)[: self.feature_dim]
+        return width, height, feat / 255.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, feats = [], [], [], []
+        for iid, payload in zip(batch.column("item_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            w, h, f = self._decode(payload)
+            ids.append(iid); ws.append(w); hs.append(h); feats.append(f)
+        return pa.table({
+            "item_id": int64_col(ids),
+            "width": int64_col(ws),
+            "height": int64_col(hs),
+            "features": pa.array([f.tolist() for f in feats],
+                                 pa.list_(pa.float64())),
+        })
+
+
+def image_decode_features(sf_dir: str):
+    """The decode/feature-extract pipeline: binary in, typed features
+    out, actor pool with small batches (wide rows)."""
+    return multimodal_table(sf_dir).map_batches(
+        FakeImageDecoder, fn_constructor_args=(8, False),
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 2))
+
+
+class FrameSampler:
+    """'Video' frame-sampling stage shape: one input row -> N sampled
+    frame rows (flat-map as map_batches). Deterministic stub sampling."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, offs = [], [], []
+        for iid, payload in zip(batch.column("item_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            size = max(len(payload), 1)
+            for k in range(self.n_frames):
+                off = (k * size) // self.n_frames
+                ids.append(iid)
+                frames.append(k)
+                offs.append(off)
+        return pa.table({"item_id": int64_col(ids),
+                         "frame": int64_col(frames),
+                         "byte_offset": int64_col(offs)})
+
+
+def frame_sample(sf_dir: str, n_frames: int = 4):
+    return multimodal_table(sf_dir).map_batches(
+        FrameSampler, fn_constructor_args=(n_frames,),
+        batch_format="pyarrow", batch_size=128, concurrency=(1, 2))
+
+
+def frame_sample_sql(n_frames: int = 4) -> str:
+    return f"""
+SELECT doc_id AS item_id, CAST(k AS BIGINT) AS frame,
+       CAST((k * greatest(length(text), 1)) // {n_frames} AS BIGINT) AS byte_offset
+FROM documents, generate_series(0, {n_frames - 1}) AS t(k)
+"""

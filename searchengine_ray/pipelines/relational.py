@@ -1,0 +1,269 @@
+"""Relational demonstration pipelines over the TPC-H-ish driver tables.
+
+These exercise the generic engine operators (filter, groupby aggregate
+with per-batch pre-aggregation, broadcast semi/hash join, sort+limit,
+time bucketing) in a SQL-checkable way. Shuffle discipline:
+
+- aggregates pre-reduce inside ``map_batches`` (one row per key per
+  batch) before the groupby, so the exchange carries keys, not rows;
+- joins broadcast the small side via ``ray.put`` and probe inside
+  ``map_batches`` — no shuffle join anywhere;
+- money is converted to integer cents PER ROW (identical double
+  expression in Ray and DuckDB), so sums are exact and order-free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from searchengine_ray.pipelines.common import cents, int64_col, read
+
+
+# ---- q1-style pricing summary (groupby agg with pre-aggregation) ----
+
+
+def _q1_partial(batch: pa.Table) -> pa.Table:
+    df = batch.to_pandas()
+    df["qty_c"] = cents(df["l_quantity"].to_numpy())
+    df["price_c"] = cents(df["l_extendedprice"].to_numpy())
+    df["disc_price_c"] = cents((df["l_extendedprice"]
+                                * (1.0 - df["l_discount"])).to_numpy())
+    g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+        sum_qty_c=("qty_c", "sum"), sum_base_c=("price_c", "sum"),
+        sum_disc_c=("disc_price_c", "sum"), n=("qty_c", "size"))
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: per (returnflag, linestatus) totals, exact cents."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity",
+               "l_extendedprice", "l_discount"])
+    partial = ds.map_batches(_q1_partial, batch_format="pyarrow", batch_size=65536)
+    return partial.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty_c", alias_name="sum_qty_c"),
+        Sum("sum_base_c", alias_name="sum_base_c"),
+        Sum("sum_disc_c", alias_name="sum_disc_c"),
+        Sum("n", alias_name="count_order"))
+
+
+def pricing_summary_sql() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---- q3-style: broadcast semi-join + groupby + top-k ----
+
+
+def top_orders_by_revenue(sf_dir: str, segment: str = "BUILDING", k: int = 10):
+    """Revenue top-k for one customer segment.
+
+    customer(segment) -> broadcast custkey set -> filter orders ->
+    broadcast (orderkey -> orderdate) -> filter+pre-agg lineitem ->
+    groupby(orderkey) -> sort desc limit k. Small sides ship once via
+    ray.put; the only shuffle is the final orderkey groupby over
+    pre-aggregated rows.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = set(cust.loc[cust.c_mktsegment == segment, "c_custkey"].tolist())
+    keys_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    class FilterOrders:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = np.isin(batch.column("o_custkey").to_numpy(zero_copy_only=False),
+                           self.keys)
+            return batch.filter(pa.array(mask))
+
+    sel_orders = orders.map_batches(FilterOrders, fn_constructor_args=(keys_ref,),
+                                    batch_format="pyarrow",
+                                    concurrency=(1, 2)).to_pandas()
+    odate = dict(zip(sel_orders.o_orderkey,
+                     sel_orders.o_orderdate.dt.strftime("%Y-%m-%d")))
+    okeys_ref = ray.put(np.array(sorted(odate), dtype=np.int64))
+
+    class LineitemPartial:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            mask = np.isin(ok, self.keys)
+            ok = ok[mask]
+            price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[mask]
+            disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[mask]
+            rev_c = cents(price * (1.0 - disc))
+            uniq, inv = np.unique(ok, return_inverse=True)
+            sums = np.bincount(inv, weights=rev_c).astype(np.int64)
+            return pa.table({"o_orderkey": int64_col(uniq),
+                             "rev_p": int64_col(sums)})
+
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    partial = li.map_batches(LineitemPartial, fn_constructor_args=(okeys_ref,),
+                             batch_format="pyarrow", batch_size=65536,
+                             concurrency=(1, 2))
+    total = partial.groupby("o_orderkey").aggregate(
+        Sum("rev_p", alias_name="revenue_c")).to_pandas()
+    total = total.sort_values(["revenue_c", "o_orderkey"],
+                              ascending=[False, True]).head(k)
+    total["o_orderdate"] = total.o_orderkey.map(odate)
+    total = total.astype({"o_orderkey": "int64", "revenue_c": "int64"})
+    return pa.Table.from_pandas(
+        total[["o_orderkey", "revenue_c", "o_orderdate"]].reset_index(drop=True),
+        preserve_index=False)
+
+
+def top_orders_by_revenue_sql(segment: str = "BUILDING", k: int = 10) -> str:
+    return f"""
+WITH rev AS (
+  SELECT l.l_orderkey AS o_orderkey,
+         CAST(sum(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount)) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS revenue_c
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment = '{segment}'
+  GROUP BY l.l_orderkey)
+SELECT r.o_orderkey, r.revenue_c, strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM rev r JOIN orders o ON o.o_orderkey = r.o_orderkey
+ORDER BY r.revenue_c DESC, r.o_orderkey ASC LIMIT {k}
+"""
+
+
+# ---- events: time-bucketed aggregate (streaming-shaped workload) ----
+
+
+def _events_partial(batch: pa.Table) -> pa.Table:
+    df = batch.to_pandas()
+    df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+    df["v_c"] = cents(df["value"].to_numpy())
+    g = df.groupby(["event_type", "day"], as_index=False).agg(
+        n=("v_c", "size"), min_v=("v_c", "min"), max_v=("v_c", "max"))
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def events_daily(sf_dir: str):
+    """(event_type, day, n_events, min/max value cents) — tumbling daily
+    window as a pre-aggregated groupby (SURVEY §2.9: the reference has
+    no streaming ops; this is the streaming-shaped batch analog)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = read(sf_dir, "events", ["event_type", "ts", "value"])
+    partial = ds.map_batches(_events_partial, batch_format="pyarrow",
+                             batch_size=65536)
+    return partial.groupby(["event_type", "day"]).aggregate(
+        Sum("n", alias_name="n_events"),
+        Min("min_v", alias_name="min_value_c"),
+        Max("max_v", alias_name="max_value_c"))
+
+
+def events_daily_sql() -> str:
+    return """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_value_c,
+       CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_value_c
+FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+"""
+
+
+# ---- sort + limit ----
+
+
+def top_parts(sf_dir: str, k: int = 20):
+    """Top-k parts by retail price (sort desc + deterministic tie-break)."""
+    ds = read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": batch.column("p_partkey"),
+            "p_name": batch.column("p_name"),
+            "price_c": int64_col(cents(
+                batch.column("p_retailprice").to_numpy(zero_copy_only=False))),
+        })
+
+    out = ds.map_batches(to_cents, batch_format="pyarrow") \
+            .sort(["price_c", "p_partkey"], descending=[True, False]) \
+            .limit(k)
+    return out
+
+
+def top_parts_sql(k: int = 20) -> str:
+    return f"""
+SELECT p_partkey, p_name,
+       CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c
+FROM part ORDER BY price_c DESC, p_partkey ASC LIMIT {k}
+"""
+
+
+# ---- broadcast dimension join + aggregate ----
+
+
+def suppliers_by_nation(sf_dir: str):
+    """supplier x nation broadcast hash join -> per-nation stats."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    nation = read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nmap_ref = ray.put(dict(zip(nation.n_nationkey, nation.n_name)))
+
+    class JoinNation:
+        def __init__(self, ref):
+            self.nmap = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            nk = batch.column("s_nationkey").to_pylist()
+            bal = batch.column("s_acctbal").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "n_name": pa.array([self.nmap[k] for k in nk], pa.string()),
+                "bal_c": int64_col(cents(bal)),
+            })
+
+    ds = read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+    joined = ds.map_batches(JoinNation, fn_constructor_args=(nmap_ref,),
+                            batch_format="pyarrow", concurrency=(1, 2))
+    return joined.groupby("n_name").aggregate(
+        Count(alias_name="n_suppliers"), Sum("bal_c", alias_name="total_acctbal_c"))
+
+
+def suppliers_by_nation_sql() -> str:
+    return """
+SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_acctbal_c
+FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name
+"""
+
+
+# ---- distinct ----
+
+
+def segment_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return read(sf_dir, "customer", ["c_mktsegment"]).groupby(
+        "c_mktsegment").aggregate(Count(alias_name="n_customers"))
+
+
+def segment_counts_sql() -> str:
+    return """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer GROUP BY c_mktsegment
+"""

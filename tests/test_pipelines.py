@@ -1,0 +1,87 @@
+"""Driver-gate mirror: queries() vs oracle_sql() via DuckDB at sf0.001,
+plus recall checks for the approximate ops."""
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
+               "text_quality", "dedup_exact", "embedding_near_dups",
+               "ann_topk", "multimodal_meta", "frame_sample",
+               "pricing_summary", "top_orders_by_revenue", "events_daily",
+               "top_parts", "suppliers_by_nation", "segment_counts",
+               "bm25_topk", "bm25_topk_wand", "index_dictionary"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype) == "object":
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    return res
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(ray_session, duck, name):
+    import __ray_entry__ as e
+
+    got = _canon(_to_pandas(e.queries()[name](SF_DIR)))
+    want = _canon(duck.sql(e.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rows_only_entries_run(ray_session):
+    import __ray_entry__ as e
+
+    for name in ["minhash_lsh_dedup", "simhash_near_dups", "ann_lsh_topk",
+                 "lang_id", "doc_fingerprint", "image_decode_features"]:
+        res = _to_pandas(e.queries()[name](SF_DIR))
+        assert res is not None and len(res) >= 0
+
+
+def test_ann_lsh_recall_vs_exact(ray_session):
+    """LSH multiprobe should recover most of the exact top-10."""
+    from searchengine_ray.pipelines.ann import ann_lsh_topk, ann_topk
+
+    exact = _to_pandas(ann_topk(SF_DIR))
+    approx = _to_pandas(ann_lsh_topk(SF_DIR))
+    recalls = []
+    for qid in exact.query_vec_id.unique():
+        ex = set(exact[exact.query_vec_id == qid].vec_id)
+        ap = set(approx[approx.query_vec_id == qid].vec_id)
+        recalls.append(len(ex & ap) / len(ex))
+    assert sum(recalls) / len(recalls) >= 0.5  # multiprobe recall floor
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    r = e.entry()
+    df = _to_pandas(r)
+    assert len(df) > 0
+    assert set(df.columns) == {"query_id", "rank", "doc_id", "score_bp"}
