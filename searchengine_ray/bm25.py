@@ -55,10 +55,20 @@ def bm25_score_single(tf: int, dl: int, *, N: int, df: int, avgdl: float,
 
 
 def top_k_indices(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray:
-    """Indices of the top-k by (score desc, doc_id asc) — deterministic."""
-    if len(scores) == 0:
+    """Indices of the top-k by (score desc, doc_id asc) — deterministic.
+
+    For large candidate sets, pre-filter with ``np.partition`` (O(n))
+    down to everything >= the k-th score (ties included, so the doc_id
+    tie-break stays exact), then lexsort only the survivors.
+    """
+    n = len(scores)
+    if n == 0:
         return np.empty(0, dtype=np.int64)
-    k = min(k, len(scores))
-    # lexsort: last key is primary
+    k = min(k, n)
+    if n > max(1024, 4 * k):
+        kth = np.partition(scores, n - k)[n - k]
+        keep = np.flatnonzero(scores >= kth)
+        order = np.lexsort((doc_ids[keep], -scores[keep]))
+        return keep[order[:k]]
     order = np.lexsort((doc_ids, -scores))
     return order[:k]

@@ -1,0 +1,103 @@
+"""Command-line entry points — the Ray-native replacement of the
+reference's ``main.py``/``search_engine.run_engine``/GUI
+(``/root/reference/main.py:1-7``, ``GUI.py``).
+
+    python -m searchengine_ray build  <corpus_dir> <index_dir> [--stemming] [--min-df N]
+    python -m searchengine_ray search <index_dir> "query text" [-k N] [--bmw] [--spell]
+    python -m searchengine_ray batch  <index_dir> <queries.txt> <out_dir> [-k N]
+
+Owns its Ray session (the library itself never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "ignore_reinit_error": True, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="searchengine_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("corpus")
+    b.add_argument("index_dir")
+    b.add_argument("--stemming", action="store_true")
+    b.add_argument("--min-df", type=int, default=1)
+    b.add_argument("--analyzer", choices=["code", "simple"], default="code")
+    b.add_argument("--no-resume", action="store_true")
+
+    s = sub.add_parser("search", help="run one query")
+    s.add_argument("index_dir")
+    s.add_argument("query")
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--bmw", action="store_true")
+    s.add_argument("--spell", action="store_true")
+    s.add_argument("--stemming", action="store_true")
+    s.add_argument("--analyzer", choices=["code", "simple"], default="code")
+
+    q = sub.add_parser("batch", help="run a queries.txt file -> results dir")
+    q.add_argument("index_dir")
+    q.add_argument("queries_file")
+    q.add_argument("out_dir")
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--fmt", choices=["csv", "parquet"], default="csv")
+    q.add_argument("--stemming", action="store_true")
+    q.add_argument("--analyzer", choices=["code", "simple"], default="code")
+
+    args = p.parse_args(argv)
+    from searchengine_ray.config import IndexConfig
+
+    cfg = IndexConfig(analyzer=getattr(args, "analyzer", "code"),
+                      stemming=getattr(args, "stemming", False),
+                      min_df=getattr(args, "min_df", 1))
+    _init_ray(args.num_cpus)
+    try:
+        if args.cmd == "build":
+            from searchengine_ray.pipelines.build import build_index
+
+            paths = build_index(args.corpus, args.index_dir, cfg,
+                                resume=not args.no_resume)
+            print(paths.meta())
+        elif args.cmd == "search":
+            from searchengine_ray.pipelines.query import IndexSearcher
+
+            s_ = IndexSearcher(args.index_dir, cfg)
+            for rank, (doc, score) in enumerate(
+                    s_.search(args.query, args.k,
+                              method="bmw" if args.bmw else "vectorized",
+                              spell_correct=args.spell), 1):
+                print(f"{rank}\t{doc}\t{score:.6f}")
+        elif args.cmd == "batch":
+            from searchengine_ray.pipelines.query import search_queries
+            from searchengine_ray.sources.queries_file import (read_queries_file,
+                                                               write_results)
+
+            qs = read_queries_file(args.queries_file)
+            res = search_queries(args.index_dir, qs, k=args.k, config=cfg)
+            write_results(res, args.out_dir, fmt=args.fmt)
+            print(f"wrote results for {len(qs)} queries to {args.out_dir}")
+    finally:
+        import ray
+
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -110,36 +110,62 @@ def generate_corpus(n_docs: int, out_dir: str | Path, *, seed: int = 42,
 
     per_file = [n_docs // n_files + (1 if i < n_docs % n_files else 0)
                 for i in range(n_files)]
-    doc_idx = 0
-    for fi, count in enumerate(per_file):
-        rng = _rng_for(seed, fi)
-        repos, paths, commits, langs, contents = [], [], [], [], []
-        for _ in range(count):
-            r = int(rng.choice(n_repos, p=w))
-            repo = f"org{r % 7}/project{r}"
-            lang = LANGS[int(rng.integers(0, len(LANGS)))]
-            depth = int(rng.integers(1, 5))
-            parts = [f"d{int(rng.integers(0, 9))}" for _ in range(depth - 1)]
-            path = "/".join(parts + [f"file_{doc_idx}{EXT[lang]}"])
-            commit = hashlib.sha1(f"{repo}/{path}#{seed}".encode()).hexdigest()
-            content = _make_content(rng, doc_idx)
-            repos.append(repo); paths.append(path); commits.append(commit)
-            langs.append(lang); contents.append(content)
-            doc_idx += 1
-            if rng.random() < dup_frac and repos:
-                # exact duplicate row (same key + content) — dedup path
-                repos.append(repo); paths.append(path); commits.append(commit)
-                langs.append(lang); contents.append(content)
-        tbl = pa.table({
-            "repo": pa.array(repos, pa.string()),
-            "path": pa.array(paths, pa.string()),
-            "commit": pa.array(commits, pa.string()),
-            "lang": pa.array(langs, pa.string()),
-            "content": pa.array(contents, pa.large_string()),
-        })
-        pq.write_table(tbl, out_dir / f"part-{fi:05d}.parquet")
+    starts = [sum(per_file[:i]) for i in range(n_files)]
+
+    jobs = [(fi, per_file[fi], starts[fi], n_repos, w, seed, dup_frac,
+             str(out_dir)) for fi in range(n_files)]
+    # parallelize file generation when a Ray session exists (generation
+    # is deterministic PER FILE, so parallel == sequential output)
+    try:
+        import ray
+
+        use_ray = ray.is_initialized()
+    except ImportError:
+        use_ray = False
+    if use_ray and n_files > 1:
+        import ray
+
+        gen = ray.remote(_generate_one_file)
+        ray.get([gen.remote(*j) for j in jobs])
+    else:
+        for j in jobs:
+            _generate_one_file(*j)
     marker.touch()
     return str(out_dir)
+
+
+def _generate_one_file(fi: int, count: int, start_idx: int, n_repos: int,
+                       w: np.ndarray, seed: int, dup_frac: float,
+                       out_dir: str) -> str:
+    rng = _rng_for(seed, fi)
+    doc_idx = start_idx
+    repos, paths, commits, langs, contents = [], [], [], [], []
+    for _ in range(count):
+        r = int(rng.choice(n_repos, p=w))
+        repo = f"org{r % 7}/project{r}"
+        lang = LANGS[int(rng.integers(0, len(LANGS)))]
+        depth = int(rng.integers(1, 5))
+        parts = [f"d{int(rng.integers(0, 9))}" for _ in range(depth - 1)]
+        path = "/".join(parts + [f"file_{doc_idx}{EXT[lang]}"])
+        commit = hashlib.sha1(f"{repo}/{path}#{seed}".encode()).hexdigest()
+        content = _make_content(rng, doc_idx)
+        repos.append(repo); paths.append(path); commits.append(commit)
+        langs.append(lang); contents.append(content)
+        doc_idx += 1
+        if rng.random() < dup_frac and repos:
+            # exact duplicate row (same key + content) — dedup path
+            repos.append(repo); paths.append(path); commits.append(commit)
+            langs.append(lang); contents.append(content)
+    tbl = pa.table({
+        "repo": pa.array(repos, pa.string()),
+        "path": pa.array(paths, pa.string()),
+        "commit": pa.array(commits, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "content": pa.array(contents, pa.large_string()),
+    })
+    out = Path(out_dir) / f"part-{fi:05d}.parquet"
+    pq.write_table(tbl, out)
+    return str(out)
 
 
 def corpus_queries(seed: int = 42, n: int = 40) -> list[tuple[int, str]]:
@@ -172,9 +198,11 @@ def default_corpus_dir(tier: str) -> str:
     return os.path.join("/tmp", "graft_corpus", tier)
 
 
-TIER_SIZES = {"t1": 1_000, "t2": 10_000, "bench": 100_000}
+TIER_SIZES = {"t1": 1_000, "t2": 10_000, "bench": 2_000_000}
+TIER_FILES = {"t1": 8, "t2": 8, "bench": 64}
 
 
 def ensure_corpus(tier: str = "t2", seed: int = 42) -> str:
     n = TIER_SIZES[tier]
-    return generate_corpus(n, default_corpus_dir(tier), seed=seed)
+    return generate_corpus(n, default_corpus_dir(tier), seed=seed,
+                           n_files=TIER_FILES[tier])

@@ -107,7 +107,8 @@ class OracleIndex:
         self.avgdl = total_len / self.N if self.N else 1.0
         self.df = {t: len(p) for t, p in self.postings.items()}
 
-    def search(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+    def search(self, text: str, k: int = 10,
+               spell_correct: bool = False) -> list[tuple[int, float]]:
         """BM25 top-k: [(doc_id, score)] by (score desc, doc_id asc).
 
         Scores accumulate per doc in ascending-unique-term order with a
@@ -115,6 +116,15 @@ class OracleIndex:
         identical order, so floats match bit-for-bit.
         """
         qterms = Counter(self.analyzer.terms(text))
+        if spell_correct:
+            from searchengine_ray.functions.spell import correct
+
+            fixed: Counter = Counter()
+            for t, c in qterms.items():
+                t2 = correct(t, lambda w: self.df.get(w, 0))
+                if t2 is not None:
+                    fixed[t2] += c
+            qterms = fixed
         scores: dict[int, float] = {}
         for term in sorted(qterms):
             plist = self.postings.get(term)

@@ -8,11 +8,12 @@ partitions (the checkpoint/resume units):
 
   phase 1  normalize   read corpus -> hash-part shuffle -> docs/part-*.parquet
                         (sha256, first-wins dedup, deterministic doc ids)
-  phase 2  doc_meta    read docs   -> map_batches(DocMetaStage) -> doc_meta/
-                        + integer-sum stats (N, total_len -> avgdl)
-  phase 3  postings    read docs   -> map_batches(PartialPostings)
-                        -> groupby(term-hash part)  [THE one all-to-all]
-                        -> postings/part-*.parquet + dictionary/part-*.parquet
+  phase 2  index       read docs   -> map_batches(PartialPostings)
+                        -> groupby(part)  [THE one all-to-all]
+                        -> postings/ + dictionary/ + doc_meta/ partitions
+                        (doc-meta rows piggyback on the posting segments:
+                         the corpus is read and tokenized exactly ONCE)
+  phase 3  stats       integer sums over doc_meta -> index_meta.json
 
 Scale notes:
 - the only full shuffle moves already-compressed posting segments;
@@ -35,7 +36,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from searchengine_ray.config import IndexConfig
-from searchengine_ray.stages.docmeta import DocMetaStage
+
 from searchengine_ray.stages.normalize import NormalizePartWriter, add_part_column
 from searchengine_ray.stages.postings import MergePostingsPartWriter, PartialPostings
 from searchengine_ray.state.manifest import (completed_partitions, load_manifests,
@@ -75,19 +76,74 @@ def _config_fingerprint(config: IndexConfig, source_tag: str) -> str:
         "num_doc_parts": config.num_doc_parts,
         "doc_id_part_bits": config.doc_id_part_bits,
         "source": source_tag,
+        "layout_version": 3,   # v3: +term_hash column; doc_meta piggybacks on postings
     }, sort_keys=True)
     return hashlib.blake2b(payload.encode(), digest_size=16).hexdigest()
 
 
-def _source_dataset(source) -> tuple[ray.data.Dataset, str]:
+def _source_dataset(source) -> tuple[ray.data.Dataset, str, int]:
     if isinstance(source, (str, Path)):
         p = Path(source)
         files = sorted(p.rglob("*.parquet")) if p.is_dir() else [p]
+        total = sum(f.stat().st_size for f in files)
         tag = hashlib.blake2b(
             json.dumps([(f.name, f.stat().st_size) for f in files]).encode(),
             digest_size=8).hexdigest()
-        return ray.data.read_parquet([str(f) for f in files]), f"{source}:{tag}"
-    return source, "dataset"
+        return ray.data.read_parquet([str(f) for f in files]), f"{source}:{tag}", total
+    return source, "dataset", 0
+
+
+class _BlockSizeForRun:
+    """Scope-limited ``target_max_block_size`` tuned to the input.
+
+    Ray's sort-based groupby emits reduce blocks of ~target block size
+    and ``map_groups`` schedules ONE TASK PER BLOCK — with the default
+    128 MiB blocks a small-corpus shuffle collapses to 2-3 tasks and the
+    build stops scaling with CPUs. Sizing blocks to
+    ``input_bytes / (4 x cpus)`` (clamped to [4 MiB, 128 MiB]) keeps
+    every core busy at small scale while leaving the default untouched
+    at 100 TB scale, where 128 MiB already yields millions of blocks.
+    """
+
+    def __init__(self, input_bytes: int):
+        self.input_bytes = input_bytes
+        self.prev = None
+
+    def __enter__(self):
+        from ray.data import DataContext
+
+        ctx = DataContext.get_current()
+        self.prev = ctx.target_max_block_size
+        if self.input_bytes > 0:
+            import ray as _ray
+
+            cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+            size = self.input_bytes * 3 // (4 * cpus)   # parquet->arrow inflation ~3x
+            ctx.target_max_block_size = max(4 << 20, min(128 << 20, size))
+        return self
+
+    def __exit__(self, *exc):
+        from ray.data import DataContext
+
+        DataContext.get_current().target_max_block_size = self.prev
+        return False
+
+
+def _clean_stale_partitions(directory: str, fingerprint: str) -> None:
+    """Remove partition files whose manifest is missing or from another
+    config/source generation — a rerun never mixes index generations."""
+    d = Path(directory)
+    if not d.is_dir():
+        d.mkdir(parents=True, exist_ok=True)
+        return
+    valid = {f"part-{p:05d}" for p in
+             completed_partitions(d, fingerprint=fingerprint)}
+    for f in list(d.glob("*.parquet")):
+        if f.stem not in valid:
+            f.unlink()
+            mf = f.with_name(f.stem + ".manifest.json")
+            if mf.is_file():
+                mf.unlink()
 
 
 def _filter_done_parts(ds: ray.data.Dataset, col: str, done: set[int]) -> ray.data.Dataset:
@@ -110,16 +166,57 @@ def build_index(source, out_root: str | Path, config: IndexConfig | None = None,
     ``(repo, path, commit, lang, content)``; pass ``id_column`` when the
     source already carries stable integer doc ids (e.g. the
     ``documents`` table) to skip key-hash id assignment."""
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _trace = _os.environ.get("GRAFT_BUILD_TIMINGS")
+    _t0 = _time.time()
+    _phase_seconds: dict[str, float] = {}
+
+    def _mark(phase):
+        nonlocal _t0
+        _phase_seconds[phase] = round(_time.time() - _t0, 3)
+        if _trace:
+            print(f"[build] {phase}: {_phase_seconds[phase]:.2f}s", file=_sys.stderr)
+        _t0 = _time.time()
+
     config = config or IndexConfig()
     paths = IndexPaths(str(out_root))
     Path(paths.root).mkdir(parents=True, exist_ok=True)
-    ds, auto_tag = _source_dataset(source)
+    ds, auto_tag, input_bytes = _source_dataset(source)
     fingerprint = _config_fingerprint(config, source_tag or auto_tag)
 
     # ---- phase 1: normalize (ids, sha256, dedup) -> docs/ ----
     done = completed_partitions(paths.docs, fingerprint=fingerprint) if resume else set()
     n_parts = config.num_doc_parts
-    if len(done) < n_parts:
+    if len(done) < n_parts and id_column is None and isinstance(source, (str, Path)):
+        # file source: direct low-cardinality partition exchange (raw Ray
+        # tasks — no sort barrier; see stages/exchange.py)
+        from searchengine_ray.stages.exchange import run_partition_exchange, split_by_part
+
+        p = Path(source)
+        files = sorted(str(f) for f in (p.rglob("*.parquet") if p.is_dir() else [p]))
+        writer = NormalizePartWriter(paths.docs, config, fingerprint)
+
+        def _map_norm(path):
+            import pyarrow.parquet as _pq
+
+            t = add_part_column(_pq.read_table(path), n_parts)
+            return split_by_part(t, n_parts)
+
+        def _reduce_norm(part, tables):
+            if not tables:
+                from searchengine_ray.state.manifest import write_empty_partition_manifest
+
+                return write_empty_partition_manifest(
+                    paths.docs, kind="docs", partition=part, fingerprint=fingerprint)
+            return writer(pa.concat_tables(tables))
+
+        run_partition_exchange(files, n_parts, _map_norm, _reduce_norm,
+                               skip_parts=done)
+    elif len(done) < n_parts:
+      with _BlockSizeForRun(input_bytes):
         if id_column is not None:
             # pre-assigned ids: range-partition so files hold disjoint sorted id ranges
             max_id = ds.max(id_column)
@@ -144,44 +241,78 @@ def build_index(source, out_root: str | Path, config: IndexConfig | None = None,
         # consume: one manifest row per partition (tiny)
         labeled.groupby("part").map_groups(
             writer, batch_format="pyarrow").materialize()
+    _mark("phase1_normalize")
+    del ds
 
-    # ---- phase 2: doc_meta + stats ----
-    meta_done = Path(paths.doc_meta, "_DONE.json")
-    if not (resume and meta_done.is_file()
-            and json.loads(meta_done.read_text()).get("fingerprint") == fingerprint):
-        docs = ray.data.read_parquet(paths.docs, columns=["doc_id", "content"],
-                                     file_extensions=["parquet"])
-        out_dir = Path(paths.doc_meta)
-        out_dir.mkdir(parents=True, exist_ok=True)
-        for old in out_dir.glob("*.parquet"):
-            old.unlink()
-        docs.map_batches(DocMetaStage(config), batch_format="pyarrow",
-                         batch_size=config.tokenize_batch_size
-                         ).write_parquet(paths.doc_meta)
-        write_json_atomic({"fingerprint": fingerprint}, meta_done)
+    # ---- phase 2: postings + dictionary + doc_meta (ONE pass, ONE shuffle)
+    # Doc-meta rows piggyback on the posting segments: the tokenizer
+    # already computes per-doc stats, so the corpus is read and
+    # tokenized exactly once (the naive layout tokenized twice).
+    done = (completed_partitions(paths.postings, fingerprint=fingerprint)
+            if resume else set())
+    done |= (completed_partitions(paths.doc_meta, fingerprint=fingerprint)
+             if resume else set())
+    total_parts = config.num_term_parts + config.num_doc_parts
+    if len(done) < total_parts:
+        # drop stale/invalid partition files (old config/layout) so the
+        # query loader never mixes generations
+        for d in (paths.postings, paths.dictionary, paths.doc_meta):
+            _clean_stale_partitions(d, fingerprint)
+        from searchengine_ray.stages.exchange import run_partition_exchange, split_by_part
 
-    # ---- phase 3: postings + dictionary ----
-    done = completed_partitions(paths.postings, fingerprint=fingerprint) if resume else set()
-    if len(done) < config.num_term_parts:
-        docs = ray.data.read_parquet(paths.docs, columns=["doc_id", "content"],
-                                     file_extensions=["parquet"])
-        segments = docs.map_batches(PartialPostings(config), batch_format="pyarrow",
-                                    batch_size=config.tokenize_batch_size)
-        segments = _filter_done_parts(segments, "part", done)
+        doc_files = sorted(str(f) for f in Path(paths.docs).glob("part-*.parquet"))
         merger = MergePostingsPartWriter(paths.postings, paths.dictionary,
-                                         config, fingerprint)
-        segments.groupby("part").map_groups(merger, batch_format="pyarrow").materialize()
+                                         config, fingerprint,
+                                         doc_meta_dir=paths.doc_meta)
+        bs = config.tokenize_batch_size
 
-    # ---- phase 4: global stats -> index_meta.json ----
-    meta_ds = ray.data.read_parquet(paths.doc_meta, columns=["doc_len"],
-                                    file_extensions=["parquet"])
-    agg = meta_ds.map_batches(
-        lambda t: pa.table({"n": [t.num_rows],
-                            "total": [int(pc.sum(t.column("doc_len")).as_py() or 0)]}),
-        batch_format="pyarrow").to_pandas()
-    N = int(agg["n"].sum())
-    total_len = int(agg["total"].sum())
-    post_manifests = load_manifests(paths.postings)
+        # map granularity = a few parquet row groups (not a whole file):
+        # fine-grained tasks balance the tokenize wave at any CPU count
+        import pyarrow.parquet as _pqm
+
+        jobs = []
+        for f in doc_files:
+            n_rg = _pqm.ParquetFile(f).metadata.num_row_groups
+            step = 2
+            for lo in range(0, n_rg, step):
+                jobs.append((f, lo, min(lo + step, n_rg)))
+
+        def _map_postings(job):
+            import pyarrow.parquet as _pq
+
+            path, rg_lo, rg_hi = job
+            t = _pq.ParquetFile(path).read_row_groups(
+                list(range(rg_lo, rg_hi)), columns=["doc_id", "content"])
+            pp = PartialPostings(config)
+            outs = [pp(t.slice(i, bs)) for i in range(0, t.num_rows, bs)]
+            seg = pa.concat_tables(outs) if outs else None
+            if seg is None or seg.num_rows == 0:
+                return [None] * total_parts
+            return split_by_part(seg, total_parts)
+
+        def _reduce_postings(part, tables):
+            if not tables:
+                from searchengine_ray.state.manifest import write_empty_partition_manifest
+
+                target = (paths.doc_meta if part >= config.num_term_parts
+                          else paths.postings)
+                kind = "doc_meta" if part >= config.num_term_parts else "postings"
+                return write_empty_partition_manifest(
+                    target, kind=kind, partition=part, fingerprint=fingerprint)
+            return merger(pa.concat_tables(tables))
+
+        run_partition_exchange(jobs, total_parts, _map_postings,
+                               _reduce_postings, skip_parts=done)
+    _mark("phase2_postings")
+
+    # ---- phase 3: global stats -> index_meta.json (from manifests —
+    # integer sums, no extra pass over data) ----
+    meta_manifests = [m for m in load_manifests(paths.doc_meta)
+                      if m.get("fingerprint") == fingerprint]
+    N = sum(m.get("rows", 0) for m in meta_manifests)
+    total_len = sum(m.get("total_len", 0) for m in meta_manifests)
+    post_manifests = [m for m in load_manifests(paths.postings)
+                      if m.get("fingerprint") == fingerprint]
     write_json_atomic({
         "N": N, "total_len": total_len,
         "avgdl": total_len / N if N else 1.0,
@@ -190,6 +321,7 @@ def build_index(source, out_root: str | Path, config: IndexConfig | None = None,
         "num_term_parts": config.num_term_parts,
         "num_doc_parts": config.num_doc_parts,
         "fingerprint": fingerprint,
+        "build_phase_seconds": _phase_seconds,
         "config": {"analyzer": config.analyzer, "k1": config.k1, "b": config.b,
                    "min_df": config.min_df, "block_size": config.block_size,
                    "doc_bucket_size": config.doc_bucket_size,
@@ -227,6 +359,6 @@ class PrelabeledPartWriter:
         out = pa.table(cols)
         write_partition_atomic(out, Path(self.docs_dir) / f"part-{part:05d}.parquet",
                                kind="docs", partition=part,
-                               fingerprint=self.fingerprint)
+                               fingerprint=self.fingerprint, row_group_size=8192)
         return pa.table({"partition": pa.array([part], pa.int64()),
                          "rows": pa.array([out.num_rows], pa.int64())})

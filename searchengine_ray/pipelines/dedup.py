@@ -69,17 +69,40 @@ def _minhash_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_SHINGLE_C = np.uint64(0x9E3779B97F4A7C15)   # golden-ratio odd multiplier
+
+
+def _token_hash(tok: str) -> int:
+    h = _TOKEN_HASH_CACHE.get(tok)
+    if h is None:
+        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(),
+                           "big")
+        _TOKEN_HASH_CACHE[tok] = h
+    return h
+
+
 def _shingles(text: str, k: int = 3) -> np.ndarray:
+    """Unique 64-bit hashes of k-token shingles.
+
+    Hash = order-sensitive polynomial over per-token hashes (tokens are
+    hashed once per process via a cache), so shingling costs one rolling
+    numpy pass instead of one blake2b per shingle."""
     toks = text.lower().split()
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    out = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big") >> 3
-         for g in grams),
-        dtype=np.uint64, count=len(grams))
-    return np.unique(out)
+    n = len(toks)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    th = np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64, count=n)
+    if n < k:
+        out = th[:1].copy()
+        for j in range(1, n):
+            out = out * _SHINGLE_C + th[j:j + 1]
+        return out >> np.uint64(3)
+    m = n - k + 1
+    out = th[:m].copy()
+    for j in range(1, k):
+        out = out * _SHINGLE_C + th[j:j + m]      # uint64 wraparound is the mix
+    return np.unique(out >> np.uint64(3))
 
 
 class MinHashStage:
@@ -188,31 +211,26 @@ def minhash_lsh_dedup(sf_dir: str, threshold_bp: int = 5000):
 
 
 class SimHashStage:
-    """64-bit SimHash over token unigrams (Charikar 2002)."""
+    """64-bit SimHash over token unigrams (Charikar 2002) — vectorized:
+    per doc, token hashes expand to a (n_tokens, 64) sign matrix in one
+    numpy broadcast; the per-bit sums decide the fingerprint bits."""
 
-    def __init__(self):
-        self._cache: dict[str, np.ndarray] = {}
-
-    def _token_bits(self, tok: str) -> np.ndarray:
-        got = self._cache.get(tok)
-        if got is None:
-            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(),
-                               "big")
-            got = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64) * 2 - 1
-            self._cache[tok] = got
-        return got
+    _SHIFTS = np.arange(64, dtype=np.uint64)
+    _WEIGHTS = (np.uint64(1) << np.arange(63, dtype=np.uint64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for text in batch.column("text").to_pylist():
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in text.lower().split():
-                acc += self._token_bits(tok)
-            bits = (acc > 0).astype(np.uint64)
-            val = 0
-            for i in range(64):
-                val |= int(bits[i]) << i
-            out.append(val & ((1 << 63) - 1))  # keep int64-positive
+            toks = text.lower().split()
+            if not toks:
+                out.append(0)
+                continue
+            th = np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64,
+                             count=len(toks))
+            bits = ((th[:, None] >> self._SHIFTS) & np.uint64(1)).astype(np.int64)
+            acc = (bits * 2 - 1).sum(axis=0)
+            sig = (acc[:63] > 0).astype(np.uint64)   # 63 bits -> int64-positive
+            out.append(int((sig * self._WEIGHTS).sum()))
         return pa.table({"doc_id": batch.column("doc_id"),
                          "simhash": int64_col(out)})
 

@@ -1,0 +1,94 @@
+"""Direct partition exchange — a hash shuffle for LOW-CARDINALITY keys.
+
+Ray Data's ``groupby(part)`` runs a general sort-based shuffle: it
+materializes the whole input behind a barrier, samples boundaries,
+sorts, and merges. For the build's partition exchange the key is a
+known small integer (``num_doc_parts`` / ``num_term_parts`` values), so
+all of that machinery is waste — at bench scale the sort barrier alone
+costs more than the real work, and it is the build's serial floor.
+
+This module is the deliberate "drop to raw Ray tasks" escape hatch
+(SURVEY §2 custom-operator rule (c)): a textbook two-stage exchange,
+
+    map:    one task per input file — read, label, split into one
+            pyarrow Table PER PART (``num_returns=n_parts`` so each
+            part's slice is its own object — a reducer fetches only its
+            column of the matrix, never the whole map output);
+    reduce: one task per part — concat that part's slices from every
+            map, run the partition writer (sort/dedup/ids/sha or
+            posting merge), write atomically with its manifest.
+
+Both sides are fully parallel and pipelined by Ray's scheduler; there
+is no barrier and nothing is sorted that doesn't need sorting.
+Map-task granularity is one file — callers shard large corpora into
+many files (the generator writes >= 8), which is also what any 100 TB
+layout does. Intermediate slices live in the object store and spill to
+disk under pressure, exactly like Ray Data's own shuffle blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def run_partition_exchange(files: list[str], n_parts: int, map_fn, reduce_fn,
+                           *, skip_parts: set[int] | None = None,
+                           max_in_flight: int | None = None) -> list:
+    """Execute the exchange; returns the (small) reduce results.
+
+    ``map_fn(file) -> list[pa.Table]`` (length ``n_parts``);
+    ``reduce_fn(part, tables) -> result`` — both must be serializable.
+    ``skip_parts``: resume support — those reducers never run and map
+    slices for them are dropped on the floor.
+    """
+    import ray
+
+    skip = skip_parts or set()
+
+    @ray.remote(num_returns=n_parts)
+    def _map(path):
+        out = map_fn(path)
+        if n_parts == 1:
+            return out[0]
+        return tuple(out)
+
+    @ray.remote
+    def _reduce(part, *slices):
+        tables = [s for s in slices if s is not None and s.num_rows > 0]
+        return reduce_fn(part, tables)
+
+    # backpressure: bound concurrently-materialized MAP OUTPUTS without
+    # stalling submission (wait retires one map's worth of slices at a
+    # time; waiting for large fractions of pending creates pipeline
+    # bubbles at low CPU counts)
+    if max_in_flight is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        max_in_flight = max(cpus * 4, 16)
+    slice_refs: list[list] = [[] for _ in range(n_parts)]
+    pending: list = []
+    for f in files:
+        refs = _map.remote(f)
+        if n_parts == 1:
+            refs = [refs]
+        for p in range(n_parts):
+            slice_refs[p].append(refs[p])
+        pending.extend(refs)
+        while len(pending) > max_in_flight * n_parts:
+            ready, pending = ray.wait(pending, num_returns=min(n_parts,
+                                                               len(pending)))
+    out_refs = [_reduce.remote(p, *slice_refs[p])
+                for p in range(n_parts) if p not in skip]
+    return ray.get(out_refs)
+
+
+def split_by_part(table: pa.Table, n_parts: int, part_col: str = "part"
+                  ) -> list[pa.Table]:
+    """Split one labeled table into per-part sub-tables (vectorized)."""
+    parts = table.column(part_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(parts, kind="stable")
+    sorted_tbl = table.take(pa.array(order))
+    sorted_parts = parts[order]
+    bounds = np.searchsorted(sorted_parts, np.arange(n_parts + 1))
+    return [sorted_tbl.slice(bounds[p], bounds[p + 1] - bounds[p])
+            for p in range(n_parts)]

@@ -105,7 +105,7 @@ class NormalizePartWriter:
         manifest = write_partition_atomic(
             out, Path(self.docs_dir) / f"part-{part:05d}.parquet",
             kind="docs", partition=part, fingerprint=self.fingerprint,
-            extra={"dups_dropped": n_dropped})
+            extra={"dups_dropped": n_dropped}, row_group_size=8192)
         return pa.table({"partition": pa.array([part], pa.int64()),
                          "rows": pa.array([manifest["rows"]], pa.int64()),
                          "dups_dropped": pa.array([n_dropped], pa.int64())})

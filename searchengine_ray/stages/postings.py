@@ -42,9 +42,16 @@ from searchengine_ray.state.manifest import write_partition_atomic
 from searchengine_ray.tokenizer import Analyzer
 
 
+def term_hash64(term: str) -> int:
+    """Stable 64-bit term hash — stored in the index so query-time
+    loaders never re-hash the dictionary (it dominates load time at
+    long-tail vocabularies)."""
+    return int.from_bytes(
+        hashlib.blake2b(term.encode("utf-8"), digest_size=8).digest(), "big")
+
+
 def term_part(term: str, num_parts: int) -> int:
-    h = hashlib.blake2b(term.encode("utf-8"), digest_size=8)
-    return int.from_bytes(h.digest(), "big") % num_parts
+    return term_hash64(term) % num_parts
 
 
 def _large_binary_from(stream: np.ndarray, offsets: np.ndarray) -> pa.LargeBinaryArray:
@@ -61,7 +68,8 @@ def _large_list(values: pa.Array, offsets: np.ndarray) -> pa.LargeListArray:
 
 
 SEGMENT_SCHEMA = pa.schema([
-    ("part", pa.int64()), ("term", pa.string()), ("bucket", pa.int64()),
+    ("part", pa.int64()), ("term", pa.string()), ("term_hash", pa.uint64()),
+    ("bucket", pa.int64()),
     ("first_doc", pa.int64()), ("df", pa.int64()),
     ("counts", pa.large_list(pa.int32())), ("last_docs", pa.large_list(pa.int64())),
     ("max_tfs", pa.large_list(pa.int32())),
@@ -80,12 +88,51 @@ class PartialPostings:
         self.analyzer = Analyzer(self.config)
         self._part_cache: dict[str, int] = {}
 
+    def _meta_rows(self, doc_ids: np.ndarray, info: dict) -> pa.Table:
+        """Per-doc stats as piggyback rows (part >= num_term_parts).
+
+        The tokenizer already computed doc_len/max_tf/n_terms for every
+        doc in this batch (a doc is wholly contained in its batch), so
+        doc_meta costs ZERO extra tokenization — the rows ride the same
+        shuffle and are routed to doc-meta writers by part id. Replaces
+        the separate doc-meta pass (2x tokenize) of the naive design.
+        """
+        P = self.config.num_doc_parts
+        # shard PER DOC (not per batch): resume must route a doc to the
+        # same meta shard regardless of how batches were sliced
+        shards = doc_ids % P
+        order = np.argsort(shards, kind="stable")
+        sh_sorted = shards[order]
+        starts = np.flatnonzero(np.concatenate([[True], sh_sorted[1:] != sh_sorted[:-1]]))
+        offs = np.concatenate([starts, [len(doc_ids)]]).astype(np.int64)
+        n_rows = len(starts)
+        ids_s = doc_ids[order]
+        return pa.table({
+            "part": pa.array(self.config.num_term_parts + sh_sorted[starts], pa.int64()),
+            "term": pa.array([""] * n_rows, pa.string()),
+            "term_hash": pa.array(np.zeros(n_rows, np.uint64), pa.uint64()),
+            "bucket": pa.array(np.full(n_rows, -1), pa.int64()),
+            "first_doc": pa.array(ids_s[starts], pa.int64()),
+            "df": pa.array(np.diff(offs), pa.int64()),
+            "counts": _large_list(pa.array(info["doc_len"][order], pa.int32()), offs),
+            "last_docs": _large_list(pa.array(ids_s, pa.int64()), offs),
+            "max_tfs": _large_list(pa.array(info["max_tf"][order], pa.int32()), offs),
+            "doc_sizes": _large_list(
+                pa.array(info["n_terms"][order].astype(np.int64), pa.int64()), offs),
+            "tf_sizes": _large_list(
+                pa.array(np.zeros(len(doc_ids), np.int64), pa.int64()), offs),
+            "doc_bytes": pa.array([b""] * n_rows, pa.large_binary()),
+            "tf_bytes": pa.array([b""] * n_rows, pa.large_binary()),
+        }, schema=SEGMENT_SCHEMA)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("content").to_pylist()
         doc_ids = np.asarray(batch.column("doc_id").to_numpy(zero_copy_only=False),
                              dtype=np.int64)
         codes, docs, tfs, info = self.analyzer.tokenize_batch(texts, doc_ids)
         if len(codes) == 0:
+            if len(doc_ids) > 0:
+                return self._meta_rows(doc_ids, info)
             return SEGMENT_SCHEMA.empty_table()
         vocab = info["vocab"]
         order = np.lexsort((docs, codes))
@@ -100,18 +147,21 @@ class PartialPostings:
         seg_terms = vocab[seg_codes]
         nparts = self.config.num_term_parts
         cache = self._part_cache
-        parts = np.fromiter((cache.get(t) if t in cache else
-                             cache.setdefault(t, term_part(t, nparts))
-                             for t in seg_terms), dtype=np.int64, count=len(seg_terms))
+        seg_hashes = np.fromiter((cache.get(t) if t in cache else
+                                  cache.setdefault(t, term_hash64(t))
+                                  for t in seg_terms),
+                                 dtype=np.uint64, count=len(seg_terms))
+        parts = (seg_hashes % np.uint64(nparts)).astype(np.int64)
         seg_ends = np.concatenate([seg_starts[1:], [len(codes)]])
         sbo = enc["seg_block_offsets"]
         doc_row_offsets = enc["doc_boffsets"][sbo]
         tf_row_offsets = enc["tf_boffsets"][sbo]
         doc_sizes = np.diff(enc["doc_boffsets"])
         tf_sizes = np.diff(enc["tf_boffsets"])
-        return pa.table({
+        segments = pa.table({
             "part": pa.array(parts, pa.int64()),
             "term": pa.array(seg_terms, pa.string()),
+            "term_hash": pa.array(seg_hashes, pa.uint64()),
             "bucket": pa.array(buckets[seg_starts], pa.int64()),
             "first_doc": pa.array(docs[seg_starts], pa.int64()),
             "df": pa.array(seg_ends - seg_starts, pa.int64()),
@@ -123,6 +173,7 @@ class PartialPostings:
             "doc_bytes": _large_binary_from(enc["doc_stream"], doc_row_offsets),
             "tf_bytes": _large_binary_from(enc["tf_stream"], tf_row_offsets),
         }, schema=SEGMENT_SCHEMA)
+        return pa.concat_tables([segments, self._meta_rows(doc_ids, info)])
 
 
 def _flat_binary(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -136,7 +187,8 @@ def _flat_binary(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarra
 
 
 POSTINGS_SCHEMA = pa.schema([
-    ("term", pa.string()), ("bucket", pa.int64()), ("df", pa.int64()),
+    ("term", pa.string()), ("term_hash", pa.uint64()), ("bucket", pa.int64()),
+    ("df", pa.int64()),
     ("counts", pa.large_list(pa.int32())), ("last_docs", pa.large_list(pa.int64())),
     ("max_tfs", pa.large_list(pa.int32())),
     ("doc_sizes", pa.large_list(pa.int64())), ("tf_sizes", pa.large_list(pa.int64())),
@@ -155,15 +207,46 @@ class MergePostingsPartWriter:
     """
 
     def __init__(self, postings_dir: str, dictionary_dir: str,
-                 config: IndexConfig, fingerprint: str):
+                 config: IndexConfig, fingerprint: str,
+                 doc_meta_dir: str | None = None):
         self.__name__ = 'MergePostingsPartWriter'  # ray map_groups wants a __name__
         self.postings_dir = postings_dir
         self.dictionary_dir = dictionary_dir
+        self.doc_meta_dir = doc_meta_dir
         self.config = config
         self.fingerprint = fingerprint
 
+    def _write_doc_meta(self, part: int, group: pa.Table) -> pa.Table:
+        """Piggybacked doc-meta rows (part >= num_term_parts): flatten the
+        per-batch stat lists into the doc_meta table for this shard."""
+        doc_ids = group.column("last_docs").combine_chunks().flatten() \
+                       .to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_len = group.column("counts").combine_chunks().flatten() \
+                       .to_numpy(zero_copy_only=False).astype(np.int32)
+        max_tf = group.column("max_tfs").combine_chunks().flatten() \
+                      .to_numpy(zero_copy_only=False).astype(np.int32)
+        n_terms = group.column("doc_sizes").combine_chunks().flatten() \
+                       .to_numpy(zero_copy_only=False).astype(np.int32)
+        order = np.argsort(doc_ids, kind="stable")
+        out = pa.table({
+            "doc_id": pa.array(doc_ids[order], pa.int64()),
+            "doc_len": pa.array(doc_len[order], pa.int32()),
+            "max_tf": pa.array(max_tf[order], pa.int32()),
+            "n_terms": pa.array(n_terms[order], pa.int32()),
+        })
+        write_partition_atomic(
+            out, Path(self.doc_meta_dir) / f"part-{part:05d}.parquet",
+            kind="doc_meta", partition=part, fingerprint=self.fingerprint,
+            extra={"total_len": int(doc_len.sum())})
+        return pa.table({"partition": pa.array([part], pa.int64()),
+                         "rows": pa.array([out.num_rows], pa.int64()),
+                         "n_terms": pa.array([0], pa.int64()),
+                         "n_postings": pa.array([0], pa.int64())})
+
     def __call__(self, group: pa.Table) -> pa.Table:
         part = int(group.column("part")[0].as_py())
+        if self.doc_meta_dir is not None and part >= self.config.num_term_parts:
+            return self._write_doc_meta(part, group.combine_chunks())
         group = group.combine_chunks()
         order = pc.sort_indices(group, sort_keys=[("term", "ascending"),
                                                   ("bucket", "ascending"),
@@ -193,8 +276,10 @@ class MergePostingsPartWriter:
             out_offs = np.concatenate([offs[row_starts], [offs[-1]]])
             return _large_binary_from(data, out_offs)
 
+        hashes = group.column("term_hash").to_numpy(zero_copy_only=False)
         out = pa.table({
             "term": pa.array(terms[row_starts], pa.string()),
+            "term_hash": pa.array(hashes[row_starts], pa.uint64()),
             "bucket": pa.array(buckets[row_starts], pa.int64()),
             "df": pa.array(df_out, pa.int64()),
             "counts": merge_list("counts", pa.int32()),

@@ -33,13 +33,19 @@ import pyarrow.parquet as pq
 
 def write_partition_atomic(table: pa.Table, path: str | Path, *, kind: str,
                            partition: int, fingerprint: str,
-                           extra: dict | None = None) -> dict:
+                           extra: dict | None = None,
+                           row_group_size: int | None = None) -> dict:
     """Write one parquet partition atomically + its manifest. Returns the
-    manifest dict (also usable as a lineage row)."""
+    manifest dict (also usable as a lineage row). ``row_group_size``
+    bounds row groups so downstream map tasks can split a partition
+    without re-decoding the whole file."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     tmp = path.with_name(path.name + f".tmp.{os.getpid()}")
-    pq.write_table(table, tmp)
+    if row_group_size:
+        pq.write_table(table, tmp, row_group_size=row_group_size)
+    else:
+        pq.write_table(table, tmp)
     os.replace(tmp, path)
     manifest = {
         "kind": kind,
@@ -58,6 +64,20 @@ def write_partition_atomic(table: pa.Table, path: str | Path, *, kind: str,
     return manifest
 
 
+def write_empty_partition_manifest(directory: str | Path, *, kind: str,
+                                   partition: int, fingerprint: str) -> dict:
+    """Record a legitimately-empty partition so resume treats it as done."""
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    manifest = {"kind": kind, "partition": int(partition), "file": None,
+                "rows": 0, "bytes": 0, "fingerprint": fingerprint,
+                "written_at": time.time()}
+    tmp = directory / f"part-{partition:05d}.manifest.tmp.{os.getpid()}"
+    tmp.write_text(json.dumps(manifest, indent=1))
+    os.replace(tmp, directory / f"part-{partition:05d}.manifest.json")
+    return manifest
+
+
 def completed_partitions(directory: str | Path, *, fingerprint: str) -> set[int]:
     """Partitions whose manifest validates against the current inputs."""
     directory = Path(directory)
@@ -69,9 +89,13 @@ def completed_partitions(directory: str | Path, *, fingerprint: str) -> set[int]
             m = json.loads(mf.read_text())
         except (json.JSONDecodeError, OSError):
             continue
-        f = directory / m.get("file", "")
-        if (m.get("fingerprint") == fingerprint and f.is_file()
-                and os.path.getsize(f) == m.get("bytes")):
+        if m.get("fingerprint") != fingerprint:
+            continue
+        if m.get("rows") == 0 and not m.get("file"):
+            done.add(int(m["partition"]))
+            continue
+        f = directory / (m.get("file") or "")
+        if f.is_file() and os.path.getsize(f) == m.get("bytes"):
             done.add(int(m["partition"]))
     return done
 

@@ -37,7 +37,7 @@ def test_sha256_invariant(t1_index, t1_oracle):
 
 def test_dictionary_df_set_equality(t1_index, t1_oracle, small_config):
     s = IndexSearcher(t1_index, small_config)
-    assert s._df == t1_oracle.df
+    assert s.df_map() == t1_oracle.df
 
 
 def test_postings_exact(t1_index, t1_oracle, small_config):
@@ -49,7 +49,7 @@ def test_postings_exact(t1_index, t1_oracle, small_config):
 
 def test_doc_ids_sorted_and_docids_strictly_increasing(t1_index, small_config):
     s = IndexSearcher(t1_index, small_config)
-    for term in list(s._df)[:200]:
+    for term in list(s.df_map())[:200]:
         docs, _ = decode_blocks(concat_blocks(s.postings_for(term)))
         assert np.all(np.diff(docs) > 0), term
 

@@ -24,6 +24,14 @@ def test_bmw_equals_exhaustive(t1_index, t1_oracle, small_config):
         assert s.search(text, 10, method="bmw") == s.search(text, 10)
 
 
+def test_impact_equals_exhaustive(t1_index, small_config):
+    """Impact-ordered early termination is EXACT: same docs, same floats."""
+    s = IndexSearcher(t1_index, small_config)
+    for qid, text in corpus_queries(n=40):
+        assert s.search(text, 10, method="impact") == s.search(text, 10)
+        assert s.search(text, 3, method="impact") == s.search(text, 3)
+
+
 def test_unknown_terms_empty(t1_index, small_config):
     s = IndexSearcher(t1_index, small_config)
     assert s.search("zzzznotindexedanywhere") == []

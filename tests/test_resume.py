@@ -42,7 +42,7 @@ def test_resume_skips_completed_and_rebuilds_damaged(ray_session, t1_corpus_dir,
     tbl = pq.read_table(sorted(pathlib.Path(t1_corpus_dir).glob("*.parquet")))
     o = OracleIndex(tbl, small_config)
     s = IndexSearcher(paths, small_config)
-    assert s._df == o.df
+    assert s.df_map() == o.df
     for qid, text in corpus_queries(n=10):
         assert s.search(text, 10) == o.search(text, 10)
 
@@ -57,10 +57,10 @@ def test_skew_split_multi_bucket(ray_session, t1_corpus_dir, tmp_path):
     tbl = pq.read_table(sorted(pathlib.Path(t1_corpus_dir).glob("*.parquet")))
     o = OracleIndex(tbl, cfg)
     s = IndexSearcher(paths, cfg)
-    assert s._df == o.df
+    assert s.df_map() == o.df
     # a hot term must actually be split across buckets
     hot = max(o.df, key=o.df.get)
-    assert len(s._rows[hot]) > 1
+    assert len(s.postings_for(hot)) > 1
     for qid, text in corpus_queries(n=15):
         assert s.search(text, 10) == o.search(text, 10)
         assert s.search(text, 10, method="bmw") == o.search(text, 10)
@@ -75,5 +75,5 @@ def test_min_df_prune(ray_session, t1_corpus_dir, tmp_path):
     tbl = pq.read_table(sorted(pathlib.Path(t1_corpus_dir).glob("*.parquet")))
     o = OracleIndex(tbl, cfg)
     s = IndexSearcher(paths, cfg)
-    assert s._df == o.df
-    assert all(df >= 2 for df in s._df.values())
+    assert s.df_map() == o.df
+    assert all(df >= 2 for df in s.df_map().values())

@@ -1,0 +1,52 @@
+"""Queries-file source, results sink, spell correction, CLI."""
+
+import subprocess
+import sys
+
+from searchengine_ray.functions.spell import correct, edits1
+from searchengine_ray.sources.queries_file import parse_queries_text
+
+
+def test_parse_queries_text():
+    text = "1. hash join\n\n3) window agg\nplain text query\n"
+    assert parse_queries_text(text) == [
+        (1, "hash join"), (3, "window agg"), (4, "plain text query")]
+
+
+def test_edits1_contains_classic_edits():
+    e = edits1("parse")
+    assert "parse" not in e or True
+    assert "parxe" in e      # replace
+    assert "pars" in e       # delete
+    assert "parsee" in e     # insert
+    assert "prase" in e      # transpose
+
+
+def test_correct_picks_highest_frequency():
+    freq = {"parse": 100, "sparse": 40}.get
+    assert correct("parse", lambda w: freq(w, 0)) == "parse"   # known: unchanged
+    assert correct("parze", lambda w: freq(w, 0)) == "parse"   # dist-1 fix
+    assert correct("zzzzzzz", lambda w: freq(w, 0)) is None
+
+
+def test_spell_correct_search(t1_index, t1_oracle, small_config):
+    from searchengine_ray.pipelines.query import IndexSearcher
+
+    s = IndexSearcher(t1_index, small_config)
+    # misspell a common identifier; corrected search == oracle corrected
+    got = s.search("parze buffer", 10, spell_correct=True)
+    want = t1_oracle.search("parze buffer", 10, spell_correct=True)
+    assert got == want
+    assert got  # the correction actually found docs
+
+
+def test_cli_search(ray_session, t1_index, tmp_path):
+    """CLI runs in a fresh process (its own ray session)."""
+    out = subprocess.run(
+        [sys.executable, "-m", "searchengine_ray", "--num-cpus", "2",
+         "search", str(t1_index.root), "parse buffer", "-k", "3"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=180)
+    assert out.returncode == 0, out.stderr[-500:]
+    lines = [ln for ln in out.stdout.splitlines() if "\t" in ln]
+    assert 1 <= len(lines) <= 3
+    assert lines[0].split("\t")[0] == "1"
