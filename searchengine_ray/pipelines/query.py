@@ -148,14 +148,56 @@ class PartData:
         return out
 
 
-def load_index_data(paths: IndexPaths | str) -> dict:
+def _precompute_hot_terms(part: PartData, dl_ids: np.ndarray, dl: np.ndarray,
+                          N: int, avgdl: float, k1: float, b: float,
+                          postings_budget: int) -> dict:
+    """Decode + score + impact-order this part's heaviest terms, largest
+    df first, until ``postings_budget`` postings are spent. Returns
+    hash -> (pos, contrib, ipos, icontrib).
+
+    Hot terms are exactly the ones every query actor would otherwise
+    decode cold for itself (hundreds of ms each at millions of
+    postings); precomputing the heavy tail once into the plasma-shared
+    image makes actor warm-up near-free while keeping the image size
+    bounded (budget x 32 bytes)."""
+    from searchengine_ray.codec import concat_blocks, decode_blocks
+
+    out: dict = {}
+    if len(part.hashes) == 0 or postings_budget <= 0:
+        return out
+    change = np.empty(len(part.hashes), dtype=bool)
+    change[0] = True
+    change[1:] = part.hashes[1:] != part.hashes[:-1]
+    starts = np.flatnonzero(change)
+    dfs_per_term = np.add.reduceat(part.dfs, starts)
+    spent = 0
+    for i in np.argsort(-dfs_per_term, kind="stable"):
+        df = int(dfs_per_term[i])
+        if df < 1024 or spent >= postings_budget:
+            break           # heaviest-first; overshoot by at most one term
+        spent += df
+        h = int(part.hashes[starts[i]])
+        docs, tfs = decode_blocks(concat_blocks(part.blocks_for_hash(h)))
+        pos = np.searchsorted(dl_ids, docs)
+        idf_t = float(bm25_idf(N, df))
+        contrib = bm25_term_scores(tfs, dl[pos], idf_t=idf_t, avgdl=avgdl,
+                                   k1=k1, b=b)
+        iorder = np.argsort(-contrib, kind="stable")
+        out[h] = (pos, contrib, pos[iorder], contrib[iorder])
+    return out
+
+
+def load_index_data(paths: IndexPaths | str, *, precompute_hot: bool = True,
+                    hot_postings_budget: int = 100_000_000) -> dict:
     """Load the whole index into a flat, shareable structure.
 
     Built once (driver), then ``ray.put`` once — every query executor
     references the same plasma copy instead of re-reading and
     re-materializing parquet (the scalable version of the reference's
     per-process pickle load, ``search_engine.py:62-71``). Everything
-    except ``meta`` is numpy, so actors attach zero-copy.
+    except ``meta`` is numpy, so actors attach zero-copy. Hot terms
+    (df > ``hot_df_frac`` x N) additionally carry shared precomputed
+    score/impact arrays so no actor ever decodes them cold.
     """
     paths = paths if isinstance(paths, IndexPaths) else IndexPaths(str(paths))
     meta = json.loads(Path(paths.meta_path).read_text())
@@ -164,8 +206,15 @@ def load_index_data(paths: IndexPaths | str) -> dict:
     ids = meta_tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     lens = meta_tbl.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(ids, kind="stable")
+    dl_ids, dl = ids[order], lens[order]
+    N = int(meta["N"])
+    avgdl = float(meta["avgdl"])
+    c = meta.get("config", {})
+    k1, b = float(c.get("k1", 1.2)), float(c.get("b", 0.75))
+
     part_files = sorted(Path(paths.postings).glob("part-*.parquet"))
     parts: dict[int, PartData] = {}
+    hot: dict = {}
     use_ray = False
     try:
         import ray
@@ -176,16 +225,34 @@ def load_index_data(paths: IndexPaths | str) -> dict:
     if use_ray:
         import ray
 
-        @ray.remote
-        def _load(f):
-            return int(Path(f).stem.split("-")[1]), PartData(pq.read_table(f))
+        per_part_budget = (hot_postings_budget // max(1, len(part_files))
+                           if precompute_hot else 0)
+        # big arrays go once into the object store and arrive as ARGS
+        # (auto-dereferenced, zero-copy) — capturing them in the task
+        # closure would re-ship them with every task spec
+        dl_ids_ref, dl_ref = ray.put(dl_ids), ray.put(dl)
 
-        for p, pd_ in ray.get([_load.remote(str(f)) for f in part_files]):
+        @ray.remote
+        def _load(f, _dl_ids, _dl):
+            pd_ = PartData(pq.read_table(f))
+            h = _precompute_hot_terms(pd_, _dl_ids, _dl, N, avgdl, k1, b,
+                                      per_part_budget)
+            return int(Path(f).stem.split("-")[1]), pd_, h
+
+        for p, pd_, h in ray.get([_load.remote(str(f), dl_ids_ref, dl_ref)
+                                  for f in part_files]):
             parts[p] = pd_
+            hot.update(h)
     else:
+        per_part_budget = (hot_postings_budget // max(1, len(part_files))
+                           if precompute_hot else 0)
         for f in part_files:
-            parts[int(f.stem.split("-")[1])] = PartData(pq.read_table(f))
-    return {"meta": meta, "dl_ids": ids[order], "dl": lens[order], "parts": parts}
+            pd_ = PartData(pq.read_table(f))
+            parts[int(f.stem.split("-")[1])] = pd_
+            hot.update(_precompute_hot_terms(pd_, dl_ids, dl, N, avgdl,
+                                             k1, b, per_part_budget))
+    return {"meta": meta, "dl_ids": dl_ids, "dl": dl, "parts": parts,
+            "hot": hot}
 
 
 class IndexSearcher:
@@ -215,6 +282,7 @@ class IndexSearcher:
         self._dl_ids = data["dl_ids"]
         self._dl = data["dl"]
         self._parts = data["parts"]
+        self._hot = data.get("hot", {})
         self._decode_cache: dict[str, tuple] = {}
         self._decode_cache_cap = 1024
         self._term_info_cache: dict[str, tuple[int, int]] = {}
@@ -304,6 +372,12 @@ class IndexSearcher:
         queries touch one array instead of recomputing the kernel."""
         got = self._decode_cache.get(term)
         if got is None:
+            h, df = self._term_info(term)
+            if df == 0:
+                return None
+            shared = self._hot.get(h)
+            if shared is not None:             # plasma-shared precompute
+                return (shared[0], None, shared[1])
             slices = self.postings_for(term)
             if not slices:
                 return None
@@ -311,7 +385,7 @@ class IndexSearcher:
 
             docs, tfs = decode_blocks(concat_blocks(slices))
             pos = np.searchsorted(self._dl_ids, docs)
-            idf_t = float(bm25_idf(self.N, self.term_df(term)))
+            idf_t = float(bm25_idf(self.N, df))
             contrib = bm25_term_scores(tfs, self._dl[pos], idf_t=idf_t,
                                        avgdl=self.avgdl, k1=self.k1, b=self.b)
             got = (pos, tfs, contrib)
@@ -367,6 +441,10 @@ class IndexSearcher:
         cached alongside the ascending view."""
         got = self._impact_cache.get(term)
         if got is None:
+            h, df = self._term_info(term)
+            shared = self._hot.get(h) if df else None
+            if shared is not None:
+                return (shared[2], shared[3])
             base = self._decoded(term)
             if base is None:
                 return None
