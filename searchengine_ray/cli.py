@@ -48,8 +48,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--bmw", action="store_true")
     s.add_argument("--spell", action="store_true")
-    s.add_argument("--stemming", action="store_true")
-    s.add_argument("--analyzer", choices=["code", "simple"], default="code")
+    s.add_argument("--stemming", action="store_true", default=None)
+    s.add_argument("--analyzer", choices=["code", "simple"], default=None)
 
     q = sub.add_parser("batch", help="run a queries.txt file -> results dir")
     q.add_argument("index_dir")
@@ -57,14 +57,31 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("out_dir")
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--fmt", choices=["csv", "parquet"], default="csv")
-    q.add_argument("--stemming", action="store_true")
-    q.add_argument("--analyzer", choices=["code", "simple"], default="code")
+    q.add_argument("--stemming", action="store_true", default=None)
+    q.add_argument("--analyzer", choices=["code", "simple"], default=None)
 
     args = p.parse_args(argv)
     from searchengine_ray.config import IndexConfig
 
-    cfg = IndexConfig(analyzer=getattr(args, "analyzer", "code"),
-                      stemming=getattr(args, "stemming", False),
+    analyzer = getattr(args, "analyzer", None)
+    stemming = getattr(args, "stemming", None)
+    if args.cmd in ("search", "batch"):
+        # query-time analyzer settings default from the INDEX's recorded
+        # config (index_meta.json) — querying a stemmed/simple index must
+        # analyze queries the same way the documents were analyzed;
+        # explicit CLI flags still override
+        import json as _json
+        from pathlib import Path as _Path
+
+        meta_file = _Path(args.index_dir) / "index_meta.json"
+        if meta_file.is_file():
+            mc = _json.loads(meta_file.read_text()).get("config", {})
+            if analyzer is None:
+                analyzer = mc.get("analyzer")
+            if stemming is None:
+                stemming = mc.get("stemming")
+    cfg = IndexConfig(analyzer=analyzer or "code",
+                      stemming=bool(stemming),
                       min_df=getattr(args, "min_df", 1))
     _init_ray(args.num_cpus)
     try:

@@ -260,7 +260,15 @@ def build_index(source, out_root: str | Path, config: IndexConfig | None = None,
             _clean_stale_partitions(d, fingerprint)
         from searchengine_ray.stages.exchange import run_partition_exchange, split_by_part
 
-        doc_files = sorted(str(f) for f in Path(paths.docs).glob("part-*.parquet"))
+        # phase-2 inputs come from the CURRENT generation's manifests,
+        # never a blind glob: a rerun after a config change (e.g. fewer
+        # num_doc_parts) must not tokenize leftover higher-numbered docs
+        # partitions from the previous generation
+        _clean_stale_partitions(paths.docs, fingerprint)
+        doc_parts_done = completed_partitions(paths.docs, fingerprint=fingerprint)
+        doc_files = sorted(str(Path(paths.docs) / f"part-{p:05d}.parquet")
+                           for p in doc_parts_done
+                           if (Path(paths.docs) / f"part-{p:05d}.parquet").is_file())
         merger = MergePostingsPartWriter(paths.postings, paths.dictionary,
                                          config, fingerprint,
                                          doc_meta_dir=paths.doc_meta)

@@ -58,9 +58,10 @@ def multimodal_meta(sf_dir: str):
 
 
 def multimodal_meta_sql() -> str:
-    # payload == utf-8 bytes of text, so octet_length/sha256 on text match
+    # payload == utf-8 bytes of text; strlen() is DuckDB's BYTE length
+    # (length() counts characters and would diverge on multibyte text)
     return """
-SELECT doc_id AS item_id, CAST(length(text) AS BIGINT) AS n_bytes,
+SELECT doc_id AS item_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
        sha256(text) AS sha256
 FROM documents
 """
@@ -145,6 +146,6 @@ def frame_sample(sf_dir: str, n_frames: int = 4):
 def frame_sample_sql(n_frames: int = 4) -> str:
     return f"""
 SELECT doc_id AS item_id, CAST(k AS BIGINT) AS frame,
-       CAST((k * greatest(length(text), 1)) // {n_frames} AS BIGINT) AS byte_offset
+       CAST((k * greatest(strlen(text), 1)) // {n_frames} AS BIGINT) AS byte_offset
 FROM documents, generate_series(0, {n_frames - 1}) AS t(k)
 """

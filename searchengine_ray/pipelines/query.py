@@ -504,7 +504,10 @@ class IndexSearcher:
             bound = sum(ic[c] for (_, ic), c in zip(impact, cursors) if c < len(ic))
             if S is not None and len(S) >= k:
                 kth = np.partition(scores, len(scores) - k)[len(scores) - k]
-                if kth >= bound:
+                # strict >: an unseen doc scoring EXACTLY kth could still
+                # win the (score desc, doc_id asc) tie-break, so kth==bound
+                # must keep consuming (rare float-equality edge)
+                if kth > bound:
                     break
             consumed = False
             for _ in range(budget):
@@ -556,7 +559,9 @@ class IndexSearcher:
             pivot_i = None
             for i, c in enumerate(live):
                 acc += c.global_ub
-                if acc > theta:
+                # >= not >: a doc whose UB ties theta can still score
+                # exactly theta and win the doc_id-asc tie-break
+                if acc >= theta:
                     pivot_i = i
                     break
             if pivot_i is None:
@@ -566,7 +571,7 @@ class IndexSearcher:
                 # block-max check: refine with the actual block maxima at pivot_doc
                 block_ub = sum(c.block_ub(pivot_doc) for c in live
                                if c.cur_doc <= pivot_doc and not c.exhausted)
-                if block_ub > theta:
+                if block_ub >= theta:
                     score = 0.0
                     # canonical order: ascending term
                     for c in sorted((c for c in live if c.cur_doc == pivot_doc),

@@ -90,6 +90,12 @@ class NormalizePartWriter:
         if n_dropped:
             group = group.filter(pa.array(keep))
         n = group.num_rows
+        if n >= (1 << self.config.doc_id_part_bits):
+            raise ValueError(
+                f"doc partition {part} holds {n} rows >= 2^"
+                f"{self.config.doc_id_part_bits}; ids would collide with the "
+                f"next partition's range — raise doc_id_part_bits or "
+                f"num_doc_parts")
         base = part << self.config.doc_id_part_bits
         doc_ids = pa.array(base + np.arange(n, dtype=np.int64), pa.int64())
         sha = sha256_column(group.column("content").to_pylist())
