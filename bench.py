@@ -61,9 +61,13 @@ def run_bench() -> dict:
         pq.read_table(f)
 
     # IDENTICAL config at every parallelism level — the scaling
-    # comparison must run the same logical job, only with more workers
-    cfg = IndexConfig(num_doc_parts=16, num_term_parts=32,
+    # comparison must run the same logical job, only with more workers.
+    # 96 term parts: fine enough that the reduce wave bin-packs well at
+    # 32 cpus (4 waves, ~88% occupancy) instead of quantizing at 1.5
+    # ragged waves with 32 parts.
+    cfg = IndexConfig(num_doc_parts=16, num_term_parts=96,
                       tokenize_batch_size=2048)
+    os.environ.setdefault("GRAFT_BUILD_TIMINGS", "1")
     out_root = f"/tmp/graft_bench_index/{num_cpus}"
     import shutil
 
@@ -92,6 +96,8 @@ def run_bench() -> dict:
     svc = QueryService(paths, cfg, num_actors=n_actors, k=10, method="impact")
     svc.warmup(corpus_queries(n=40))
     extra["query_pool_spinup_sec"] = round(time.time() - t0, 3)
+    for ph, sec in svc.spinup_breakdown.items():
+        extra[f"spinup_{ph}_sec"] = sec
     qs = corpus_queries(n=40) * 300
     qs = [(i + 1, t) for i, (_, t) in enumerate(qs)]
     best = None

@@ -202,7 +202,14 @@ def build_index(source, out_root: str | Path, config: IndexConfig | None = None,
         def _map_norm(path):
             import pyarrow.parquet as _pq
 
+            from searchengine_ray.stages.normalize import sha256_column
+
             t = add_part_column(_pq.read_table(path), n_parts)
+            # sha256 on the MAP side: one task per input file scales with
+            # the corpus; computing it in the num_doc_parts reducers is a
+            # fixed-width bottleneck (16 tasks regardless of cluster size)
+            t = t.append_column("sha256",
+                                sha256_column(t.column("content").to_pylist()))
             return split_by_part(t, n_parts)
 
         def _reduce_norm(part, tables):
@@ -213,8 +220,11 @@ def build_index(source, out_root: str | Path, config: IndexConfig | None = None,
                     paths.docs, kind="docs", partition=part, fingerprint=fingerprint)
             return writer(pa.concat_tables(tables))
 
+        _x1: dict = {}
         run_partition_exchange(files, n_parts, _map_norm, _reduce_norm,
-                               skip_parts=done)
+                               skip_parts=done, timings=_x1 if _trace else None)
+        for k, v in _x1.items():
+            _phase_seconds[f"phase1_{k.removesuffix('_sec')}"] = v
     elif len(done) < n_parts:
       with _BlockSizeForRun(input_bytes):
         if id_column is not None:
@@ -281,7 +291,7 @@ def build_index(source, out_root: str | Path, config: IndexConfig | None = None,
         jobs = []
         for f in doc_files:
             n_rg = _pqm.ParquetFile(f).metadata.num_row_groups
-            step = 2
+            step = 1     # one row group per task: the finest-grained wave
             for lo in range(0, n_rg, step):
                 jobs.append((f, lo, min(lo + step, n_rg)))
 
@@ -309,8 +319,12 @@ def build_index(source, out_root: str | Path, config: IndexConfig | None = None,
                     target, kind=kind, partition=part, fingerprint=fingerprint)
             return merger(pa.concat_tables(tables))
 
+        _x2: dict = {}
         run_partition_exchange(jobs, total_parts, _map_postings,
-                               _reduce_postings, skip_parts=done)
+                               _reduce_postings, skip_parts=done,
+                               timings=_x2 if _trace else None)
+        for k, v in _x2.items():
+            _phase_seconds[f"phase2_{k.removesuffix('_sec')}"] = v
     _mark("phase2_postings")
 
     # ---- phase 3: global stats -> index_meta.json (from manifests —

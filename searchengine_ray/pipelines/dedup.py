@@ -135,76 +135,113 @@ class MinHashStage:
                          "band_hash": int64_col(band_hashes)})
 
 
+_BUCKET_CAP = 256     # all-pairs only below this; star pairs above
+
+
 def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(set(group["doc_id"].tolist()))
-    if len(ids) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": []})
-    pairs = list(combinations(ids, 2))
-    return pd.DataFrame({"doc_a": [a for a, _ in pairs],
-                         "doc_b": [b for _, b in pairs]})
+    """Candidate pairs within one LSH bucket, skew-capped.
+
+    A skewed bucket (boilerplate docs: thousands of members) must not
+    emit O(m^2) rows out of one task. Below ``_BUCKET_CAP`` members we
+    emit all pairs; above it we emit STAR pairs (min_id, other) — m-1
+    rows that still connect every member to a representative, which is
+    all near-dup clustering needs (union-find over star edges yields the
+    same connected components as over all edges).
+    """
+    ids = np.unique(group["doc_id"].to_numpy())
+    m = len(ids)
+    if m < 2:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
+    if m <= _BUCKET_CAP:
+        pairs = list(combinations(ids.tolist(), 2))
+        return pd.DataFrame({"doc_a": [a for a, _ in pairs],
+                             "doc_b": [b for _, b in pairs]})
+    return pd.DataFrame({"doc_a": np.full(m - 1, ids[0], dtype=np.int64),
+                         "doc_b": ids[1:]})
 
 
 _bucket_pairs.__name__ = "lsh_bucket_pairs"
 
 
-class JaccardVerify:
-    """Actor stage: exact token-shingle Jaccard for candidate pairs.
-    Loads the text column once per actor (broadcast via ray.put) —
-    the small-side lookup pattern, no shuffle join."""
+def _distinct_pairs(pairs):
+    """Distributed pair dedup: hash-partitioned groupby, never a driver
+    ``to_pandas`` of the raw (band-duplicated) pair stream."""
+    from ray.data.aggregate import Count
 
-    def __init__(self, texts_ref):
-        import ray
+    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n"))
 
-        texts = ray.get(texts_ref)
-        self.shingles = {did: set(_shingles(t).tolist())
-                         for did, t in texts.items()}
+    def drop_n(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_a", "doc_b"])
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        a = batch.column("doc_a").to_pylist()
-        b = batch.column("doc_b").to_pylist()
-        jac = []
-        for x, y in zip(a, b):
-            sa, sb = self.shingles.get(x, set()), self.shingles.get(y, set())
-            inter = len(sa & sb)
-            union = len(sa | sb) or 1
-            jac.append(inter / union)
-        return pa.table({"doc_a": int64_col(a), "doc_b": int64_col(b),
-                         "jaccard_bp": int64_col(bp(np.array(jac)))})
+    return uniq.map_batches(drop_n, batch_format="pyarrow")
+
+
+class JaccardVerifyGroup:
+    """``groupby(vpart).map_groups`` body: exact token-shingle Jaccard
+    for one hash-partition of candidate pairs.
+
+    Reads ONLY the texts this group's pairs reference (parquet filter on
+    doc_id) — the distributed replacement for broadcasting every document
+    text to every verifier. At 10^12 docs the same group key routes the
+    read to the docs partition holding the ids.
+    """
+
+    def __init__(self, docs_path: str, threshold_bp: int):
+        self.__name__ = "JaccardVerifyGroup"
+        self.docs_path = docs_path
+        self.threshold_bp = threshold_bp
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        a = group.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = group.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        needed = np.unique(np.concatenate([a, b]))
+        tbl = pq.read_table(self.docs_path, columns=["doc_id", "text"],
+                            filters=pc.field("doc_id").isin(pa.array(needed)))
+        shingles = {did: set(_shingles(t).tolist())
+                    for did, t in zip(tbl.column("doc_id").to_pylist(),
+                                      tbl.column("text").to_pylist())}
+        jac = np.empty(len(a), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(a.tolist(), b.tolist())):
+            sa, sb = shingles.get(x, set()), shingles.get(y, set())
+            jac[i] = len(sa & sb) / (len(sa | sb) or 1)
+        jbp = bp(jac)
+        keep = jbp >= self.threshold_bp
+        return pa.table({"doc_a": int64_col(a[keep]), "doc_b": int64_col(b[keep]),
+                         "jaccard_bp": int64_col(jbp[keep])})
+
+
+_N_VERIFY_PARTS = 8
 
 
 def minhash_lsh_dedup(sf_dir: str, threshold_bp: int = 5000):
-    """Near-dup candidate pairs with exact-Jaccard verification.
+    """Near-dup pairs with exact-Jaccard verification — fully distributed.
 
-    Scale shape: the LSH shuffle moves only (band, band_hash, doc_id)
-    rows; candidate verification re-reads only candidate texts. At test
-    scale the text map is broadcast whole; at 10^12 docs the verify
-    stage would read texts by id from the docs partitions instead.
+    Shape: the LSH shuffle moves only (band, band_hash, doc_id) rows;
+    pair dedup is a hash-partitioned groupby over pair keys; verification
+    routes each pair to a hash partition whose task reads ONLY the texts
+    its pairs reference. Nothing materializes texts or unfiltered pair
+    sets on the driver.
     """
-    import ray
+    from searchengine_ray.pipelines.common import table_path
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
     bands = ds.map_batches(MinHashStage, batch_format="pyarrow", batch_size=512,
                            concurrency=(1, 4))
     pairs = bands.groupby(["band", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pandas")
-    # candidate pairs are few -> dedup on the driver, verify distributed
-    pdf = pairs.to_pandas().drop_duplicates()
-    if len(pdf) == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard_bp": pa.array([], pa.int64())})
-    texts = {r["doc_id"]: r["text"] for r in
-             read(sf_dir, "documents", ["doc_id", "text"]).take_all()}
-    ref = ray.put(texts)
-    cand = ray.data.from_pandas(pdf.astype({"doc_a": "int64", "doc_b": "int64"}))
-    import ray.data
+    uniq = _distinct_pairs(pairs)
 
-    verified = cand.map_batches(JaccardVerify, fn_constructor_args=(ref,),
-                                batch_format="pyarrow", batch_size=4096,
-                                concurrency=(1, 2))
-    out = verified.to_pandas()
-    out = out[out.jaccard_bp >= threshold_bp].sort_values(["doc_a", "doc_b"])
-    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+    def add_vpart(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        return batch.append_column("vpart", int64_col(a % _N_VERIFY_PARTS))
+
+    routed = uniq.map_batches(add_vpart, batch_format="pyarrow")
+    verify = JaccardVerifyGroup(table_path(sf_dir, "documents"), threshold_bp)
+    return routed.groupby("vpart").map_groups(verify, batch_format="pyarrow")
 
 
 # ---------------- SimHash ----------------
@@ -260,9 +297,8 @@ def simhash_near_dups(sf_dir: str):
 
     pairs = sig.map_batches(explode, batch_format="pyarrow").groupby(
         ["band", "band_hash"]).map_groups(_bucket_pairs, batch_format="pandas")
-    pdf = pairs.to_pandas().drop_duplicates().sort_values(["doc_a", "doc_b"])
-    return pa.Table.from_pandas(pdf.reset_index(drop=True).astype("int64"),
-                                preserve_index=False)
+    # distributed dedup of band-duplicated pairs; stays a Dataset
+    return _distinct_pairs(pairs)
 
 
 # ---------------- n-gram Jaccard (all-pairs over shared buckets) ------
@@ -310,17 +346,102 @@ def embedding_near_dups(sf_dir: str, threshold_bp: int = 4000):
     """(vec_a, vec_b, cosine_bp) for cosine >= threshold — brute-force
     blockwise matmul (the N^2 baseline; the LSH-bucketed scale path is
     ``ann.ann_lsh``-style bucketing)."""
+    import pyarrow.parquet as pq
     import ray
 
-    tbl = read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
-    mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    from searchengine_ray.pipelines.common import table_path
+
+    # the broadcast side of the N^2 baseline, loaded once (NOT via a
+    # Dataset materialization); the scale path is embedding_near_dups_lsh
+    tbl = pq.read_table(table_path(sf_dir, "embeddings"),
+                        columns=["vec_id", "embedding"])
+    mat = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     mat_ref = ray.put(mat)
-    ids_ref = ray.put(tbl["vec_id"].to_numpy().astype(np.int64))
+    ids_ref = ray.put(tbl.column("vec_id").to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ds.map_batches(EmbeddingNearDupStage,
                           fn_constructor_args=(mat_ref, ids_ref, threshold_bp),
                           batch_format="pyarrow", batch_size=512, concurrency=(1, 2))
+
+
+class _BucketPairsCosine:
+    """``groupby(bucket).map_groups``: exact cosine pairs within one LSH
+    bucket — one chunked matmul per group, emits only rows >= threshold.
+    No broadcast matrix: each task sees only its bucket's vectors."""
+
+    def __init__(self, threshold_bp: int):
+        self.__name__ = "bucket_pairs_cosine"
+        self.threshold_bp = threshold_bp
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = np.stack(group.column("embedding").to_pylist()).astype(np.float64)
+        emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(ids, kind="stable")
+        ids, emb = ids[order], emb[order]
+        out_a, out_b, out_s = [], [], []
+        chunk = 1024                       # memory cap: chunk x m sims at once
+        for lo in range(0, len(ids), chunk):
+            hi = min(lo + chunk, len(ids))
+            sims_bp = bp(emb[lo:hi] @ emb.T)            # (c, m)
+            keep = sims_bp >= self.threshold_bp
+            rows, cols = np.nonzero(keep)
+            a, b = ids[rows + lo], ids[cols]
+            mask = a < b                                 # each pair once
+            out_a.append(a[mask]); out_b.append(b[mask])
+            out_s.append(sims_bp[rows[mask], cols[mask]])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        s = np.concatenate(out_s) if out_s else np.empty(0, np.int64)
+        return pa.table({"vec_a": int64_col(a), "vec_b": int64_col(b),
+                         "cosine_bp": int64_col(s)})
+
+
+def embedding_near_dups_lsh(sf_dir: str, threshold_bp: int = 4000,
+                            n_bits: int = 4, n_tables: int = 4, seed: int = 7):
+    """Bucketed near-dup path: random-hyperplane LSH buckets the vectors
+    (``n_tables`` independent bucketings so near pairs split by one
+    hyperplane still co-bucket in another), exact cosine runs only
+    WITHIN buckets, and pair rows from different tables are deduped by a
+    hash-partitioned groupby keeping the max observed score. The shuffle
+    carries (bucket, vec) rows and candidate pairs — never an N x d
+    broadcast matrix, never a driver materialization."""
+    from ray.data.aggregate import Max
+
+    from searchengine_ray.pipelines.ann import LshBucketStage, _normalize
+
+    import ray
+
+    rng = np.random.default_rng(seed)
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    d = len(ds.take(1)[0]["embedding"])
+    tables = []
+    for t in range(n_tables):
+        planes_ref = ray.put(rng.standard_normal((n_bits, d)))
+        bucketed = ds.map_batches(LshBucketStage, fn_constructor_args=(planes_ref,),
+                                  batch_format="pyarrow", batch_size=1024,
+                                  concurrency=(1, 2))
+
+        def shift(batch: pa.Table, _t=t) -> pa.Table:
+            b = batch.column("bucket").to_numpy(zero_copy_only=False)
+            return batch.set_column(batch.schema.get_field_index("bucket"),
+                                    "bucket", int64_col(b + (_t << n_bits)))
+
+        tables.append(bucketed.map_batches(shift, batch_format="pyarrow"))
+    all_bucketed = tables[0].union(*tables[1:])
+    pairs = all_bucketed.groupby("bucket").map_groups(
+        _BucketPairsCosine(threshold_bp), batch_format="pyarrow")
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
+        Max("cosine_bp", alias_name="cosine_bp"))
+
+
+def embedding_near_dups_lsh_sql(threshold_bp: int = 4000) -> str:
+    """Recall oracle: every true pair the buckets catch must carry the
+    exact cosine; the driver check is rows-only (approximate recall), but
+    tests assert bucketed results are a subset of this exact set."""
+    return embedding_near_dups_sql(threshold_bp)
 
 
 def embedding_near_dups_sql(threshold_bp: int = 4000) -> str:

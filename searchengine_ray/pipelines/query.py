@@ -744,11 +744,22 @@ class QueryService:
     """
 
     def __init__(self, index_root: str | IndexPaths, config: IndexConfig | None = None,
-                 num_actors: int = 4, k: int = 10, method: str = "vectorized"):
+                 num_actors: int = 4, k: int = 10, method: str = "vectorized",
+                 hot_postings_budget: int = 20_000_000):
+        import time
+
         import ray
 
         root = index_root.root if isinstance(index_root, IndexPaths) else str(index_root)
-        data_ref = ray.put(load_index_data(root))
+        self.spinup_breakdown: dict[str, float] = {}
+        t0 = time.time()
+        data = load_index_data(root, hot_postings_budget=hot_postings_budget)
+        self.spinup_breakdown["load"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        data_ref = ray.put(data)
+        del data
+        self.spinup_breakdown["put"] = round(time.time() - t0, 3)
+        t0 = time.time()
         self.k = k
 
         @ray.remote
@@ -772,11 +783,17 @@ class QueryService:
 
         self.actors = [_QueryActor.remote(root, config, [data_ref], method)
                        for _ in range(num_actors)]
+        ray.get([a.search_batch.remote([], self.k) for a in self.actors])
+        self.spinup_breakdown["actors"] = round(time.time() - t0, 3)
 
     def warmup(self, queries: list[tuple[int, str]]):
+        import time
+
         import ray
 
+        t0 = time.time()
         ray.get([a.search_batch.remote(queries, self.k) for a in self.actors])
+        self.spinup_breakdown["warmup"] = round(time.time() - t0, 3)
 
     def search_batch(self, queries: list[tuple[int, str]], k: int | None = None,
                      chunk: int = 32):

@@ -34,14 +34,22 @@ import pyarrow as pa
 
 def run_partition_exchange(files: list[str], n_parts: int, map_fn, reduce_fn,
                            *, skip_parts: set[int] | None = None,
-                           max_in_flight: int | None = None) -> list:
+                           max_in_flight: int | None = None,
+                           timings: dict | None = None) -> list:
     """Execute the exchange; returns the (small) reduce results.
 
     ``map_fn(file) -> list[pa.Table]`` (length ``n_parts``);
     ``reduce_fn(part, tables) -> result`` — both must be serializable.
     ``skip_parts``: resume support — those reducers never run and map
     slices for them are dropped on the floor.
+    ``timings``: pass a dict to record ``map_wall_sec``/``reduce_wall_sec``.
+    Reducers can only start once every map finished (they take all map
+    slices as args), so the explicit barrier this inserts changes nothing
+    on a single node; it exists to decompose the exchange wall-clock into
+    its map (tokenize/normalize) and reduce (merge/write) components.
     """
+    import time
+
     import ray
 
     skip = skip_parts or set()
@@ -65,6 +73,7 @@ def run_partition_exchange(files: list[str], n_parts: int, map_fn, reduce_fn,
     if max_in_flight is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         max_in_flight = max(cpus * 4, 16)
+    t0 = time.time()
     slice_refs: list[list] = [[] for _ in range(n_parts)]
     pending: list = []
     for f in files:
@@ -77,9 +86,17 @@ def run_partition_exchange(files: list[str], n_parts: int, map_fn, reduce_fn,
         while len(pending) > max_in_flight * n_parts:
             ready, pending = ray.wait(pending, num_returns=min(n_parts,
                                                                len(pending)))
+    if timings is not None:
+        while pending:
+            _, pending = ray.wait(pending, num_returns=len(pending))
+        timings["map_wall_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
     out_refs = [_reduce.remote(p, *slice_refs[p])
                 for p in range(n_parts) if p not in skip]
-    return ray.get(out_refs)
+    out = ray.get(out_refs)
+    if timings is not None:
+        timings["reduce_wall_sec"] = round(time.time() - t0, 3)
+    return out
 
 
 def split_by_part(table: pa.Table, n_parts: int, part_col: str = "part"

@@ -78,14 +78,16 @@ class NormalizePartWriter:
                                                   ("path", "ascending"),
                                                   ("commit", "ascending")])
         group = group.take(order)
-        # first-wins dedup on the key triple
-        keys = list(zip(group.column("repo").to_pylist(),
-                        group.column("path").to_pylist(),
-                        group.column("commit").to_pylist()))
-        keep = np.ones(len(keys), dtype=bool)
-        for i in range(1, len(keys)):
-            if keys[i] == keys[i - 1]:
-                keep[i] = False
+        # first-wins dedup on the key triple (vectorized adjacent compare
+        # over the sorted rows — no Python tuples)
+        keep = np.ones(group.num_rows, dtype=bool)
+        if group.num_rows > 1:
+            same = None
+            for col in ("repo", "path", "commit"):
+                c = group.column(col).combine_chunks()
+                eq = pc.equal(c.slice(1), c.slice(0, len(c) - 1))
+                same = eq if same is None else pc.and_(same, eq)
+            keep[1:] = ~same.to_numpy(zero_copy_only=False)
         n_dropped = int((~keep).sum())
         if n_dropped:
             group = group.filter(pa.array(keep))
@@ -98,7 +100,10 @@ class NormalizePartWriter:
                 f"num_doc_parts")
         base = part << self.config.doc_id_part_bits
         doc_ids = pa.array(base + np.arange(n, dtype=np.int64), pa.int64())
-        sha = sha256_column(group.column("content").to_pylist())
+        # sha256 normally arrives precomputed from the map side (scales
+        # with input files); compute here only for non-exchange callers
+        sha = (group.column("sha256") if "sha256" in group.column_names
+               else sha256_column(group.column("content").to_pylist()))
         out = pa.table({
             "doc_id": doc_ids,
             "repo": group.column("repo"),
