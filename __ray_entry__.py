@@ -10,9 +10,10 @@ callables use.
 - ``queries()``     — one callable per implemented operator/pipeline
                       (SURVEY.md §2 + the training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible
-                      entry; non-SQL ops (LSH/minhash/simhash/langid/
-                      fingerprints/decode stubs/scaling internals) are
-                      deliberately omitted -> rows-only check.
+                      entry (incl. positional phrase match, the rolling-
+                      hash fingerprint and the trigram lang-id); the
+                      blake2b-based LSH/minhash/simhash families and the
+                      decode stub are non-SQL -> rows-only check.
 """
 
 from __future__ import annotations
@@ -36,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": docsearch.bm25_topk,
         "bm25_topk_wand": docsearch.bm25_topk_wand,
         "index_dictionary": docsearch.index_dictionary,
+        "phrase_search": docsearch.phrase_search,
         # --- tokenizer / aggregation surface (SURVEY §2.2/§2.5) ---
         "term_df": ts.term_df,
         "doc_token_stats": ts.doc_token_stats,
@@ -46,12 +48,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
         "simhash_near_dups": dedup.simhash_near_dups,
         "embedding_near_dups": dedup.embedding_near_dups,
+        "embedding_near_dups_lsh": dedup.embedding_near_dups_lsh,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
         # --- text analysis (non-SQL) ---
         "lang_id": ts.lang_id,
         "doc_fingerprint": ts.doc_fingerprint,
+        "numeric_literals": ts.numeric_literals,
         # --- multimodal plumbing ---
         "multimodal_meta": multimodal.multimodal_meta,
         "image_decode_features": multimodal.image_decode_features,
@@ -71,12 +75,16 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": docsearch.bm25_topk_sql(),
         "bm25_topk_wand": docsearch.bm25_topk_sql(),
         "index_dictionary": docsearch.index_dictionary_sql(),
+        "phrase_search": docsearch.phrase_search_sql(),
         "term_df": ts.term_df_sql(),
         "doc_token_stats": ts.doc_token_stats_sql(),
         "token_count_by_lang": ts.token_count_by_lang_sql(),
         "text_quality": ts.text_quality_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),
         "embedding_near_dups": dedup.embedding_near_dups_sql(),
+        "lang_id": ts.lang_id_sql(),
+        "doc_fingerprint": ts.doc_fingerprint_sql(),
+        "numeric_literals": ts.numeric_literals_sql(),
         "ann_topk": ann.ann_topk_sql(),
         "multimodal_meta": multimodal.multimodal_meta_sql(),
         "frame_sample": multimodal.frame_sample_sql(),

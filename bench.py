@@ -65,7 +65,7 @@ def run_bench() -> dict:
     # 96 term parts: fine enough that the reduce wave bin-packs well at
     # 32 cpus (4 waves, ~88% occupancy) instead of quantizing at 1.5
     # ragged waves with 32 parts.
-    cfg = IndexConfig(num_doc_parts=16, num_term_parts=96,
+    cfg = IndexConfig(num_doc_parts=32, num_term_parts=96,
                       tokenize_batch_size=2048)
     os.environ.setdefault("GRAFT_BUILD_TIMINGS", "1")
     out_root = f"/tmp/graft_bench_index/{num_cpus}"

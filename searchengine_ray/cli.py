@@ -40,6 +40,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--stemming", action="store_true")
     b.add_argument("--min-df", type=int, default=1)
     b.add_argument("--analyzer", choices=["code", "simple"], default="code")
+    b.add_argument("--positions", action="store_true",
+                   help="store per-posting token positions (phrase queries)")
     b.add_argument("--no-resume", action="store_true")
 
     s = sub.add_parser("search", help="run one query")
@@ -50,6 +52,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--spell", action="store_true")
     s.add_argument("--stemming", action="store_true", default=None)
     s.add_argument("--analyzer", choices=["code", "simple"], default=None)
+
+    ph = sub.add_parser("phrase", help="exact phrase query (needs an index "
+                                       "built with --positions)")
+    ph.add_argument("index_dir")
+    ph.add_argument("query")
+    ph.add_argument("--stemming", action="store_true", default=None)
+    ph.add_argument("--analyzer", choices=["code", "simple"], default=None)
 
     q = sub.add_parser("batch", help="run a queries.txt file -> results dir")
     q.add_argument("index_dir")
@@ -65,7 +74,7 @@ def main(argv: list[str] | None = None) -> int:
 
     analyzer = getattr(args, "analyzer", None)
     stemming = getattr(args, "stemming", None)
-    if args.cmd in ("search", "batch"):
+    if args.cmd in ("search", "batch", "phrase"):
         # query-time analyzer settings default from the INDEX's recorded
         # config (index_meta.json) — querying a stemmed/simple index must
         # analyze queries the same way the documents were analyzed;
@@ -82,7 +91,8 @@ def main(argv: list[str] | None = None) -> int:
                 stemming = mc.get("stemming")
     cfg = IndexConfig(analyzer=analyzer or "code",
                       stemming=bool(stemming),
-                      min_df=getattr(args, "min_df", 1))
+                      min_df=getattr(args, "min_df", 1),
+                      store_positions=bool(getattr(args, "positions", False)))
     _init_ray(args.num_cpus)
     try:
         if args.cmd == "build":
@@ -100,6 +110,12 @@ def main(argv: list[str] | None = None) -> int:
                               method="bmw" if args.bmw else "vectorized",
                               spell_correct=args.spell), 1):
                 print(f"{rank}\t{doc}\t{score:.6f}")
+        elif args.cmd == "phrase":
+            from searchengine_ray.pipelines.query import IndexSearcher
+
+            s_ = IndexSearcher(args.index_dir, cfg)
+            for doc, n in s_.phrase_search(args.query):
+                print(f"{doc}\t{n}")
         elif args.cmd == "batch":
             from searchengine_ray.pipelines.query import search_queries
             from searchengine_ray.sources.queries_file import (read_queries_file,

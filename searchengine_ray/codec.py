@@ -99,6 +99,10 @@ class PostingBlocks:
     max_tfs: np.ndarray      # int32  — max tf per block (block-max for WAND)
     doc_offsets: np.ndarray  # int64  — start byte of each block in doc_bytes (+ end sentinel)
     tf_offsets: np.ndarray   # int64  — start byte of each block in tf_bytes (+ end sentinel)
+    # optional positions stream (store_positions indexes): per posting,
+    # its tf positions, delta+VByte, first position absolute per posting
+    pos_bytes: bytes | None = None
+    pos_offsets: np.ndarray | None = None  # int64 — per-block byte starts (+ sentinel)
 
     @property
     def n_postings(self) -> int:
@@ -219,17 +223,45 @@ def concat_blocks(parts: list[PostingBlocks]) -> PostingBlocks:
                                    for c in chunks])
         return b"".join(chunks)
 
+    pos_bytes = None
+    pos_offsets = None
+    if all(p.pos_bytes is not None for p in parts):
+        pos_sizes = np.array([len(p.pos_bytes) for p in parts], dtype=np.int64)
+        pos_bases = np.concatenate([[0], np.cumsum(pos_sizes)[:-1]])
+        pos_offsets = np.concatenate(
+            [p.pos_offsets[:-1] + pos_bases[i] for i, p in enumerate(parts)]
+            + [np.array([pos_sizes.sum()], dtype=np.int64)])
+        pos_bytes = _cat([p.pos_bytes for p in parts])
     return PostingBlocks(
         _cat([p.doc_bytes for p in parts]),
         _cat([p.tf_bytes for p in parts]),
         np.concatenate([p.counts for p in parts]),
         np.concatenate([p.last_docs for p in parts]),
         np.concatenate([p.max_tfs for p in parts]),
-        doc_offsets, tf_offsets)
+        doc_offsets, tf_offsets, pos_bytes, pos_offsets)
+
+
+def decode_positions(pb: PostingBlocks) -> tuple[np.ndarray, np.ndarray]:
+    """Decode the positions stream: (flat positions, per-posting offsets).
+
+    Posting ``i`` (in ascending doc order across all blocks) owns
+    ``positions[offs[i]:offs[i+1]]``, ascending. Requires the index to
+    have been built with ``store_positions=True``.
+    """
+    if pb.pos_bytes is None:
+        raise ValueError("index was built without store_positions")
+    if pb.n_postings == 0:
+        return np.empty(0, np.int64), np.zeros(1, np.int64)
+    tfs = vbyte_decode(pb.tf_bytes).astype(np.int64)
+    offs = np.zeros(len(tfs) + 1, dtype=np.int64)
+    np.cumsum(tfs, out=offs[1:])
+    pdeltas = vbyte_decode(pb.pos_bytes).astype(np.int64)
+    return _segmented_cumsum(pdeltas, offs[:-1]), offs
 
 
 def encode_segments(doc_ids: np.ndarray, tfs: np.ndarray, seg_starts: np.ndarray,
-                    block_size: int = 128) -> dict:
+                    block_size: int = 128, positions: np.ndarray | None = None
+                    ) -> dict:
     """Compress MANY posting segments in one vectorized pass.
 
     ``doc_ids``/``tfs`` hold the postings of a whole tokenizer batch,
@@ -259,7 +291,8 @@ def encode_segments(doc_ids: np.ndarray, tfs: np.ndarray, seg_starts: np.ndarray
                 "counts": z.astype(np.int32), "last_docs": z.copy(),
                 "max_tfs": z.astype(np.int32),
                 "doc_stream": np.empty(0, np.uint8), "tf_stream": np.empty(0, np.uint8),
-                "doc_boffsets": np.zeros(1, np.int64), "tf_boffsets": np.zeros(1, np.int64)}
+                "doc_boffsets": np.zeros(1, np.int64), "tf_boffsets": np.zeros(1, np.int64),
+                "pos_stream": np.empty(0, np.uint8), "pos_boffsets": np.zeros(1, np.int64)}
     seg_ends = np.empty(n_seg, dtype=np.int64)
     seg_ends[:-1] = seg_starts[1:]
     seg_ends[-1] = n
@@ -288,9 +321,30 @@ def encode_segments(doc_ids: np.ndarray, tfs: np.ndarray, seg_starts: np.ndarray
     tf_boffsets = np.zeros(total_blocks + 1, dtype=np.int64)
     np.cumsum(doc_bsizes, out=doc_boffsets[1:])
     np.cumsum(tf_bsizes, out=tf_boffsets[1:])
-    return {"seg_block_offsets": seg_block_offsets,
-            "counts": counts,
-            "last_docs": doc_ids[block_ends - 1],
-            "max_tfs": np.maximum.reduceat(tfs, block_starts).astype(np.int32),
-            "doc_stream": doc_stream, "tf_stream": tf_stream,
-            "doc_boffsets": doc_boffsets, "tf_boffsets": tf_boffsets}
+    out = {"seg_block_offsets": seg_block_offsets,
+           "counts": counts,
+           "last_docs": doc_ids[block_ends - 1],
+           "max_tfs": np.maximum.reduceat(tfs, block_starts).astype(np.int32),
+           "doc_stream": doc_stream, "tf_stream": tf_stream,
+           "doc_boffsets": doc_boffsets, "tf_boffsets": tf_boffsets}
+    if positions is not None:
+        # per-posting delta encoding: first position absolute, so any
+        # posting (and hence any block) decodes independently
+        positions = np.ascontiguousarray(positions, dtype=np.int64)
+        posting_pos_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tfs, out=posting_pos_offs[1:])
+        pdeltas = np.empty(len(positions), dtype=np.uint64)
+        if len(positions):
+            pdeltas[0] = positions[0]
+            pdeltas[1:] = (positions[1:] - positions[:-1]).astype(np.uint64)
+            heads = posting_pos_offs[:-1]
+            pdeltas[heads] = positions[heads].astype(np.uint64)
+        pos_stream, pos_nbytes = vbyte_encode_with_sizes(pdeltas)
+        pos_block_starts = posting_pos_offs[block_starts]
+        pos_bsizes = np.add.reduceat(pos_nbytes, pos_block_starts) \
+            if len(pos_nbytes) else np.zeros(total_blocks, np.int64)
+        pos_boffsets = np.zeros(total_blocks + 1, dtype=np.int64)
+        np.cumsum(pos_bsizes, out=pos_boffsets[1:])
+        out["pos_stream"] = pos_stream
+        out["pos_boffsets"] = pos_boffsets
+    return out

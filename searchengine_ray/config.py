@@ -40,10 +40,16 @@ class IndexConfig:
     stopwords: frozenset[str] | None = None  # None -> analyzer default set
     use_stopwords: bool = True
     stemming: bool = False          # porter stemming of alpha tokens (off by default)
+    normalize_numbers: bool = False  # opt-in numeric canonicalization (ref P6):
+                                     # strip _ separators / trailing frac zeros /
+                                     # leading zeros; see tokenizer.canonicalize_number
     min_token_len: int = 1
     max_token_len: int = 64
 
     # --- index shape ---
+    store_positions: bool = False   # per-posting token positions (phrase queries);
+                                    # reference stores them in location_dict
+                                    # (parser_module.py:222-241, indexer.py:108)
     min_df: int = 1                 # singleton prune: reference indexer.py:604-615 (min_df=2 there)
     block_size: int = 128
     doc_bucket_size: int = 1 << 22  # 4M docs per posting bucket (skew cap)

@@ -67,6 +67,7 @@ def _config_fingerprint(config: IndexConfig, source_tag: str) -> str:
         "analyzer": config.analyzer, "lowercase": config.lowercase,
         "split_identifiers": config.split_identifiers,
         "keep_compound": config.keep_compound, "stemming": config.stemming,
+        "normalize_numbers": config.normalize_numbers,
         "use_stopwords": config.use_stopwords,
         "stopwords": sorted(config.stopword_set()),
         "min_token_len": config.min_token_len, "max_token_len": config.max_token_len,
@@ -75,8 +76,9 @@ def _config_fingerprint(config: IndexConfig, source_tag: str) -> str:
         "num_term_parts": config.num_term_parts,
         "num_doc_parts": config.num_doc_parts,
         "doc_id_part_bits": config.doc_id_part_bits,
+        "store_positions": config.store_positions,
         "source": source_tag,
-        "layout_version": 3,   # v3: +term_hash column; doc_meta piggybacks on postings
+        "layout_version": 4,   # v4: +pos_sizes/pos_bytes (positional postings)
     }, sort_keys=True)
     return hashlib.blake2b(payload.encode(), digest_size=16).hexdigest()
 

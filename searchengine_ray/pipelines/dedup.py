@@ -399,6 +399,31 @@ class _BucketPairsCosine:
                          "cosine_bp": int64_col(s)})
 
 
+class _MultiTableLshStage:
+    """ONE pass over the vectors emitting (bucket, vec_id, embedding)
+    rows for every LSH table at once (table t's buckets live in the
+    id range ``t << n_bits``) — a single actor pool instead of one
+    unioned pool per table, which would reserve a CPU each and can
+    deadlock a small cluster."""
+
+    def __init__(self, planes_ref, n_bits: int):
+        import ray
+
+        self.planes = ray.get(planes_ref)      # (n_tables, n_bits, d)
+        self.n_bits = n_bits
+        self.weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        chunks = []
+        for t, planes in enumerate(self.planes):
+            bits = (emb @ planes.T) > 0
+            bucket = bits.astype(np.int64) @ self.weights + (t << self.n_bits)
+            chunks.append(batch.append_column("bucket", int64_col(bucket)))
+        return pa.concat_tables(chunks)
+
+
 def embedding_near_dups_lsh(sf_dir: str, threshold_bp: int = 4000,
                             n_bits: int = 4, n_tables: int = 4, seed: int = 7):
     """Bucketed near-dup path: random-hyperplane LSH buckets the vectors
@@ -408,30 +433,18 @@ def embedding_near_dups_lsh(sf_dir: str, threshold_bp: int = 4000,
     hash-partitioned groupby keeping the max observed score. The shuffle
     carries (bucket, vec) rows and candidate pairs — never an N x d
     broadcast matrix, never a driver materialization."""
-    from ray.data.aggregate import Max
-
-    from searchengine_ray.pipelines.ann import LshBucketStage, _normalize
-
     import ray
+    from ray.data.aggregate import Max
 
     rng = np.random.default_rng(seed)
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
     d = len(ds.take(1)[0]["embedding"])
-    tables = []
-    for t in range(n_tables):
-        planes_ref = ray.put(rng.standard_normal((n_bits, d)))
-        bucketed = ds.map_batches(LshBucketStage, fn_constructor_args=(planes_ref,),
-                                  batch_format="pyarrow", batch_size=1024,
-                                  concurrency=(1, 2))
-
-        def shift(batch: pa.Table, _t=t) -> pa.Table:
-            b = batch.column("bucket").to_numpy(zero_copy_only=False)
-            return batch.set_column(batch.schema.get_field_index("bucket"),
-                                    "bucket", int64_col(b + (_t << n_bits)))
-
-        tables.append(bucketed.map_batches(shift, batch_format="pyarrow"))
-    all_bucketed = tables[0].union(*tables[1:])
-    pairs = all_bucketed.groupby("bucket").map_groups(
+    planes_ref = ray.put(rng.standard_normal((n_tables, n_bits, d)))
+    bucketed = ds.map_batches(_MultiTableLshStage,
+                              fn_constructor_args=(planes_ref, n_bits),
+                              batch_format="pyarrow", batch_size=1024,
+                              concurrency=(1, 2))
+    pairs = bucketed.groupby("bucket").map_groups(
         _BucketPairsCosine(threshold_bp), batch_format="pyarrow")
     return pairs.groupby(["vec_a", "vec_b"]).aggregate(
         Max("cosine_bp", alias_name="cosine_bp"))

@@ -133,6 +133,74 @@ FROM ranked WHERE rnk <= {K}
 """
 
 
+# ---- phrase queries (positional postings) ----
+
+PHRASE_QUERIES: list[tuple[int, str]] = [
+    (1, "table scan"),
+    (2, "hash join"),
+    (3, "batch batch"),            # periodic: overlapping starts count
+    (4, "merge part window"),
+    (5, "group query row"),
+    (6, "slow query scan"),
+    (7, "zzznosuchterm scan"),     # miss
+    (8, "data line join sort"),
+]
+
+
+def phrase_index_config() -> IndexConfig:
+    cfg = doc_index_config()
+    cfg.store_positions = True
+    return cfg
+
+
+def ensure_phrase_index(sf_dir: str) -> IndexPaths:
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    root = f"/tmp/graft_phrase_index/{tag}"
+    return build_index(_docs_as_corpus(sf_dir), root, phrase_index_config(),
+                       id_column="doc_id", resume=True, source_tag=sf_dir)
+
+
+def phrase_search(sf_dir: str):
+    """(query_id, doc_id, n_matches) — exact positional phrase match over
+    the positions-enabled index, through the phrase actor pool. The
+    oracle recomputes it in SQL from token ordinals (a positional
+    self-join), so adjacency semantics are checked exactly — including
+    overlapping occurrences of periodic phrases."""
+    from searchengine_ray.pipelines.query import phrase_queries
+
+    paths = ensure_phrase_index(sf_dir)
+    return phrase_queries(paths, PHRASE_QUERIES, config=phrase_index_config(),
+                          concurrency=(1, 2))
+
+
+def phrase_search_sql() -> str:
+    analyzer = Analyzer(phrase_index_config())
+    selects = []
+    for qid, text in PHRASE_QUERIES:
+        toks = analyzer.raw_tokens(text)
+        joins = []
+        for i, t in enumerate(toks[1:], start=1):
+            joins.append(f"JOIN toks t{i} ON t{i}.doc_id = t0.doc_id "
+                         f"AND t{i}.pos = t0.pos + {i} AND t{i}.term = '{t}'")
+        selects.append(f"""
+SELECT CAST({qid} AS BIGINT) AS query_id, t0.doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches
+FROM toks t0 {' '.join(joins)}
+WHERE t0.term = '{toks[0]}' GROUP BY t0.doc_id""")
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH raw AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term,
+         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), 1) AS raw_pos
+  FROM documents),
+toks AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY raw_pos) - 1 AS pos
+  FROM raw WHERE term <> '')
+{union}
+"""
+
+
 def index_dictionary(sf_dir: str):
     """(term, df) of the real compressed index over documents — checkable
     against SQL df because the simple analyzer == the SQL tokenizer."""

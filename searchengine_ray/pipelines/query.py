@@ -93,7 +93,8 @@ class PartData:
 
     __slots__ = ("hashes", "buckets", "dfs", "counts", "blk_offs",
                  "last_docs", "max_tfs", "doc_sizes", "tf_sizes",
-                 "doc_data", "doc_offs", "tf_data", "tf_offs")
+                 "doc_data", "doc_offs", "tf_data", "tf_offs",
+                 "pos_sizes", "pos_data", "pos_offs", "has_positions")
 
     def __init__(self, tbl: pa.Table):
         tbl = tbl.combine_chunks()
@@ -117,6 +118,12 @@ class PartData:
         self.tf_sizes, _ = _flat_list(tbl.column("tf_sizes"))
         self.doc_data, self.doc_offs = _flat_bin(tbl.column("doc_bytes"))
         self.tf_data, self.tf_offs = _flat_bin(tbl.column("tf_bytes"))
+        self.has_positions = False
+        self.pos_sizes = self.pos_data = self.pos_offs = None
+        if "pos_bytes" in tbl.column_names:     # layout v4+
+            self.pos_sizes, _ = _flat_list(tbl.column("pos_sizes"))
+            self.pos_data, self.pos_offs = _flat_bin(tbl.column("pos_bytes"))
+            self.has_positions = self.pos_data.size > 0
 
     def row_range(self, h: int) -> tuple[int, int]:
         h = np.uint64(h)
@@ -138,13 +145,19 @@ class PartData:
             tf_offsets = np.zeros(len(tsz) + 1, dtype=np.int64)
             np.cumsum(dsz, out=doc_offsets[1:])
             np.cumsum(tsz, out=tf_offsets[1:])
+            pos_bytes = pos_offsets = None
+            if self.has_positions:
+                psz = self.pos_sizes[b0:b1]
+                pos_offsets = np.zeros(len(psz) + 1, dtype=np.int64)
+                np.cumsum(psz, out=pos_offsets[1:])
+                pos_bytes = self.pos_data[self.pos_offs[i]:self.pos_offs[i + 1]]
             out.append(PostingBlocks(
                 self.doc_data[self.doc_offs[i]:self.doc_offs[i + 1]],
                 self.tf_data[self.tf_offs[i]:self.tf_offs[i + 1]],
                 self.counts[b0:b1],
                 self.last_docs[b0:b1].astype(np.int64, copy=False),
                 self.max_tfs[b0:b1].astype(np.int32, copy=False),
-                doc_offsets, tf_offsets))
+                doc_offsets, tf_offsets, pos_bytes, pos_offsets))
         return out
 
 
@@ -289,6 +302,7 @@ class IndexSearcher:
         self._score_buf: np.ndarray | None = None
         self._mark_buf: np.ndarray | None = None
         self._impact_cache: dict[str, tuple] = {}
+        self._pos_cache: dict[str, tuple] = {}
 
     # ---- posting access ----
 
@@ -597,6 +611,80 @@ class IndexSearcher:
         i = int(np.searchsorted(self._dl_ids, doc_id))
         return int(self._dl[i])
 
+    # ---- phrase search (positional postings) ----
+
+    def _positions_for(self, term: str):
+        """(docs, pos_values, per-posting offsets) for a term, cached.
+        Requires an index built with ``store_positions=True``."""
+        got = self._pos_cache.get(term)
+        if got is None:
+            h, df = self._term_info(term)
+            if df == 0:
+                return None
+            from searchengine_ray.codec import (concat_blocks, decode_blocks,
+                                                decode_positions)
+
+            pb = concat_blocks(self.postings_for(term))
+            docs, _ = decode_blocks(pb)
+            pos, offs = decode_positions(pb)
+            got = (docs, pos, offs)
+            if len(self._pos_cache) >= self._decode_cache_cap:
+                self._pos_cache.pop(next(iter(self._pos_cache)))
+            self._pos_cache[term] = got
+        return got
+
+    def phrase_search(self, text: str) -> list[tuple[int, int]]:
+        """Exact phrase match via positional postings: docs containing the
+        query tokens at consecutive RAW-token positions. Returns
+        ``[(doc_id, n_matches)]`` ascending by doc_id; ``n_matches``
+        counts every start position (overlapping occurrences included).
+
+        The reference keeps per-doc word locations (``parser_module.py:
+        222-241``) but never shipped a phrase operator; this is the
+        capability those positions exist for.
+        """
+        raws = self.analyzer.raw_tokens(text)
+        seq: list[str] = []
+        for r in raws:
+            exp = self.analyzer.expand(r)
+            if not exp:
+                return []          # unindexable token inside the phrase
+            seq.append(exp[0])     # compound form carries the raw position
+        if not seq:
+            return []
+        per_term = {}
+        for t in set(seq):
+            got = self._positions_for(t)
+            if got is None:
+                return []
+            per_term[t] = got
+        # candidate docs: intersect ascending doc arrays, rarest first
+        doc_sets = sorted((per_term[t][0] for t in set(seq)), key=len)
+        cand = doc_sets[0]
+        for d in doc_sets[1:]:
+            cand = cand[np.isin(cand, d, assume_unique=True)]
+            if len(cand) == 0:
+                return []
+        out: list[tuple[int, int]] = []
+        for doc in cand.tolist():
+            starts = None
+            for i, t in enumerate(seq):
+                docs_t, pos_t, offs_t = per_term[t]
+                j = int(np.searchsorted(docs_t, doc))
+                p = pos_t[offs_t[j]:offs_t[j + 1]]
+                if starts is None:
+                    starts = p
+                else:
+                    # no assume_unique: identifier splitting can place the
+                    # same term twice at one raw position
+                    keep = np.isin(starts + i, p)
+                    starts = starts[keep]
+                if len(starts) == 0:
+                    break
+            if starts is not None and len(starts):
+                out.append((doc, int(len(starts))))
+        return out
+
 
 class _TermCursor:
     """Posting cursor with per-block decode + block-max upper bounds."""
@@ -704,6 +792,48 @@ class QueryExecutorStage:
                          "doc_id": pa.array(docs, pa.int64()),
                          "score": pa.array(scores, pa.float64())},
                         schema=RESULTS_SCHEMA)
+
+
+class PhraseExecutorStage:
+    """Actor-pool stage for phrase queries: ``map_batches(PhraseExecutorStage,
+    ...)`` over (query_id, text) batches; emits (query_id, doc_id,
+    n_matches). Index (with positions) loaded once per actor."""
+
+    def __init__(self, index_root: str, config: IndexConfig | None = None,
+                 data_ref=None):
+        import ray
+
+        data = ray.get(data_ref) if data_ref is not None else None
+        self.searcher = IndexSearcher(index_root, config, data=data)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs, counts = [], [], []
+        for qid, text in zip(batch.column("query_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            for doc, n in self.searcher.phrase_search(text):
+                qids.append(qid); docs.append(doc); counts.append(n)
+        return pa.table({"query_id": pa.array(qids, pa.int64()),
+                         "doc_id": pa.array(docs, pa.int64()),
+                         "n_matches": pa.array(counts, pa.int64())})
+
+
+def phrase_queries(index_root: str | IndexPaths, queries, *,
+                   config: IndexConfig | None = None,
+                   concurrency: int | tuple = 4, share_index: bool = True):
+    """Run phrase queries through the actor pool; Dataset of
+    (query_id, doc_id, n_matches)."""
+    import ray
+    import ray.data
+
+    root = index_root.root if isinstance(index_root, IndexPaths) else str(index_root)
+    data_ref = (ray.put(load_index_data(root, precompute_hot=False))
+                if share_index else None)
+    if not hasattr(queries, "map_batches"):
+        queries = ray.data.from_items(
+            [{"query_id": int(q), "text": t} for q, t in queries])
+    return queries.map_batches(
+        PhraseExecutorStage, fn_constructor_args=(root, config, data_ref),
+        batch_format="pyarrow", batch_size=8, concurrency=concurrency)
 
 
 def search_queries(index_root: str | IndexPaths, queries, *, k: int = 10,

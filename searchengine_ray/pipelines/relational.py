@@ -81,7 +81,7 @@ def top_orders_by_revenue(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     keys = set(cust.loc[cust.c_mktsegment == segment, "c_custkey"].tolist())
     keys_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
 
-    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
     class FilterOrders:
         def __init__(self, ref):
@@ -90,14 +90,13 @@ def top_orders_by_revenue(sf_dir: str, segment: str = "BUILDING", k: int = 10):
         def __call__(self, batch: pa.Table) -> pa.Table:
             mask = np.isin(batch.column("o_custkey").to_numpy(zero_copy_only=False),
                            self.keys)
-            return batch.filter(pa.array(mask))
+            return batch.filter(pa.array(mask)).select(["o_orderkey"])
 
-    sel_orders = orders.map_batches(FilterOrders, fn_constructor_args=(keys_ref,),
-                                    batch_format="pyarrow",
-                                    concurrency=(1, 2)).to_pandas()
-    odate = dict(zip(sel_orders.o_orderkey,
-                     sel_orders.o_orderdate.dt.strftime("%Y-%m-%d")))
-    okeys_ref = ray.put(np.array(sorted(odate), dtype=np.int64))
+    # broadcast side = the bare int64 key column (8 B/row), never the
+    # order rows; dates are looked up AFTER top-k, for k rows only
+    sel = orders.map_batches(FilterOrders, fn_constructor_args=(keys_ref,),
+                             batch_format="pyarrow", concurrency=(1, 2)).to_pandas()
+    okeys_ref = ray.put(np.sort(sel["o_orderkey"].to_numpy().astype(np.int64)))
 
     class LineitemPartial:
         def __init__(self, ref):
@@ -123,6 +122,17 @@ def top_orders_by_revenue(sf_dir: str, segment: str = "BUILDING", k: int = 10):
         Sum("rev_p", alias_name="revenue_c")).to_pandas()
     total = total.sort_values(["revenue_c", "o_orderkey"],
                               ascending=[False, True]).head(k)
+    # date lookup for exactly k rows: a filtered parquet point-read
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.common import table_path
+
+    dt = pq.read_table(
+        table_path(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"],
+        filters=pc.field("o_orderkey").isin(
+            pa.array(total["o_orderkey"].to_numpy().astype(np.int64)))).to_pandas()
+    odate = dict(zip(dt.o_orderkey, dt.o_orderdate.dt.strftime("%Y-%m-%d")))
     total["o_orderdate"] = total.o_orderkey.map(odate)
     total = total.astype({"o_orderkey": "int64", "revenue_c": "int64"})
     return pa.Table.from_pandas(

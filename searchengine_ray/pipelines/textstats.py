@@ -220,19 +220,193 @@ def lang_id(sf_dir: str):
         LangIdStage, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4))
 
 
-def _fingerprint_batch(batch: pa.Table) -> pa.Table:
-    """Rolling-hash (Rabin-Karp style) 63-bit document fingerprint."""
-    fps = []
-    MOD = (1 << 61) - 1
-    B = 1_000_003
-    for text in batch.column("text").to_pylist():
-        h = 0
-        for ch in text.encode("utf-8"):
-            h = (h * B + ch) % MOD
-        fps.append(h)
-    return pa.table({"doc_id": batch.column("doc_id"), "fingerprint": int64_col(fps)})
+def lang_id_sql() -> str:
+    """The same fixed trigram heuristic in SQL (profiles inlined), so the
+    driver can hash-check lang_id instead of a rows-only pass. Tie-break
+    mirrors the first-wins dict order (en, es, de, fr): a later language
+    wins only with a STRICTLY greater hit count."""
+    def prof(lang: str) -> str:
+        return "[" + ",".join(f"'{g}'" for g in _LANG_PROFILES[lang]) + "]"
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         substr('_' || replace(lower(text), ' ', '_') || '_', 1, 4000) AS s
+  FROM documents),
+g AS (
+  SELECT doc_id, s,
+         list_distinct([substr(s, i, 3)
+                        for i in generate_series(1, length(s) - 2)]) AS grams
+  FROM t),
+sc AS (
+  SELECT doc_id, s,
+         len(list_intersect(grams, {prof('en')})) AS s_en,
+         len(list_intersect(grams, {prof('es')})) AS s_es,
+         len(list_intersect(grams, {prof('de')})) AS s_de,
+         len(list_intersect(grams, {prof('fr')})) AS s_fr
+  FROM g)
+SELECT doc_id,
+       CASE WHEN regexp_matches(substr(s, 1, 200), '[\\x{{2E80}}-\\x{{10FFFF}}]') THEN 'zh'
+            WHEN s_fr > greatest(s_en, s_es, s_de) THEN 'fr'
+            WHEN s_de > greatest(s_en, s_es) THEN 'de'
+            WHEN s_es > s_en THEN 'es'
+            ELSE 'en' END AS pred_lang,
+       CASE WHEN regexp_matches(substr(s, 1, 200), '[\\x{{2E80}}-\\x{{10FFFF}}]')
+            THEN CAST(10000 AS BIGINT)
+            ELSE CAST(greatest(s_en, s_es, s_de, s_fr) AS BIGINT) END AS ngram_hits
+FROM sc
+"""
+
+
+_M61 = np.uint64((1 << 61) - 1)
+_FP_BASE = 1_000_003
+
+
+def _modmul61(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a * b) mod 2^61-1, vectorized in uint64 without 128-bit ints.
+
+    Classic Mersenne-prime trick: split both operands into 32-bit
+    halves; 2^64 ≡ 8 and 2^61 ≡ 1 (mod M) collapse every partial
+    product back under 2^61 before any uint64 overflow.
+    """
+    a = a.astype(np.uint64, copy=False)
+    b = b.astype(np.uint64, copy=False)
+    a1, a0 = a >> np.uint64(32), a & np.uint64(0xFFFFFFFF)
+    b1, b0 = b >> np.uint64(32), b & np.uint64(0xFFFFFFFF)
+    hi = (a1 * b1) << np.uint64(3)                      # *2^64 ≡ *8
+    mid = a1 * b0 + a0 * b1                             # < 2^62
+    m1, m0 = mid >> np.uint64(29), mid & np.uint64((1 << 29) - 1)
+    lo = a0 * b0
+    lo = (lo >> np.uint64(61)) + (lo & _M61)
+    s = hi + m1 + (m0 << np.uint64(32)) + lo            # < 2^63
+    s = (s >> np.uint64(61)) + (s & _M61)
+    return np.where(s >= _M61, s - _M61, s)
+
+
+def _modsum61(v: np.ndarray) -> int:
+    """Sum mod 2^61-1 by pairwise folding (each fold stays < 2^62)."""
+    M = _M61
+    while len(v) > 1:
+        k = len(v) // 2
+        head = v[:k] + v[k:2 * k]
+        head = np.where(head >= M, head - M, head)
+        if len(v) % 2:
+            tail = head[:1] + v[-1:]
+            head[:1] = np.where(tail >= M, tail - M, tail)
+        v = head
+    return int(v[0]) if len(v) else 0
+
+
+class FingerprintStage:
+    """Rabin-Karp rolling-hash document fingerprint, vectorized.
+
+    h = sum(codepoint_j * B^(n-1-j)) mod 2^61-1 over UNICODE CODEPOINTS
+    (== Horner's rule left-to-right), so DuckDB can recompute it exactly
+    with list_reduce over ord(char) in HUGEINT. Powers of B are extended
+    once per actor and sliced per doc; per-doc work is one vectorized
+    modmul + a log(n) folding sum — no per-character Python.
+    """
+
+    def __init__(self):
+        self._pw = np.ones(1, dtype=np.uint64)
+
+    def _powers(self, n: int) -> np.ndarray:
+        if len(self._pw) < n:
+            old = len(self._pw)
+            grown = np.empty(max(n, old * 2), dtype=np.uint64)
+            grown[:old] = self._pw
+            M, B = (1 << 61) - 1, _FP_BASE
+            p = int(self._pw[old - 1])
+            for i in range(old, len(grown)):       # once per actor, amortized
+                p = (p * B) % M
+                grown[i] = p
+            self._pw = grown
+        return self._pw
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = []
+        for text in batch.column("text").to_pylist():
+            cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+            n = len(cp)
+            if n == 0:
+                fps.append(0)
+                continue
+            pw = self._powers(n)
+            terms = _modmul61(cp.astype(np.uint64), pw[n - 1::-1])
+            fps.append(_modsum61(terms))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "fingerprint": int64_col(fps)})
 
 
 def doc_fingerprint(sf_dir: str):
     return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        _fingerprint_batch, batch_format="pyarrow", batch_size=1024)
+        FingerprintStage, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, 4))
+
+
+class NumericLiteralsPartial:
+    """Per-batch partial counts of CANONICALIZED numeric literals
+    (tokenizer.canonicalize_number — reference P6's number rules as
+    opt-in lexical canonicalization), extracted from customer names
+    ("Customer#000000042" — real leading zeros to strip)."""
+
+    def __init__(self):
+        from searchengine_ray.tokenizer import NUM_RE, canonicalize_number
+
+        self.num_re = NUM_RE
+        self.canon = canonicalize_number
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for s in batch.column("c_name").to_pylist():
+            for tok in self.num_re.findall(s):
+                counts[self.canon(tok)] += 1
+        keys = sorted(counts)
+        return pa.table({"literal": pa.array(keys, pa.string()),
+                         "n_p": int64_col([counts[k] for k in keys])})
+
+
+def numeric_literals(sf_dir: str):
+    """(literal, n_occurrences) — canonicalized numeric literals over
+    customer.c_name: partial Counter per batch, tiny groupby merge."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "customer", ["c_name"])
+    partial = ds.map_batches(NumericLiteralsPartial, batch_format="pyarrow",
+                             batch_size=4096, concurrency=(1, 2))
+    return partial.groupby("literal").aggregate(
+        Sum("n_p", alias_name="n_occurrences"))
+
+
+def numeric_literals_sql() -> str:
+    """The identical lexical rule chain in SQL — the oracle for the
+    analyzer's normalize_numbers option."""
+    return r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(c_name, '[0-9][0-9_]*(?:\.[0-9_]+)?')) AS t
+  FROM customer),
+canon AS (
+  SELECT regexp_replace(
+           CASE WHEN contains(replace(t, '_', ''), '.')
+                THEN regexp_replace(regexp_replace(replace(t, '_', ''),
+                                                   '0+$', ''), '\.$', '')
+                ELSE replace(t, '_', '') END,
+           '^0+([0-9])', '\1') AS literal
+  FROM toks)
+SELECT literal, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM canon GROUP BY literal
+"""
+
+
+def doc_fingerprint_sql() -> str:
+    return f"""
+SELECT doc_id,
+       CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(list_reduce(
+                   list_transform(
+                     [substr(text, i, 1) for i in generate_series(1, length(text))],
+                     c -> CAST(ord(c) AS HUGEINT)),
+                   (a, x) -> (a * {_FP_BASE} + x) % {(1 << 61) - 1}) AS BIGINT)
+       END AS fingerprint
+FROM documents
+"""

@@ -74,7 +74,9 @@ SEGMENT_SCHEMA = pa.schema([
     ("counts", pa.large_list(pa.int32())), ("last_docs", pa.large_list(pa.int64())),
     ("max_tfs", pa.large_list(pa.int32())),
     ("doc_sizes", pa.large_list(pa.int64())), ("tf_sizes", pa.large_list(pa.int64())),
+    ("pos_sizes", pa.large_list(pa.int64())),
     ("doc_bytes", pa.large_binary()), ("tf_bytes", pa.large_binary()),
+    ("pos_bytes", pa.large_binary()),
 ])
 
 
@@ -121,28 +123,48 @@ class PartialPostings:
                 pa.array(info["n_terms"][order].astype(np.int64), pa.int64()), offs),
             "tf_sizes": _large_list(
                 pa.array(np.zeros(len(doc_ids), np.int64), pa.int64()), offs),
+            "pos_sizes": _large_list(
+                pa.array(np.zeros(len(doc_ids), np.int64), pa.int64()), offs),
             "doc_bytes": pa.array([b""] * n_rows, pa.large_binary()),
             "tf_bytes": pa.array([b""] * n_rows, pa.large_binary()),
+            "pos_bytes": pa.array([b""] * n_rows, pa.large_binary()),
         }, schema=SEGMENT_SCHEMA)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("content").to_pylist()
         doc_ids = np.asarray(batch.column("doc_id").to_numpy(zero_copy_only=False),
                              dtype=np.int64)
-        codes, docs, tfs, info = self.analyzer.tokenize_batch(texts, doc_ids)
+        store_pos = self.config.store_positions
+        codes, docs, tfs, info = self.analyzer.tokenize_batch(
+            texts, doc_ids, with_positions=store_pos)
         if len(codes) == 0:
             if len(doc_ids) > 0:
                 return self._meta_rows(doc_ids, info)
             return SEGMENT_SCHEMA.empty_table()
         vocab = info["vocab"]
         order = np.lexsort((docs, codes))
+        positions = None
+        if store_pos:
+            # ragged gather: permute per-posting position groups to the
+            # same (term, doc) order as the postings
+            pos_flat = info["positions"]
+            offs = np.zeros(len(tfs) + 1, dtype=np.int64)
+            np.cumsum(tfs, out=offs[1:])
+            starts_g = offs[:-1][order]
+            lens_g = tfs[order]
+            total = int(lens_g.sum())
+            cum = np.zeros(len(lens_g), dtype=np.int64)
+            np.cumsum(lens_g[:-1], out=cum[1:])
+            within = np.arange(total, dtype=np.int64) - np.repeat(cum, lens_g)
+            positions = pos_flat[np.repeat(starts_g, lens_g) + within]
         codes, docs, tfs = codes[order], docs[order], tfs[order]
         buckets = docs // self.config.doc_bucket_size
         change = np.empty(len(codes), dtype=bool)
         change[0] = True
         change[1:] = (codes[1:] != codes[:-1]) | (buckets[1:] != buckets[:-1])
         seg_starts = np.flatnonzero(change)
-        enc = encode_segments(docs, tfs, seg_starts, self.config.block_size)
+        enc = encode_segments(docs, tfs, seg_starts, self.config.block_size,
+                              positions=positions)
         seg_codes = codes[seg_starts]
         seg_terms = vocab[seg_codes]
         nparts = self.config.num_term_parts
@@ -158,6 +180,15 @@ class PartialPostings:
         tf_row_offsets = enc["tf_boffsets"][sbo]
         doc_sizes = np.diff(enc["doc_boffsets"])
         tf_sizes = np.diff(enc["tf_boffsets"])
+        n_blocks = len(doc_sizes)
+        if store_pos:
+            pos_row_offsets = enc["pos_boffsets"][sbo]
+            pos_sizes = np.diff(enc["pos_boffsets"])
+            pos_stream = enc["pos_stream"]
+        else:
+            pos_row_offsets = np.zeros(len(sbo), dtype=np.int64)
+            pos_sizes = np.zeros(n_blocks, dtype=np.int64)
+            pos_stream = np.empty(0, dtype=np.uint8)
         segments = pa.table({
             "part": pa.array(parts, pa.int64()),
             "term": pa.array(seg_terms, pa.string()),
@@ -170,8 +201,10 @@ class PartialPostings:
             "max_tfs": _large_list(pa.array(enc["max_tfs"], pa.int32()), sbo),
             "doc_sizes": _large_list(pa.array(doc_sizes, pa.int64()), sbo),
             "tf_sizes": _large_list(pa.array(tf_sizes, pa.int64()), sbo),
+            "pos_sizes": _large_list(pa.array(pos_sizes, pa.int64()), sbo),
             "doc_bytes": _large_binary_from(enc["doc_stream"], doc_row_offsets),
             "tf_bytes": _large_binary_from(enc["tf_stream"], tf_row_offsets),
+            "pos_bytes": _large_binary_from(pos_stream, pos_row_offsets),
         }, schema=SEGMENT_SCHEMA)
         return pa.concat_tables([segments, self._meta_rows(doc_ids, info)])
 
@@ -192,7 +225,9 @@ POSTINGS_SCHEMA = pa.schema([
     ("counts", pa.large_list(pa.int32())), ("last_docs", pa.large_list(pa.int64())),
     ("max_tfs", pa.large_list(pa.int32())),
     ("doc_sizes", pa.large_list(pa.int64())), ("tf_sizes", pa.large_list(pa.int64())),
+    ("pos_sizes", pa.large_list(pa.int64())),
     ("doc_bytes", pa.large_binary()), ("tf_bytes", pa.large_binary()),
+    ("pos_bytes", pa.large_binary()),
 ])
 
 
@@ -293,8 +328,10 @@ class MergePostingsPartWriter:
             "max_tfs": merge_list("max_tfs", pa.int32()),
             "doc_sizes": merge_list("doc_sizes", pa.int64()),
             "tf_sizes": merge_list("tf_sizes", pa.int64()),
+            "pos_sizes": merge_list("pos_sizes", pa.int64()),
             "doc_bytes": merge_binary("doc_bytes"),
             "tf_bytes": merge_binary("tf_bytes"),
+            "pos_bytes": merge_binary("pos_bytes"),
         }, schema=POSTINGS_SCHEMA)
 
         h_out = hashes[row_starts]

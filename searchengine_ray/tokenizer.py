@@ -40,6 +40,28 @@ import numpy as np
 # identifiers (incl. leading _), integers, decimals — the code-corpus
 # analog of the reference's word/number token classes (parser P2/P6/P7).
 TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+(?:\.[0-9]+)?")
+# normalize_numbers variant: numeric literals may carry _ separators
+# (1_000_000) — the code-corpus analog of the reference's K/M/B number
+# canonicalization (parser_module.py:412-522)
+TOKEN_RE_NUMNORM = re.compile(
+    r"[A-Za-z_][A-Za-z0-9_]*|[0-9][0-9_]*(?:\.[0-9_]+)?")
+NUM_RE = re.compile(r"[0-9][0-9_]*(?:\.[0-9_]+)?")
+_TRAIL_ZEROS = re.compile(r"0+$")
+_TRAIL_DOT = re.compile(r"\.$")
+_LEAD_ZEROS = re.compile(r"^0+([0-9])")
+
+
+def canonicalize_number(tok: str) -> str:
+    """Purely-lexical numeric canonicalization (opt-in, reference P6):
+    strip ``_`` separators, trailing fractional zeros, a bare trailing
+    dot, and leading zeros — ``01_000.50`` -> ``1000.5``. Every rule is
+    a regex DuckDB applies identically, so indexes built with
+    ``normalize_numbers`` stay oracle-checkable."""
+    t = tok.replace("_", "")
+    if "." in t:
+        t = _TRAIL_ZEROS.sub("", t)
+        t = _TRAIL_DOT.sub("", t)
+    return _LEAD_ZEROS.sub(r"\1", t)
 # boundaries inside identifiers: aB | ABc transitions and underscores.
 _CAMEL_RE = re.compile(r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])")
 SIMPLE_TOKEN_RE = re.compile(r"[a-z0-9_]+")
@@ -142,6 +164,8 @@ class Analyzer:
     def raw_tokens(self, text: str) -> list[str]:
         if self.simple:
             return SIMPLE_TOKEN_RE.findall(text.lower())
+        if getattr(self.config, "normalize_numbers", False):
+            return TOKEN_RE_NUMNORM.findall(text)
         return TOKEN_RE.findall(text)
 
     def expand(self, raw: str) -> list[str]:
@@ -150,6 +174,10 @@ class Analyzer:
         got = self._expand_cache.get(raw)
         if got is None:
             c = self.config
+            if getattr(c, "normalize_numbers", False) and NUM_RE.fullmatch(raw):
+                got = [canonicalize_number(raw)]
+                self._expand_cache[raw] = got
+                return got
             got = expand_token(raw, split_identifiers=c.split_identifiers,
                                keep_compound=c.keep_compound, lowercase=c.lowercase,
                                stopwords=self.stop, stemming=c.stemming,
@@ -165,7 +193,8 @@ class Analyzer:
 
     # ---- vectorized batch path ----
 
-    def tokenize_batch(self, texts: list[str], doc_ids: np.ndarray
+    def tokenize_batch(self, texts: list[str], doc_ids: np.ndarray,
+                       with_positions: bool = False
                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
         """Tokenize a batch of documents, vectorized.
 
@@ -175,6 +204,14 @@ class Analyzer:
         ``info['n_terms']`` are per-input-doc arrays (reference A4:
         per-doc stats computed without any shuffle, since a doc is fully
         contained in its batch).
+
+        With ``with_positions``, ``info['positions']`` holds the ragged
+        per-posting position lists flattened in output-row order (posting
+        ``i`` owns ``positions[cumsum(tfs)[i-1]:cumsum(tfs)[i]]``,
+        ascending). A position is the RAW-token index within the doc —
+        every expansion of raw token ``j`` (compound + identifier parts)
+        shares position ``j``, mirroring the reference's word-location
+        semantics (``parser_module.py:222-241``).
         """
         raw_lists = [self.raw_tokens(t) for t in texts]
         raw_counts = np.fromiter((len(r) for r in raw_lists), dtype=np.int64,
@@ -186,7 +223,8 @@ class Analyzer:
                     {"vocab": np.empty(0, dtype=object),
                      "doc_len": np.zeros(n_docs, np.int32),
                      "max_tf": np.zeros(n_docs, np.int32),
-                     "n_terms": np.zeros(n_docs, np.int32)})
+                     "n_terms": np.zeros(n_docs, np.int32),
+                     "positions": np.empty(0, np.int64)})
         all_raw = np.concatenate([np.asarray(r, dtype=object) if r else
                                   np.empty(0, dtype=object) for r in raw_lists])
         # factorize the raw-token stream: C-speed unique + codes
@@ -212,7 +250,8 @@ class Analyzer:
                     {"vocab": np.empty(0, dtype=object),
                      "doc_len": np.zeros(n_docs, np.int32),
                      "max_tf": np.zeros(n_docs, np.int32),
-                     "n_terms": np.zeros(n_docs, np.int32)})
+                     "n_terms": np.zeros(n_docs, np.int32),
+                     "positions": np.empty(0, np.int64)})
         rep_starts = np.repeat(starts, lens)
         cum = np.concatenate([[0], np.cumsum(lens)[:-1]])
         within = np.arange(total) - np.repeat(cum, lens)
@@ -222,7 +261,26 @@ class Analyzer:
         # tf per (doc, term): combine into one key, count uniques
         n_terms_total = len(final_vocab_index)
         combined = doc_local_stream * n_terms_total + term_stream
-        uniq, tf = np.unique(combined, return_counts=True)
+        pos_flat = None
+        if with_positions:
+            # raw-token index within each doc, inherited by every expansion
+            cum_raw = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(raw_counts[:-1], out=cum_raw[1:])
+            pos_raw = (np.arange(len(all_raw), dtype=np.int64)
+                       - np.repeat(cum_raw, raw_counts))
+            pos_stream = np.repeat(pos_raw, lens)
+            # stable sort keeps positions ascending within each (doc, term)
+            order2 = np.argsort(combined, kind="stable")
+            sc = combined[order2]
+            change2 = np.empty(len(sc), dtype=bool)
+            change2[0] = True
+            change2[1:] = sc[1:] != sc[:-1]
+            starts2 = np.flatnonzero(change2)
+            uniq = sc[starts2]
+            tf = np.diff(np.concatenate([starts2, [len(sc)]]))
+            pos_flat = pos_stream[order2]
+        else:
+            uniq, tf = np.unique(combined, return_counts=True)
         out_doc_local = uniq // n_terms_total
         out_term = uniq % n_terms_total
         doc_len = np.bincount(doc_local_stream, minlength=n_docs).astype(np.int32)
@@ -236,7 +294,7 @@ class Analyzer:
                 tf.astype(np.int64),
                 {"vocab": vocab_arr, "doc_len": doc_len,
                  "max_tf": max_tf.astype(np.int32), "n_terms": n_terms,
-                 "doc_local": out_doc_local})
+                 "doc_local": out_doc_local, "positions": pos_flat})
 
 
 def _factorize(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

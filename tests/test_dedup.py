@@ -1,0 +1,73 @@
+"""Near-dup family: exact-Jaccard verification correctness, pair
+dedup/caps, and bucketed-vs-exact embedding recall."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_bucket_pairs_cap_star():
+    from searchengine_ray.pipelines.dedup import _BUCKET_CAP, _bucket_pairs
+
+    small = pd.DataFrame({"doc_id": [3, 1, 2, 1]})
+    got = _bucket_pairs(small)
+    assert sorted(map(tuple, got.values.tolist())) == [(1, 2), (1, 3), (2, 3)]
+    big = pd.DataFrame({"doc_id": np.arange(_BUCKET_CAP + 10)})
+    got = _bucket_pairs(big)
+    # star pairs: bounded m-1 rows, all anchored at the min id
+    assert len(got) == _BUCKET_CAP + 9
+    assert (got["doc_a"] == 0).all()
+
+
+def test_minhash_jaccard_is_exact(ray_session):
+    """Every verified pair's jaccard_bp must equal the brute-force
+    token-shingle Jaccard recomputed from the raw texts."""
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.dedup import _shingles, minhash_lsh_dedup
+
+    got = minhash_lsh_dedup(SF_DIR).to_pandas()
+    assert len(got) > 0
+    assert not got.duplicated(["doc_a", "doc_b"]).any()
+    texts = dict(zip(*[
+        pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"]).column(c).to_pylist()
+        for c in ("doc_id", "text")]))
+    for _, r in got.iterrows():
+        sa = set(_shingles(texts[r.doc_a]).tolist())
+        sb = set(_shingles(texts[r.doc_b]).tolist())
+        want = int(np.floor(len(sa & sb) / (len(sa | sb) or 1) * 10000 + 0.5))
+        assert int(r.jaccard_bp) == want
+        assert r.jaccard_bp >= 5000
+
+
+def test_simhash_pairs_unique(ray_session):
+    from searchengine_ray.pipelines.dedup import simhash_near_dups
+
+    got = simhash_near_dups(SF_DIR).to_pandas()
+    assert len(got) > 0
+    assert not got.duplicated(["doc_a", "doc_b"]).any()
+    assert (got.doc_a < got.doc_b).all()
+
+
+def test_embedding_lsh_subset_of_exact(ray_session):
+    """Bucketed pairs must be a subset of the exact N^2 pair set with
+    identical cosine values, at usable recall."""
+    from searchengine_ray.pipelines.dedup import (embedding_near_dups,
+                                                  embedding_near_dups_lsh)
+
+    exact = embedding_near_dups(SF_DIR).to_pandas()
+    approx = embedding_near_dups_lsh(SF_DIR).to_pandas()
+    ex = {(a, b): c for a, b, c in
+          exact[["vec_a", "vec_b", "cosine_bp"]].values.tolist()}
+    for a, b, c in approx[["vec_a", "vec_b", "cosine_bp"]].values.tolist():
+        assert (a, b) in ex and ex[(a, b)] == c
+    if len(ex):
+        assert len(approx) / len(ex) >= 0.5

@@ -19,7 +19,9 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "ann_topk", "multimodal_meta", "frame_sample",
                "pricing_summary", "top_orders_by_revenue", "events_daily",
                "top_parts", "suppliers_by_nation", "segment_counts",
-               "bm25_topk", "bm25_topk_wand", "index_dictionary"]
+               "bm25_topk", "bm25_topk_wand", "index_dictionary",
+               "phrase_search", "lang_id", "doc_fingerprint",
+               "numeric_literals"]
 
 
 @pytest.fixture(scope="module")
@@ -59,7 +61,7 @@ def test_rows_only_entries_run(ray_session):
     import __ray_entry__ as e
 
     for name in ["minhash_lsh_dedup", "simhash_near_dups", "ann_lsh_topk",
-                 "lang_id", "doc_fingerprint", "image_decode_features"]:
+                 "image_decode_features", "embedding_near_dups_lsh"]:
         res = _to_pandas(e.queries()[name](SF_DIR))
         assert res is not None and len(res) >= 0
 

@@ -62,3 +62,26 @@ def test_simple_analyzer_matches_sql_semantics():
     a = Analyzer(IndexConfig(analyzer="simple"))
     assert a.terms("Hello World_x1 FOO-bar 12") == \
         ["hello", "world_x1", "foo", "bar", "12"]
+
+
+@pytest.mark.parametrize("tok,want", [
+    ("1_000", "1000"), ("01_000.50", "1000.5"), ("0.500", "0.5"),
+    ("007", "7"), ("0.000", "0"), ("10.", "10"), ("1.0", "1"),
+    ("000", "0"), ("123", "123"), ("00.5", "0.5"), ("3.14159", "3.14159"),
+])
+def test_canonicalize_number(tok, want):
+    from searchengine_ray.tokenizer import canonicalize_number
+
+    assert canonicalize_number(tok) == want
+
+
+def test_normalize_numbers_analyzer():
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.tokenizer import Analyzer
+
+    on = Analyzer(IndexConfig(normalize_numbers=True, use_stopwords=False))
+    assert on.terms("x = 1_000.50 + offset_2") == \
+        ["x", "1000.5", "offset_2", "offset", "2"]
+    off = Analyzer(IndexConfig(use_stopwords=False))
+    # without the option, 1_000 is not one numeric token
+    assert "1000.5" not in off.terms("x = 1_000.50")
