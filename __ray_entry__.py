@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": ts.lang_id,
         "doc_fingerprint": ts.doc_fingerprint,
         "numeric_literals": ts.numeric_literals,
+        "token_count_bpe": ts.token_count_bpe,
         # --- multimodal plumbing ---
         "multimodal_meta": multimodal.multimodal_meta,
         "image_decode_features": multimodal.image_decode_features,
@@ -85,6 +86,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": ts.lang_id_sql(),
         "doc_fingerprint": ts.doc_fingerprint_sql(),
         "numeric_literals": ts.numeric_literals_sql(),
+        "token_count_bpe": ts.token_count_bpe_sql(),
         "ann_topk": ann.ann_topk_sql(),
         "multimodal_meta": multimodal.multimodal_meta_sql(),
         "frame_sample": multimodal.frame_sample_sql(),

@@ -140,16 +140,20 @@ def run_bench() -> dict:
     }
 
 
-def run_scaling(repeats: int = 2) -> dict:
+def run_scaling(repeats: int = 3) -> dict:
     """Same job, fresh processes, num_cpus=8 vs 32 -> scaling efficiency.
 
     Each level runs ``repeats`` times and keeps the fastest core
     (build+queries) run — the sandbox shows bursts of co-tenant CPU
-    steal that would otherwise dominate a single sample."""
+    steal (identical runs vary up to 3x; load swings 0.4-18 with zero
+    local processes) that would otherwise dominate a single sample.
+    The host load average before each sample is recorded alongside."""
     results = {}
+    loads: dict[int, list] = {8: [], 32: []}
     for n in (8, 32):
         best = None
         for _ in range(repeats):
+            loads[n].append(round(os.getloadavg()[0], 2))
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                  env=env, capture_output=True, text=True,
@@ -173,11 +177,18 @@ def run_scaling(repeats: int = 2) -> dict:
         # bound in this sandbox; on a real cluster it is per-node I/O):
         **eff("postings_build", lambda r: r.get("build_phase2_postings_sec",
                                                 r["queries"]["index_build"])),
+        # decomposition: the tokenize map wave (pure compute) vs the
+        # merge/write reduce wave (object-store + disk bound on one box)
+        **eff("postings_map", lambda r: r.get("build_phase2_map_wall_sec", 0.0)
+              or r.get("build_phase2_postings_sec", 0.0)),
+        **eff("postings_reduce", lambda r: r.get("build_phase2_reduce_wall_sec", 0.0)
+              or r.get("build_phase2_postings_sec", 0.0)),
         **eff("queries", lambda r: r["queries"]["bm25_queries"]),
         "docs_per_sec_8": results[8]["docs_per_sec"],
         "docs_per_sec_32": results[32]["docs_per_sec"],
         "queries_per_sec_8": results[8]["queries_per_sec"],
         "queries_per_sec_32": results[32]["queries_per_sec"],
+        "load_avg_before_runs": loads,
         "full_8": results[8], "full_32": results[32],
     }
     out["scaling_efficiency"] = out["overall_efficiency"]

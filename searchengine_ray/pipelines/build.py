@@ -291,9 +291,12 @@ def build_index(source, out_root: str | Path, config: IndexConfig | None = None,
         import pyarrow.parquet as _pqm
 
         jobs = []
+        # map granularity: row groups per task. 2 balances wave evenness
+        # against per-object store overhead (each map task returns
+        # total_parts objects)
+        step = int(_os.environ.get("GRAFT_RG_STEP", "2"))
         for f in doc_files:
             n_rg = _pqm.ParquetFile(f).metadata.num_row_groups
-            step = 1     # one row group per task: the finest-grained wave
             for lo in range(0, n_rg, step):
                 jobs.append((f, lo, min(lo + step, n_rg)))
 
@@ -303,7 +306,16 @@ def build_index(source, out_root: str | Path, config: IndexConfig | None = None,
             path, rg_lo, rg_hi = job
             t = _pq.ParquetFile(path).read_row_groups(
                 list(range(rg_lo, rg_hi)), columns=["doc_id", "content"])
-            pp = PartialPostings(config)
+            # one PartialPostings per WORKER PROCESS, not per task: Ray
+            # reuses workers, so the analyzer's token-expansion cache and
+            # term-hash cache stay warm across the whole map wave
+            import searchengine_ray.stages.postings as _sp
+
+            pp = getattr(_sp, "_worker_pp", None)
+            if pp is None or pp._fingerprint != fingerprint:
+                pp = PartialPostings(config)
+                pp._fingerprint = fingerprint
+                _sp._worker_pp = pp
             outs = [pp(t.slice(i, bs)) for i in range(0, t.num_rows, bs)]
             seg = pa.concat_tables(outs) if outs else None
             if seg is None or seg.num_rows == 0:

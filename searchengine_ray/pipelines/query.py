@@ -548,7 +548,14 @@ class IndexSearcher:
 
     def _search_bmw(self, qterms: list[tuple[str, int]], k: int
                     ) -> list[tuple[int, float]]:
-        """Block-max WAND, document-at-a-time with block skipping."""
+        """Block-max WAND, document-at-a-time with block skipping.
+
+        This is the textbook DAAT strategy, kept for parity/pedagogy and
+        tested rank-identical; its per-document Python loop makes it the
+        SLOWEST strategy on large indexes — production paths should use
+        ``method="impact"`` (impact-ordered exact pruning, vectorized)
+        or ``method="vectorized"``.
+        """
         cursors = []
         for term, qtf in qterms:
             slices = self.postings_for(term)

@@ -344,6 +344,50 @@ def doc_fingerprint(sf_dir: str):
         concurrency=(1, 4))
 
 
+# GPT-2-style pre-tokenizer, ASCII approximation shared verbatim with
+# the SQL oracle (both 're' and RE2 compile it identically): a leading
+# space attaches to the following word/number/punct run.
+_BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+class BpeTokenCountStage:
+    """(doc_id, n_bpe_tokens, n_ws_tokens) — BPE-ish regex token count
+    next to the whitespace count (the two token-budget estimators a
+    training-data pipeline runs per document). Regex compiled once per
+    actor."""
+
+    def __init__(self):
+        import re
+
+        self.bpe = re.compile(_BPE_PATTERN)
+        self.ws = re.compile(r"\S+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bpe_n, ws_n = [], []
+        for text in batch.column("text").to_pylist():
+            bpe_n.append(len(self.bpe.findall(text)))
+            ws_n.append(len(self.ws.findall(text)))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_bpe_tokens": int64_col(bpe_n),
+                         "n_ws_tokens": int64_col(ws_n)})
+
+
+def token_count_bpe(sf_dir: str):
+    return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        BpeTokenCountStage, batch_format="pyarrow", batch_size=2048,
+        concurrency=(1, 2))
+
+
+def token_count_bpe_sql() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens
+FROM documents
+"""
+
+
 class NumericLiteralsPartial:
     """Per-batch partial counts of CANONICALIZED numeric literals
     (tokenizer.canonicalize_number — reference P6's number rules as
