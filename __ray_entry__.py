@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.dedup_exact,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
         "simhash_near_dups": dedup.simhash_near_dups,
+        "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
         "embedding_near_dups": dedup.embedding_near_dups,
         "embedding_near_dups_lsh": dedup.embedding_near_dups_lsh,
         # --- similarity search ---
@@ -82,6 +83,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count_by_lang": ts.token_count_by_lang_sql(),
         "text_quality": ts.text_quality_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),
+        "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup_sql(),
         "embedding_near_dups": dedup.embedding_near_dups_sql(),
         "lang_id": ts.lang_id_sql(),
         "doc_fingerprint": ts.doc_fingerprint_sql(),

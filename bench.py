@@ -152,18 +152,30 @@ def run_scaling(repeats: int = 3) -> dict:
     loads: dict[int, list] = {8: [], 32: []}
     for n in (8, 32):
         best = None
-        for _ in range(repeats):
+        failures = 0
+        attempts = 0
+        while attempts < repeats + 2 and (best is None or attempts < repeats):
+            attempts += 1
             loads[n].append(round(os.getloadavg()[0], 2))
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                  env=env, capture_output=True, text=True,
-                                 check=True,
                                  cwd=os.path.dirname(os.path.abspath(__file__)))
+            if out.returncode != 0:
+                # co-tenant OOM/timeout bursts can kill one sample; report
+                # it and keep sampling rather than aborting the harness
+                failures += 1
+                print(f"[scaling] sample failed (num_cpus={n}):\n"
+                      + out.stderr[-2000:], file=sys.stderr)
+                continue
             r = json.loads(out.stdout.strip().splitlines()[-1])
             core = r["queries"]["index_build"] + r["queries"]["bm25_queries"]
             if best is None or core < best[0]:
                 best = (core, r)
+        if best is None:
+            raise RuntimeError(f"all scaling samples failed at num_cpus={n}")
         results[n] = best[1]
+        results[n]["failed_samples"] = failures
     def eff(name, getter):
         t8, t32 = getter(results[8]), getter(results[32])
         return {f"{name}_sec_8": round(t8, 3), f"{name}_sec_32": round(t32, 3),

@@ -185,12 +185,24 @@ class JaccardVerifyGroup:
     doc_id) — the distributed replacement for broadcasting every document
     text to every verifier. At 10^12 docs the same group key routes the
     read to the docs partition holding the ids.
+
+    ``string_shingles=True`` computes the sets over the literal k-token
+    shingle strings (SQL-replicable, used by ``ngram_jaccard_dedup``)
+    instead of the 61-bit rolling hashes.
     """
 
-    def __init__(self, docs_path: str, threshold_bp: int):
+    def __init__(self, docs_path: str, threshold_bp: int,
+                 string_shingles: bool = False, k: int = 3):
         self.__name__ = "JaccardVerifyGroup"
         self.docs_path = docs_path
         self.threshold_bp = threshold_bp
+        self.string_shingles = string_shingles
+        self.k = k
+
+    def _set(self, text: str) -> set:
+        if self.string_shingles:
+            return _shingle_strings(text, self.k)
+        return set(_shingles(text, self.k).tolist())
 
     def __call__(self, group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -201,7 +213,7 @@ class JaccardVerifyGroup:
         needed = np.unique(np.concatenate([a, b]))
         tbl = pq.read_table(self.docs_path, columns=["doc_id", "text"],
                             filters=pc.field("doc_id").isin(pa.array(needed)))
-        shingles = {did: set(_shingles(t).tolist())
+        shingles = {did: self._set(t)
                     for did, t in zip(tbl.column("doc_id").to_pylist(),
                                       tbl.column("text").to_pylist())}
         jac = np.empty(len(a), dtype=np.float64)
@@ -301,13 +313,129 @@ def simhash_near_dups(sf_dir: str):
     return _distinct_pairs(pairs)
 
 
-# ---------------- n-gram Jaccard (all-pairs over shared buckets) ------
+# ---------------- n-gram Jaccard (exact, shingle inverted index) ------
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold_bp: int = 3000):
-    """Exact n-gram Jaccard near-dups: candidates from LSH (cheap),
-    verified exactly — returns pairs >= threshold."""
-    return minhash_lsh_dedup(sf_dir, threshold_bp=threshold_bp)
+def _shingle_strings(text: str, k: int = 3) -> set[str]:
+    """Distinct k-token shingle STRINGS (whole doc if shorter than k) —
+    the SQL-replicable twin of ``_shingles``."""
+    toks = text.lower().split()
+    if not toks:
+        return set()
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+class NgramShingleStage:
+    """map_batches: doc -> one (doc_id, shingle) row per DISTINCT k-token
+    shingle string. The downstream ``groupby(shingle)`` is the inverted
+    index; the shuffle moves shingle strings + ids, never full texts."""
+
+    def __init__(self, k: int = 3):
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids: list[int] = []
+        shingles: list[str] = []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            for g in _shingle_strings(text, self.k):
+                doc_ids.append(did)
+                shingles.append(g)
+        return pa.table({"doc_id": int64_col(doc_ids),
+                         "shingle": pa.array(shingles, pa.string())})
+
+
+def _make_rare_shingle_pairs(max_df: int):
+    """Pairs within one shingle's posting group; hot shingles (df >
+    ``max_df``) emit nothing — they carry no near-dup signal (boilerplate)
+    and would emit O(df^2) rows. The SQL oracle applies the same cutoff,
+    so the semantics stay exact: 'pairs sharing >=1 shingle with df <=
+    max_df, true Jaccard >= threshold'."""
+
+    def rare_shingle_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(group["doc_id"].to_numpy())
+        if len(ids) < 2 or len(ids) > max_df:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        pairs = list(combinations(ids.tolist(), 2))
+        return pd.DataFrame({"doc_a": [a for a, _ in pairs],
+                             "doc_b": [b for _, b in pairs]})
+
+    return rare_shingle_pairs
+
+
+def ngram_jaccard_dedup(sf_dir: str, threshold_bp: int = 3000, k: int = 3,
+                        max_shingle_df: int = 100):
+    """Exact n-gram Jaccard near-dup pairs — no hashing anywhere, so the
+    result is hash-checkable against a pure-SQL oracle.
+
+    Shape: shingle inverted index (groupby over shingle strings) emits
+    candidate pairs from rare shingles only (df <= ``max_shingle_df``;
+    all-pairs within a group is bounded by df^2 <= 10^4 rows); pair dedup
+    is a hash-partitioned groupby; exact Jaccard over the full distinct
+    shingle sets runs in verify partitions that read only the texts their
+    pairs reference. Same distributed shape as ``minhash_lsh_dedup`` with
+    the probabilistic candidate stage swapped for a deterministic one.
+    """
+    from searchengine_ray.pipelines.common import table_path
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    rows = ds.map_batches(NgramShingleStage, fn_constructor_args=(k,),
+                          batch_format="pyarrow", batch_size=512,
+                          concurrency=(1, 4))
+    pairs = rows.groupby("shingle").map_groups(
+        _make_rare_shingle_pairs(max_shingle_df), batch_format="pandas")
+    uniq = _distinct_pairs(pairs)
+
+    def add_vpart(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        return batch.append_column("vpart", int64_col(a % _N_VERIFY_PARTS))
+
+    routed = uniq.map_batches(add_vpart, batch_format="pyarrow")
+    verify = JaccardVerifyGroup(table_path(sf_dir, "documents"), threshold_bp,
+                                string_shingles=True, k=k)
+    return routed.groupby("vpart").map_groups(verify, batch_format="pyarrow")
+
+
+def ngram_jaccard_dedup_sql(threshold_bp: int = 3000, k: int = 3,
+                            max_shingle_df: int = 100) -> str:
+    """The exact SQL twin: same tokenization (lowercase, whitespace
+    split), same k-token shingles, same rare-shingle candidate cutoff,
+    same bp rounding."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i:i+{k - 1}], ' ') AS shingle
+  FROM toks, unnest(range(1, greatest(len(t) - {k - 1}, 1) + 1)) AS u(i)
+  WHERE len(t) > 0
+), rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_shingle_df}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id AND shingle IN (SELECT shingle FROM rare)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(floor(10000.0 * i.i / (sa.n + sb.n - i.i) + 0.5) AS BIGINT) AS jaccard_bp
+FROM cand c
+JOIN inter i USING (doc_a, doc_b)
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE floor(10000.0 * i.i / (sa.n + sb.n - i.i) + 0.5) >= {threshold_bp}
+"""
 
 
 # ---------------- embedding cosine near-dup ----------------
