@@ -17,7 +17,6 @@ Exact dedup and three near-dup detectors, each expressed Ray-Data-first:
 from __future__ import annotations
 
 import hashlib
-from itertools import combinations
 
 import numpy as np
 import pandas as pd
@@ -136,32 +135,72 @@ class MinHashStage:
 
 
 _BUCKET_CAP = 256     # all-pairs only below this; star pairs above
+_PAIR_GROUPS = 64     # map_groups granularity: 64 vectorized calls total
 
 
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket, skew-capped.
+def _make_grouped_pairs(keys: list[str], cap: int, hot: str = "star"):
+    """Vectorized pair emission for ``groupby(gkey).map_groups``.
 
-    A skewed bucket (boilerplate docs: thousands of members) must not
-    emit O(m^2) rows out of one task. Below ``_BUCKET_CAP`` members we
-    emit all pairs; above it we emit STAR pairs (min_id, other) — m-1
-    rows that still connect every member to a representative, which is
-    all near-dup clustering needs (union-find over star edges yields the
-    same connected components as over all edges).
+    The groupby key is a HASH BUCKET of the real key(s) (``gkey = hash %
+    _PAIR_GROUPS``), so map_groups makes only ``_PAIR_GROUPS`` Python
+    calls instead of one per distinct bucket/shingle — the per-group-call
+    overhead of one call per key is what made the naive version spend
+    ~1 ms/key. All rows of a real key land in one gkey group, so per-key
+    member counts computed inside the group are GLOBAL counts; semantics
+    are identical to grouping by the real key.
+
+    Inside one group, pairs come from a pandas self-merge on the real
+    key(s) — C-speed, no itertools. Skew policy for keys with more than
+    ``cap`` members:
+
+    - ``hot="star"``  — emit star edges (min_id, other): m-1 rows that
+      keep every member connected to a representative (union-find over
+      star edges yields the same components as over all edges).
+    - ``hot="drop"``  — emit nothing (used by the exact n-gram path,
+      whose SQL oracle applies the same df cutoff).
     """
-    ids = np.unique(group["doc_id"].to_numpy())
-    m = len(ids)
-    if m < 2:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64")})
-    if m <= _BUCKET_CAP:
-        pairs = list(combinations(ids.tolist(), 2))
-        return pd.DataFrame({"doc_a": [a for a, _ in pairs],
-                             "doc_b": [b for _, b in pairs]})
-    return pd.DataFrame({"doc_a": np.full(m - 1, ids[0], dtype=np.int64),
-                         "doc_b": ids[1:]})
+    assert hot in ("star", "drop")
+
+    def grouped_pairs(df: pd.DataFrame) -> pa.Table:
+        # pandas in (the self-merge needs it), ARROW out: downstream
+        # groupbys over pandas blocks fall into a ~10x slower aggregate
+        # path, so pair blocks must enter the shuffle as Arrow.
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64())})
+        df = df.drop_duplicates(keys + ["doc_id"])
+        if len(df) < 2:
+            return empty
+        sizes = df.groupby(keys)["doc_id"].transform("size")
+        out_a, out_b = [], []
+        small = df[(sizes >= 2) & (sizes <= cap)]
+        if len(small):
+            m = small.merge(small, on=keys)
+            m = m[m["doc_id_x"] < m["doc_id_y"]]
+            out_a.append(m["doc_id_x"].to_numpy(np.int64))
+            out_b.append(m["doc_id_y"].to_numpy(np.int64))
+        if hot == "star":
+            big = df[sizes > cap]
+            if len(big):
+                mins = big.groupby(keys)["doc_id"].transform("min")
+                sel = big["doc_id"].to_numpy() > mins.to_numpy()
+                out_a.append(mins.to_numpy(np.int64)[sel])
+                out_b.append(big["doc_id"].to_numpy(np.int64)[sel])
+        if not out_a:
+            return empty
+        return pa.table({"doc_a": int64_col(np.concatenate(out_a)),
+                         "doc_b": int64_col(np.concatenate(out_b))})
+
+    grouped_pairs.__name__ = "grouped_pairs"
+    return grouped_pairs
 
 
-_bucket_pairs.__name__ = "lsh_bucket_pairs"
+def _add_gkey(batch: pa.Table) -> pa.Table:
+    """Hash-bucket key over (band, band_hash): all rows of one LSH bucket
+    share a gkey, and there are only ``_PAIR_GROUPS`` distinct gkeys."""
+    bh = batch.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    bnd = batch.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+    gkey = ((bh + bnd) % np.uint64(_PAIR_GROUPS)).astype(np.int64)
+    return batch.append_column("gkey", int64_col(gkey))
 
 
 def _distinct_pairs(pairs):
@@ -243,8 +282,10 @@ def minhash_lsh_dedup(sf_dir: str, threshold_bp: int = 5000):
     ds = read(sf_dir, "documents", ["doc_id", "text"])
     bands = ds.map_batches(MinHashStage, batch_format="pyarrow", batch_size=512,
                            concurrency=(1, 4))
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas")
+    pairs = bands.map_batches(_add_gkey, batch_format="pyarrow").groupby(
+        "gkey").map_groups(
+        _make_grouped_pairs(["band", "band_hash"], _BUCKET_CAP, hot="star"),
+        batch_format="pandas")
     uniq = _distinct_pairs(pairs)
 
     def add_vpart(batch: pa.Table) -> pa.Table:
@@ -307,8 +348,10 @@ def simhash_near_dups(sf_dir: str):
                          "band": int64_col(np.concatenate(bands)),
                          "band_hash": int64_col(np.concatenate(keys))})
 
-    pairs = sig.map_batches(explode, batch_format="pyarrow").groupby(
-        ["band", "band_hash"]).map_groups(_bucket_pairs, batch_format="pandas")
+    pairs = sig.map_batches(explode, batch_format="pyarrow").map_batches(
+        _add_gkey, batch_format="pyarrow").groupby("gkey").map_groups(
+        _make_grouped_pairs(["band", "band_hash"], _BUCKET_CAP, hot="star"),
+        batch_format="pandas")
     # distributed dedup of band-duplicated pairs; stays a Dataset
     return _distinct_pairs(pairs)
 
@@ -328,42 +371,30 @@ def _shingle_strings(text: str, k: int = 3) -> set[str]:
 
 
 class NgramShingleStage:
-    """map_batches: doc -> one (doc_id, shingle) row per DISTINCT k-token
-    shingle string. The downstream ``groupby(shingle)`` is the inverted
-    index; the shuffle moves shingle strings + ids, never full texts."""
+    """map_batches: doc -> one (doc_id, shingle, gkey) row per DISTINCT
+    k-token shingle string; ``gkey = crc32(shingle) % _PAIR_GROUPS`` is
+    the hash-bucket group key. The downstream ``groupby(gkey)`` carries
+    the shingle inverted index; the shuffle moves shingle strings + ids,
+    never full texts."""
 
     def __init__(self, k: int = 3):
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from zlib import crc32
+
         doc_ids: list[int] = []
         shingles: list[str] = []
+        gkeys: list[int] = []
         for did, text in zip(batch.column("doc_id").to_pylist(),
                              batch.column("text").to_pylist()):
             for g in _shingle_strings(text, self.k):
                 doc_ids.append(did)
                 shingles.append(g)
+                gkeys.append(crc32(g.encode()) % _PAIR_GROUPS)
         return pa.table({"doc_id": int64_col(doc_ids),
-                         "shingle": pa.array(shingles, pa.string())})
-
-
-def _make_rare_shingle_pairs(max_df: int):
-    """Pairs within one shingle's posting group; hot shingles (df >
-    ``max_df``) emit nothing — they carry no near-dup signal (boilerplate)
-    and would emit O(df^2) rows. The SQL oracle applies the same cutoff,
-    so the semantics stay exact: 'pairs sharing >=1 shingle with df <=
-    max_df, true Jaccard >= threshold'."""
-
-    def rare_shingle_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(group["doc_id"].to_numpy())
-        if len(ids) < 2 or len(ids) > max_df:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        pairs = list(combinations(ids.tolist(), 2))
-        return pd.DataFrame({"doc_a": [a for a, _ in pairs],
-                             "doc_b": [b for _, b in pairs]})
-
-    return rare_shingle_pairs
+                         "shingle": pa.array(shingles, pa.string()),
+                         "gkey": int64_col(gkeys)})
 
 
 def ngram_jaccard_dedup(sf_dir: str, threshold_bp: int = 3000, k: int = 3,
@@ -371,9 +402,10 @@ def ngram_jaccard_dedup(sf_dir: str, threshold_bp: int = 3000, k: int = 3,
     """Exact n-gram Jaccard near-dup pairs — no hashing anywhere, so the
     result is hash-checkable against a pure-SQL oracle.
 
-    Shape: shingle inverted index (groupby over shingle strings) emits
-    candidate pairs from rare shingles only (df <= ``max_shingle_df``;
-    all-pairs within a group is bounded by df^2 <= 10^4 rows); pair dedup
+    Shape: shingle inverted index (hash-bucketed groupby over shingle
+    strings, vectorized self-merge per bucket) emits candidate pairs from
+    rare shingles only (df <= ``max_shingle_df``; all-pairs per shingle
+    is bounded by df^2 <= 10^4 rows); pair dedup
     is a hash-partitioned groupby; exact Jaccard over the full distinct
     shingle sets runs in verify partitions that read only the texts their
     pairs reference. Same distributed shape as ``minhash_lsh_dedup`` with
@@ -385,8 +417,9 @@ def ngram_jaccard_dedup(sf_dir: str, threshold_bp: int = 3000, k: int = 3,
     rows = ds.map_batches(NgramShingleStage, fn_constructor_args=(k,),
                           batch_format="pyarrow", batch_size=512,
                           concurrency=(1, 4))
-    pairs = rows.groupby("shingle").map_groups(
-        _make_rare_shingle_pairs(max_shingle_df), batch_format="pandas")
+    pairs = rows.groupby("gkey").map_groups(
+        _make_grouped_pairs(["shingle"], max_shingle_df, hot="drop"),
+        batch_format="pandas")
     uniq = _distinct_pairs(pairs)
 
     def add_vpart(batch: pa.Table) -> pa.Table:

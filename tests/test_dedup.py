@@ -13,17 +13,53 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def test_bucket_pairs_cap_star():
-    from searchengine_ray.pipelines.dedup import _BUCKET_CAP, _bucket_pairs
+def test_grouped_pairs_cap_star():
+    from searchengine_ray.pipelines.dedup import _BUCKET_CAP, _make_grouped_pairs
 
-    small = pd.DataFrame({"doc_id": [3, 1, 2, 1]})
-    got = _bucket_pairs(small)
+    fn = _make_grouped_pairs(["band", "band_hash"], _BUCKET_CAP, hot="star")
+    small = pd.DataFrame({"band": [0] * 4, "band_hash": [7] * 4,
+                          "doc_id": [3, 1, 2, 1]})
+    got = fn(small).to_pandas()
     assert sorted(map(tuple, got.values.tolist())) == [(1, 2), (1, 3), (2, 3)]
-    big = pd.DataFrame({"doc_id": np.arange(_BUCKET_CAP + 10)})
-    got = _bucket_pairs(big)
+    big = pd.DataFrame({"band": 0, "band_hash": 7,
+                        "doc_id": np.arange(_BUCKET_CAP + 10)})
+    got = fn(big).to_pandas()
     # star pairs: bounded m-1 rows, all anchored at the min id
     assert len(got) == _BUCKET_CAP + 9
     assert (got["doc_a"] == 0).all()
+    # hot="drop": an over-cap key emits nothing
+    fn_drop = _make_grouped_pairs(["shingle"], 3, hot="drop")
+    df = pd.DataFrame({"shingle": ["x"] * 5 + ["y"] * 2,
+                       "doc_id": [1, 2, 3, 4, 5, 8, 9]})
+    got = fn_drop(df).to_pandas()
+    assert sorted(map(tuple, got.values.tolist())) == [(8, 9)]
+
+
+def test_grouped_pairs_matches_bruteforce():
+    """Vectorized self-merge pair emission == per-key brute force on a
+    random multi-key frame (the two keys deliberately collide across
+    values so the multi-key merge is exercised)."""
+    from itertools import combinations
+
+    from searchengine_ray.pipelines.dedup import _make_grouped_pairs
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"band": rng.integers(0, 3, 400),
+                       "band_hash": rng.integers(0, 5, 400),
+                       "doc_id": rng.integers(0, 60, 400)})
+    cap = 8
+    fn = _make_grouped_pairs(["band", "band_hash"], cap, hot="star")
+    got = sorted(map(tuple, fn(df).to_pandas().values.tolist()))
+    want = []
+    for _, g in df.drop_duplicates().groupby(["band", "band_hash"]):
+        ids = sorted(g["doc_id"].unique().tolist())
+        if len(ids) < 2:
+            continue
+        if len(ids) <= cap:
+            want.extend(combinations(ids, 2))
+        else:
+            want.extend((ids[0], x) for x in ids[1:])
+    assert got == sorted(want)
 
 
 def test_minhash_jaccard_is_exact(ray_session):
