@@ -21,7 +21,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from searchengine_ray.pipelines import ann, dedup, docsearch, multimodal
+from searchengine_ray.pipelines import ann, dedup, docsearch, events, multimodal
 from searchengine_ray.pipelines import relational as rel
 from searchengine_ray.pipelines import textstats as ts
 
@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": rel.pricing_summary,
         "top_orders_by_revenue": rel.top_orders_by_revenue,
         "events_daily": rel.events_daily,
+        "sessionize_events": events.sessionize_events,
+        "event_asof_join": events.event_asof_join,
         "top_parts": rel.top_parts,
         "suppliers_by_nation": rel.suppliers_by_nation,
         "segment_counts": rel.segment_counts,
@@ -95,6 +97,8 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": rel.pricing_summary_sql(),
         "top_orders_by_revenue": rel.top_orders_by_revenue_sql(),
         "events_daily": rel.events_daily_sql(),
+        "sessionize_events": events.sessionize_events_sql(),
+        "event_asof_join": events.event_asof_join_sql(),
         "top_parts": rel.top_parts_sql(),
         "suppliers_by_nation": rel.suppliers_by_nation_sql(),
         "segment_counts": rel.segment_counts_sql(),

@@ -1,0 +1,178 @@
+"""Event-stream operators: session windows and as-of joins.
+
+The reference engine is strictly batch (SURVEY §2.9: no windows or
+watermarks), but the brief's custom-operator list names windowed
+aggregates and as-of joins as first-class large-scale-pipeline needs.
+Both are expressed as the composition Ray Data's API allows —
+``map_batches`` (add a user-hash partition key) → ``groupby(upart)``
+→ ``map_groups`` with a fully vectorized body — so the only shuffle is
+ONE hash exchange on ``user_id % _N_UPARTS``.
+
+Partitioning assumption (documented per the brief): all events of one
+user fit in one group's memory. Users are the natural shard key for
+event streams; a single user's history is bounded (and at 100 TB a
+pathological user can be range-split by time inside the group body
+before sorting, since sessionization only needs a gap-window overlap).
+
+Hash-parity conventions follow ``common.py``: timestamps travel as
+int64 epoch microseconds (pandas ``astype("datetime64[us]")`` ==
+DuckDB ``epoch_us``), money as integer cents.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from searchengine_ray.pipelines.common import cents, read
+
+_N_UPARTS = 32
+
+
+def _add_upart(batch: pa.Table) -> pa.Table:
+    uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+    return batch.append_column(
+        "upart", pa.array((uid % _N_UPARTS).astype(np.int64)))
+
+
+# ---- session windows (gaps-and-islands) ----
+
+
+def _sessionize_part(gap_us: int):
+    def body(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy(dtype=np.int64)
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        v_c = cents(df["value"].to_numpy())
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"user_id": [], "session_id": [],
+                                 "n_events": [], "start_ts_us": [],
+                                 "end_ts_us": [], "sum_value_c": []})
+        # a row opens a new session iff it starts a new user or the gap
+        # from the previous event of the same user exceeds gap_us
+        new_s = np.ones(n, dtype=np.int64)
+        same = uid[1:] == uid[:-1]
+        within = (ts_us[1:] - ts_us[:-1]) <= gap_us
+        new_s[1:] = (~(same & within)).astype(np.int64)
+        gsid = np.cumsum(new_s)                     # globally unique per part
+        ufirst = np.flatnonzero(np.r_[True, ~same])  # first row of each user
+        ucounts = np.diff(np.r_[ufirst, n])
+        base = np.repeat(gsid[ufirst] - 1, ucounts)
+        sid = gsid - base                            # 1-based within user
+        seg = np.flatnonzero(new_s)                  # session start rows
+        counts = np.diff(np.r_[seg, n])
+        return pd.DataFrame({
+            "user_id": uid[seg],
+            "session_id": sid[seg],
+            "n_events": counts.astype(np.int64),
+            "start_ts_us": ts_us[seg],
+            "end_ts_us": ts_us[seg + counts - 1],
+            "sum_value_c": np.add.reduceat(v_c, seg).astype(np.int64),
+        })
+
+    return body
+
+
+def sessionize_events(sf_dir: str, gap_minutes: int = 30):
+    """Per-user session windows: a new session opens after a silence
+    longer than ``gap_minutes``. One hash shuffle on user_id; the
+    gaps-and-islands scan is vectorized numpy inside each group."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    parts = ds.map_batches(_add_upart, batch_format="pyarrow")
+    return parts.groupby("upart").map_groups(
+        _sessionize_part(gap_us), batch_format="pandas")
+
+
+def sessionize_events_sql(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(sid AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS start_ts_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS end_ts_us,
+       CAST(sum(v_c) AS BIGINT) AS sum_value_c
+FROM sess GROUP BY user_id, sid
+"""
+
+
+# ---- as-of join ----
+
+
+def _asof_part(left_type: str, right_type: str):
+    def body(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["event_type"] == left_type].sort_values(
+            "ts", kind="mergesort")
+        right = df[df["event_type"] == right_type].sort_values(
+            "ts", kind="mergesort")
+        cols = ["event_id", "user_id", "ts"]
+        if left.empty or right.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                                 "user_id": pd.Series([], dtype=np.int64),
+                                 "ts_us": pd.Series([], dtype=np.int64),
+                                 "prior_event_id": pd.Series([], dtype=np.int64),
+                                 "prior_ts_us": pd.Series([], dtype=np.int64)})
+        right = right[cols].assign(prior_ts=right["ts"])  # merge_asof drops
+        m = pd.merge_asof(left[cols], right, on="ts",     # the right 'on' col
+                          by="user_id", direction="backward",
+                          suffixes=("", "_r"))
+        m = m.dropna(subset=["event_id_r"])          # inner, like ASOF JOIN
+        return pd.DataFrame({
+            "event_id": m["event_id"].to_numpy(dtype=np.int64),
+            "user_id": m["user_id"].to_numpy(dtype=np.int64),
+            "ts_us": m["ts"].astype("datetime64[us]").astype("int64").to_numpy(),
+            "prior_event_id": m["event_id_r"].to_numpy().astype(np.int64),
+            "prior_ts_us": m["prior_ts"].astype("datetime64[us]").astype("int64").to_numpy(),
+        })
+
+    return body
+
+
+def event_asof_join(sf_dir: str, left_type: str = "purchase",
+                    right_type: str = "click"):
+    """For every ``left_type`` event, the most recent same-user
+    ``right_type`` event at-or-before it (ts >= prior ts). One hash
+    shuffle on user_id; ``pd.merge_asof`` does the vectorized
+    backward-search inside each group."""
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def keep_types(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array([left_type, right_type]))
+        return _add_upart(batch.filter(mask))
+
+    parts = ds.map_batches(keep_types, batch_format="pyarrow")
+    return parts.groupby("upart").map_groups(
+        _asof_part(left_type, right_type), batch_format="pandas")
+
+
+def event_asof_join_sql(left_type: str = "purchase",
+                        right_type: str = "click") -> str:
+    return f"""
+SELECT CAST(l.event_id AS BIGINT) AS event_id,
+       CAST(l.user_id AS BIGINT) AS user_id,
+       CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+       CAST(r.event_id AS BIGINT) AS prior_event_id,
+       CAST(epoch_us(r.ts) AS BIGINT) AS prior_ts_us
+FROM (SELECT * FROM events WHERE event_type = '{left_type}') l
+ASOF JOIN (SELECT * FROM events WHERE event_type = '{right_type}') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""

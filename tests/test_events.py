@@ -1,0 +1,92 @@
+"""Unit tests for the vectorized session-window / as-of bodies (no Ray:
+the map_groups bodies are plain pandas functions, so a brute-force
+python reimplementation checks them directly)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from searchengine_ray.pipelines.events import _asof_part, _sessionize_part
+
+GAP_US = 30 * 60 * 1_000_000
+
+
+def _mk_events(seed=7, n=400, users=9):
+    rng = np.random.default_rng(seed)
+    ts = pd.Timestamp("2024-01-01").value // 1000 + np.cumsum(
+        rng.integers(1, 90 * 60 * 1_000_000, size=n))
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, users, size=n).astype(np.int64),
+        "ts": pd.to_datetime(ts * 1000),
+        "event_type": rng.choice(["click", "purchase", "view"], size=n),
+        "value": rng.uniform(0, 100, size=n),
+    })
+
+
+def _brute_sessions(df):
+    out = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        ts_us = g["ts"].astype("int64").to_numpy() // 1000
+        v_c = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        sid, start = 0, 0
+        for i in range(len(g) + 1):
+            if i == len(g) or (i > 0 and ts_us[i] - ts_us[i - 1] > GAP_US):
+                sid += 1
+                out.append((uid, sid, i - start, ts_us[start], ts_us[i - 1],
+                            int(v_c[start:i].sum())))
+                start = i
+    return pd.DataFrame(out, columns=["user_id", "session_id", "n_events",
+                                      "start_ts_us", "end_ts_us",
+                                      "sum_value_c"])
+
+
+def _canon(df):
+    return (df[sorted(df.columns)].sort_values(sorted(df.columns))
+            .reset_index(drop=True).astype("int64"))
+
+
+def test_sessionize_matches_brute_force():
+    df = _mk_events()
+    got = _sessionize_part(GAP_US)(df)
+    want = _brute_sessions(df)
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+
+def test_sessionize_single_user_one_session():
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "user_id": [5, 5, 5],
+        "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:10",
+                              "2024-01-01 00:40"]),
+        "value": [1.0, 2.0, 3.0],
+    })
+    got = _sessionize_part(GAP_US)(df)
+    # gaps are 10 and 30 min; 30 min == gap stays in-session (> opens new)
+    assert len(got) == 1 and int(got.n_events.iloc[0]) == 3
+    assert int(got.session_id.iloc[0]) == 1
+    assert int(got.sum_value_c.iloc[0]) == 600
+
+
+def test_asof_matches_brute_force():
+    df = _mk_events(seed=11)
+    got = _asof_part("purchase", "click")(df)
+    want = []
+    clicks = df[df.event_type == "click"]
+    for _, row in df[df.event_type == "purchase"].iterrows():
+        prior = clicks[(clicks.user_id == row.user_id)
+                       & (clicks.ts <= row.ts)]
+        if len(prior):
+            p = prior.sort_values("ts").iloc[-1]
+            want.append((row.event_id, row.user_id,
+                         row.ts.value // 1000, p.event_id,
+                         p.ts.value // 1000))
+    want = pd.DataFrame(want, columns=["event_id", "user_id", "ts_us",
+                                       "prior_event_id", "prior_ts_us"])
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)

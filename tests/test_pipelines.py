@@ -21,7 +21,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "top_parts", "suppliers_by_nation", "segment_counts",
                "bm25_topk", "bm25_topk_wand", "index_dictionary",
                "phrase_search", "lang_id", "doc_fingerprint",
-               "numeric_literals", "token_count_bpe", "ngram_jaccard_dedup"]
+               "numeric_literals", "token_count_bpe", "ngram_jaccard_dedup",
+               "sessionize_events", "event_asof_join"]
 
 
 @pytest.fixture(scope="module")
