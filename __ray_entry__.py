@@ -68,6 +68,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": rel.events_daily,
         "sessionize_events": events.sessionize_events,
         "event_asof_join": events.event_asof_join,
+        "event_range_join": events.event_range_join,
+        "top_terms_per_lang": ts.top_terms_per_lang,
+        "dataset_split": ts.dataset_split,
         "top_parts": rel.top_parts,
         "suppliers_by_nation": rel.suppliers_by_nation,
         "segment_counts": rel.segment_counts,
@@ -99,6 +102,9 @@ def oracle_sql() -> dict[str, str]:
         "events_daily": rel.events_daily_sql(),
         "sessionize_events": events.sessionize_events_sql(),
         "event_asof_join": events.event_asof_join_sql(),
+        "event_range_join": events.event_range_join_sql(),
+        "top_terms_per_lang": ts.top_terms_per_lang_sql(),
+        "dataset_split": ts.dataset_split_sql(),
         "top_parts": rel.top_parts_sql(),
         "suppliers_by_nation": rel.suppliers_by_nation_sql(),
         "segment_counts": rel.segment_counts_sql(),

@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from searchengine_ray.pipelines.common import cents, read
+from searchengine_ray.pipelines.common import cents, int64_col, read
 
 _N_UPARTS = 32
 
@@ -162,6 +162,83 @@ def event_asof_join(sf_dir: str, left_type: str = "purchase",
     parts = ds.map_batches(keep_types, batch_format="pyarrow")
     return parts.groupby("upart").map_groups(
         _asof_part(left_type, right_type), batch_format="pandas")
+
+
+# ---- range (band) join ----
+
+
+def _range_part(window_us: int):
+    def body(df: pd.DataFrame) -> pd.DataFrame:
+        probes = df[df["kind"] == 1]
+        ts = np.sort(df.loc[df["kind"] == 0, "ts_us"].to_numpy(dtype=np.int64))
+        p_ts = probes["ts_us"].to_numpy(dtype=np.int64)
+        # clicks of THIS bucket with ts in (p - window, p]; the probe's
+        # other bucket-copy contributes the remainder of the window
+        lo = np.searchsorted(ts, p_ts - window_us, side="right")
+        hi = np.searchsorted(ts, p_ts, side="right")
+        return pd.DataFrame({
+            "event_id": probes["event_id"].to_numpy(dtype=np.int64),
+            "n_recent_p": (hi - lo).astype(np.int64),
+        })
+
+    return body
+
+
+def event_range_join(sf_dir: str, left_type: str = "purchase",
+                     right_type: str = "click", window_minutes: int = 60):
+    """Band join with NO equality key: for every ``left_type`` event,
+    the number of ``right_type`` events (any user) in the half-open
+    window ``(ts - window, ts]``.
+
+    Scale shape: ONE hash shuffle on a time bucket whose width equals
+    the window. Build rows land in exactly one bucket; each probe is
+    duplicated into the two buckets its window can overlap, partial
+    counts are summed by a tiny final groupby on event_id. Skew is
+    bounded by events-per-window, not table size; a wider window at
+    fixed data density only grows buckets linearly."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    window_us = window_minutes * 60 * 1_000_000
+    ds = read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def to_bucketed(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        ts_us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        b = ts_us // window_us
+        is_l = pc.equal(et, left_type).to_numpy(zero_copy_only=False)
+        is_r = pc.equal(et, right_type).to_numpy(zero_copy_only=False)
+        out_b = np.concatenate([b[is_r], b[is_l], b[is_l] - 1])
+        out_ts = np.concatenate([ts_us[is_r], ts_us[is_l], ts_us[is_l]])
+        out_id = np.concatenate([eid[is_r], eid[is_l], eid[is_l]])
+        kind = np.concatenate([np.zeros(int(is_r.sum()), dtype=np.int64),
+                               np.ones(2 * int(is_l.sum()), dtype=np.int64)])
+        return pa.table({"bucket": int64_col(out_b), "ts_us": int64_col(out_ts),
+                         "event_id": int64_col(out_id), "kind": int64_col(kind)})
+
+    parts = ds.map_batches(to_bucketed, batch_format="pyarrow")
+    partial = parts.groupby("bucket").map_groups(
+        _range_part(window_us), batch_format="pandas")
+    return partial.groupby("event_id").aggregate(
+        Sum("n_recent_p", alias_name="n_recent"))
+
+
+def event_range_join_sql(left_type: str = "purchase",
+                         right_type: str = "click",
+                         window_minutes: int = 60) -> str:
+    window_us = window_minutes * 60 * 1_000_000
+    return f"""
+SELECT CAST(l.event_id AS BIGINT) AS event_id,
+       CAST(count(r.event_id) AS BIGINT) AS n_recent
+FROM (SELECT event_id, epoch_us(ts) AS t FROM events
+      WHERE event_type = '{left_type}') l
+LEFT JOIN (SELECT event_id, epoch_us(ts) AS t FROM events
+           WHERE event_type = '{right_type}') r
+  ON r.t > l.t - {window_us} AND r.t <= l.t
+GROUP BY l.event_id
+"""
 
 
 def event_asof_join_sql(left_type: str = "purchase",

@@ -442,6 +442,131 @@ FROM canon GROUP BY literal
 """
 
 
+class TermsByLangPartial(_SimpleTokenStage):
+    """batch -> one row per (lang, term): partial total tf. Same
+    pre-aggregation shape as TermDFPartial with the language as a
+    second group key carried from the document row."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "term": pa.array([], pa.string()),
+                          "tf_p": pa.array([], pa.int64())})
+        texts = batch.column("text").to_pylist()
+        langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        ids = np.arange(len(texts), dtype=np.int64)
+        codes, docs, tfs, info = self.analyzer.tokenize_batch(texts, ids)
+        if len(codes) == 0:
+            return empty
+        n_terms = len(info["vocab"])
+        lang_codes, lang_vals = pd.factorize(langs[docs])
+        combined = lang_codes.astype(np.int64) * n_terms + codes
+        tf = np.bincount(combined, weights=tfs,
+                         minlength=len(lang_vals) * n_terms).astype(np.int64)
+        nz = np.flatnonzero(tf)
+        vocab = np.asarray(info["vocab"], dtype=object)
+        return pa.table({
+            "lang": pa.array(lang_vals[nz // n_terms], pa.string()),
+            "term": pa.array(vocab[nz % n_terms], pa.string()),
+            "tf_p": int64_col(tf[nz]),
+        })
+
+
+def top_terms_per_lang(sf_dir: str, k: int = 10):
+    """Grouped top-k: the k most frequent tokens per language,
+    tie-broken (tf desc, term asc). The wide shuffle carries one row
+    per (lang, term, batch); the per-lang top-k runs over the already
+    tiny merged vocabulary slice."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", ["lang", "text"])
+    partial = ds.map_batches(TermsByLangPartial, batch_format="pyarrow",
+                             batch_size=512, concurrency=(1, 4))
+    tf = partial.groupby(["lang", "term"]).aggregate(
+        Sum("tf_p", alias_name="total_tf"))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["total_tf", "term"], ascending=[False, True],
+                            kind="mergesort").head(k)
+        return pd.DataFrame({
+            "lang": df["lang"].to_numpy(),
+            "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+            "term": df["term"].to_numpy(),
+            "total_tf": df["total_tf"].to_numpy(dtype=np.int64),
+        })
+
+    return tf.groupby("lang").map_groups(topk, batch_format="pandas")
+
+
+def top_terms_per_lang_sql(k: int = 10) -> str:
+    return f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents),
+tf AS (SELECT lang, term, count(*) AS total_tf FROM toks
+       WHERE term <> '' GROUP BY lang, term),
+ranked AS (SELECT *, row_number() OVER
+             (PARTITION BY lang ORDER BY total_tf DESC, term) AS rank
+           FROM tf)
+SELECT lang, CAST(rank AS BIGINT) AS rank, term,
+       CAST(total_tf AS BIGINT) AS total_tf
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _split_of(hmod: np.ndarray) -> np.ndarray:
+    return np.where(hmod < 98, "train", np.where(hmod < 99, "val", "test"))
+
+
+def dataset_split(sf_dir: str):
+    """Deterministic 98/1/1 train/val/test split by md5(doc_id) — the
+    standard reproducible-split idiom for training corpora (hash the
+    stable id, never row order, so the assignment survives repartition
+    and incremental ingest). Output: per (split, lang) doc counts and
+    char volume; the split column itself is a pure per-row map, so the
+    only shuffle carries (split, lang) partials."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        h = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+             for i in ids), dtype=np.int64, count=len(ids))
+        df = pd.DataFrame({
+            "split": _split_of(h),
+            "lang": batch.column("lang").to_pylist(),
+            "n_chars": batch.column("n_chars").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["split", "lang"], as_index=False).agg(
+            n_docs_p=("n_chars", "size"), sum_chars_p=("n_chars", "sum"))
+        return pa.table({"split": pa.array(g["split"], pa.string()),
+                         "lang": pa.array(g["lang"], pa.string()),
+                         "n_docs_p": int64_col(g["n_docs_p"]),
+                         "sum_chars_p": int64_col(g["sum_chars_p"])})
+
+    ds = read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    partial = ds.map_batches(assign, batch_format="pyarrow")
+    return partial.groupby(["split", "lang"]).aggregate(
+        Sum("n_docs_p", alias_name="n_docs"),
+        Sum("sum_chars_p", alias_name="sum_chars"))
+
+
+def dataset_split_sql() -> str:
+    return """
+WITH h AS (
+  SELECT lang, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 100 AS hh
+  FROM documents)
+SELECT CASE WHEN hh < 98 THEN 'train' WHEN hh < 99 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM h GROUP BY 1, 2
+"""
+
+
 def doc_fingerprint_sql() -> str:
     return f"""
 SELECT doc_id,

@@ -10,7 +10,8 @@ import pandas as pd
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from searchengine_ray.pipelines.events import _asof_part, _sessionize_part
+from searchengine_ray.pipelines.events import (_asof_part, _range_part,
+                                               _sessionize_part)
 
 GAP_US = 30 * 60 * 1_000_000
 
@@ -71,6 +72,34 @@ def test_sessionize_single_user_one_session():
     assert len(got) == 1 and int(got.n_events.iloc[0]) == 3
     assert int(got.session_id.iloc[0]) == 1
     assert int(got.sum_value_c.iloc[0]) == 600
+
+
+def test_range_join_buckets_match_brute_force():
+    # replicate the two-bucket probe duplication + partial-sum scheme
+    # end to end against an O(n^2) scan
+    df = _mk_events(seed=3)
+    w_us = 60 * 60 * 1_000_000
+    ts_us = df["ts"].astype("int64").to_numpy() // 1000
+    b = ts_us // w_us
+    clicks = df.event_type == "click"
+    purch = df.event_type == "purchase"
+    parts = {}
+    for dup in (0, 1):
+        for i in np.flatnonzero(purch):
+            parts.setdefault(b[i] - dup, []).append(
+                (df.event_id.iloc[i], ts_us[i], 1))
+    for i in np.flatnonzero(clicks):
+        parts.setdefault(b[i], []).append((df.event_id.iloc[i], ts_us[i], 0))
+    total = {}
+    for rows in parts.values():
+        g = pd.DataFrame(rows, columns=["event_id", "ts_us", "kind"])
+        out = _range_part(w_us)(g)
+        for _, r in out.iterrows():
+            total[r.event_id] = total.get(r.event_id, 0) + r.n_recent_p
+    c_ts = ts_us[clicks]
+    for i in np.flatnonzero(purch):
+        want = int(((c_ts > ts_us[i] - w_us) & (c_ts <= ts_us[i])).sum())
+        assert total[df.event_id.iloc[i]] == want
 
 
 def test_asof_matches_brute_force():

@@ -22,7 +22,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "bm25_topk", "bm25_topk_wand", "index_dictionary",
                "phrase_search", "lang_id", "doc_fingerprint",
                "numeric_literals", "token_count_bpe", "ngram_jaccard_dedup",
-               "sessionize_events", "event_asof_join"]
+               "sessionize_events", "event_asof_join", "event_range_join",
+               "top_terms_per_lang", "dataset_split"]
 
 
 @pytest.fixture(scope="module")
