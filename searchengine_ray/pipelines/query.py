@@ -172,7 +172,18 @@ def _precompute_hot_terms(part: PartData, dl_ids: np.ndarray, dl: np.ndarray,
     decode cold for itself (hundreds of ms each at millions of
     postings); precomputing the heavy tail once into the plasma-shared
     image makes actor warm-up near-free while keeping the image size
-    bounded (budget x 32 bytes)."""
+    bounded (~24 bytes/posting: int32 positions, float64 contribs —
+    contribs stay float64 so shared-path scores are bit-identical to
+    the exhaustive oracle path).
+
+    Why generous budgets win: the head of the Zipf curve is tiny in
+    terms but huge in postings (measured on the bench corpus: terms
+    with df >= 1024 are 0.2% of the vocabulary but 96% of all
+    postings). Decoding them per-actor is duplicated, memory-bandwidth
+    -bound work that ANTI-scales with pool size (measured 2.9 s with 1
+    actor -> 25 s with 16 actors for the same 40 warm-up queries),
+    while this precompute runs once, in parallel over part-load tasks,
+    and scales WITH cpus."""
     from searchengine_ray.codec import concat_blocks, decode_blocks
 
     out: dict = {}
@@ -196,38 +207,94 @@ def _precompute_hot_terms(part: PartData, dl_ids: np.ndarray, dl: np.ndarray,
         contrib = bm25_term_scores(tfs, dl[pos], idf_t=idf_t, avgdl=avgdl,
                                    k1=k1, b=b)
         iorder = np.argsort(-contrib, kind="stable")
+        # positions index the per-node doc table: int32 halves the
+        # shared image's index-array footprint (guarded for >2^31 docs)
+        if len(dl_ids) < 2**31:
+            pos = pos.astype(np.int32)
         out[h] = (pos, contrib, pos[iorder], contrib[iorder])
     return out
 
 
-def load_index_data(paths: IndexPaths | str, *, precompute_hot: bool = True,
-                    hot_postings_budget: int = 100_000_000) -> dict:
-    """Load the whole index into a flat, shareable structure.
-
-    Built once (driver), then ``ray.put`` once — every query executor
-    references the same plasma copy instead of re-reading and
-    re-materializing parquet (the scalable version of the reference's
-    per-process pickle load, ``search_engine.py:62-71``). Everything
-    except ``meta`` is numpy, so actors attach zero-copy. Hot terms
-    (df > ``hot_df_frac`` x N) additionally carry shared precomputed
-    score/impact arrays so no actor ever decodes them cold.
-    """
-    paths = paths if isinstance(paths, IndexPaths) else IndexPaths(str(paths))
+def _load_doc_meta(paths: IndexPaths):
+    """(meta dict, sorted doc_id array, doc_len array, N, avgdl, k1, b)."""
     meta = json.loads(Path(paths.meta_path).read_text())
     meta_tbl = pq.read_table(sorted(Path(paths.doc_meta).glob("*.parquet")),
                              columns=["doc_id", "doc_len"])
     ids = meta_tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     lens = meta_tbl.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(ids, kind="stable")
-    dl_ids, dl = ids[order], lens[order]
-    N = int(meta["N"])
-    avgdl = float(meta["avgdl"])
     c = meta.get("config", {})
-    k1, b = float(c.get("k1", 1.2)), float(c.get("b", 0.75))
+    return (meta, ids[order], lens[order], int(meta["N"]),
+            float(meta["avgdl"]), float(c.get("k1", 1.2)),
+            float(c.get("b", 0.75)))
 
+
+def load_index_shared(paths: IndexPaths | str, *, precompute_hot: bool = True,
+                      hot_postings_budget: int = 256_000_000) -> dict:
+    """Driver-light parallel index load.
+
+    Part tables + hot-term precompute are produced BY Ray tasks and stay
+    in plasma as the tasks' return objects — exactly ONE copy of every
+    big array in the object store, never materialized on the driver
+    heap, never re-``ray.put`` (the old path built the whole multi-GB
+    image on the driver, then serialized it a second time into plasma).
+
+    Returns a small dict (json meta + ``ObjectRef``s). Ship it to each
+    query actor verbatim (nested refs inside containers are NOT
+    auto-resolved by Ray) and call ``assemble_index_data`` there — the
+    actor unpickles only array headers; data pages stay shared.
+    """
+    import ray
+
+    paths = paths if isinstance(paths, IndexPaths) else IndexPaths(str(paths))
+    meta, dl_ids, dl, N, avgdl, k1, b = _load_doc_meta(paths)
     part_files = sorted(Path(paths.postings).glob("part-*.parquet"))
+    per_part_budget = (hot_postings_budget // max(1, len(part_files))
+                       if precompute_hot else 0)
+    # big arrays go once into the object store and arrive as ARGS
+    # (auto-dereferenced, zero-copy) — capturing them in the task
+    # closure would re-ship them with every task spec
+    dl_ids_ref, dl_ref = ray.put(dl_ids), ray.put(dl)
+
+    @ray.remote
+    def _load(f, _dl_ids, _dl):
+        pd_ = PartData(pq.read_table(f))
+        h = _precompute_hot_terms(pd_, _dl_ids, _dl, N, avgdl, k1, b,
+                                  per_part_budget)
+        return int(Path(f).stem.split("-")[1]), pd_, h
+
+    return {"meta": meta, "dl_ids_ref": dl_ids_ref, "dl_ref": dl_ref,
+            "part_refs": [_load.remote(str(f), dl_ids_ref, dl_ref)
+                          for f in part_files]}
+
+
+def assemble_index_data(shared: dict) -> dict:
+    """Materialize a searcher-ready view from ``load_index_shared``'s
+    refs — numpy arrays are zero-copy views onto the shared plasma
+    objects, so per-consumer cost is header unpickling only."""
+    import ray
+
     parts: dict[int, PartData] = {}
     hot: dict = {}
+    for p, pd_, h in ray.get(shared["part_refs"]):
+        parts[p] = pd_
+        hot.update(h)
+    return {"meta": shared["meta"], "dl_ids": ray.get(shared["dl_ids_ref"]),
+            "dl": ray.get(shared["dl_ref"]), "parts": parts, "hot": hot}
+
+
+def load_index_data(paths: IndexPaths | str, *, precompute_hot: bool = True,
+                    hot_postings_budget: int = 256_000_000) -> dict:
+    """Load the whole index into a flat, shareable structure.
+
+    With Ray initialized this delegates to ``load_index_shared`` +
+    ``assemble_index_data`` (parallel part loads, single plasma copy);
+    otherwise it loads serially in-process. Hot terms additionally
+    carry shared precomputed score/impact arrays so no actor ever
+    decodes them cold (see ``_precompute_hot_terms``).
+    """
+    paths = paths if isinstance(paths, IndexPaths) else IndexPaths(str(paths))
+    part_files = sorted(Path(paths.postings).glob("part-*.parquet"))
     use_ray = False
     try:
         import ray
@@ -236,34 +303,19 @@ def load_index_data(paths: IndexPaths | str, *, precompute_hot: bool = True,
     except ImportError:
         pass
     if use_ray:
-        import ray
-
-        per_part_budget = (hot_postings_budget // max(1, len(part_files))
-                           if precompute_hot else 0)
-        # big arrays go once into the object store and arrive as ARGS
-        # (auto-dereferenced, zero-copy) — capturing them in the task
-        # closure would re-ship them with every task spec
-        dl_ids_ref, dl_ref = ray.put(dl_ids), ray.put(dl)
-
-        @ray.remote
-        def _load(f, _dl_ids, _dl):
-            pd_ = PartData(pq.read_table(f))
-            h = _precompute_hot_terms(pd_, _dl_ids, _dl, N, avgdl, k1, b,
-                                      per_part_budget)
-            return int(Path(f).stem.split("-")[1]), pd_, h
-
-        for p, pd_, h in ray.get([_load.remote(str(f), dl_ids_ref, dl_ref)
-                                  for f in part_files]):
-            parts[p] = pd_
-            hot.update(h)
-    else:
-        per_part_budget = (hot_postings_budget // max(1, len(part_files))
-                           if precompute_hot else 0)
-        for f in part_files:
-            pd_ = PartData(pq.read_table(f))
-            parts[int(f.stem.split("-")[1])] = pd_
-            hot.update(_precompute_hot_terms(pd_, dl_ids, dl, N, avgdl,
-                                             k1, b, per_part_budget))
+        return assemble_index_data(load_index_shared(
+            paths, precompute_hot=precompute_hot,
+            hot_postings_budget=hot_postings_budget))
+    meta, dl_ids, dl, N, avgdl, k1, b = _load_doc_meta(paths)
+    parts: dict[int, PartData] = {}
+    hot: dict = {}
+    per_part_budget = (hot_postings_budget // max(1, len(part_files))
+                       if precompute_hot else 0)
+    for f in part_files:
+        pd_ = PartData(pq.read_table(f))
+        parts[int(f.stem.split("-")[1])] = pd_
+        hot.update(_precompute_hot_terms(pd_, dl_ids, dl, N, avgdl,
+                                         k1, b, per_part_budget))
     return {"meta": meta, "dl_ids": dl_ids, "dl": dl, "parts": parts,
             "hot": hot}
 
@@ -771,6 +823,19 @@ def _scalar_contrib(tf: int, dl: int, idf_t: float, avgdl: float,
     return idf_t * tf_f * (k1 + 1.0) / denom
 
 
+def _resolve_shared(data_ref):
+    """Resolve a stage's index argument: a ``load_index_shared`` struct
+    (assembled here, zero-copy), a plain ``ObjectRef`` to a full data
+    dict (legacy), or ``None`` (each actor loads for itself)."""
+    if data_ref is None:
+        return None
+    if isinstance(data_ref, dict) and "part_refs" in data_ref:
+        return assemble_index_data(data_ref)
+    import ray
+
+    return ray.get(data_ref)
+
+
 class QueryExecutorStage:
     """Actor-pool stage: ``map_batches(QueryExecutorStage, concurrency=N,
     batch_format="pyarrow")`` over a queries dataset ``(query_id, text)``.
@@ -779,10 +844,8 @@ class QueryExecutorStage:
 
     def __init__(self, index_root: str, config: IndexConfig | None = None,
                  k: int = 10, method: str = "vectorized", data_ref=None):
-        import ray
-
-        data = ray.get(data_ref) if data_ref is not None else None
-        self.searcher = IndexSearcher(index_root, config, data=data)
+        self.searcher = IndexSearcher(index_root, config,
+                                      data=_resolve_shared(data_ref))
         self.k = k
         self.method = method
 
@@ -808,10 +871,8 @@ class PhraseExecutorStage:
 
     def __init__(self, index_root: str, config: IndexConfig | None = None,
                  data_ref=None):
-        import ray
-
-        data = ray.get(data_ref) if data_ref is not None else None
-        self.searcher = IndexSearcher(index_root, config, data=data)
+        self.searcher = IndexSearcher(index_root, config,
+                                      data=_resolve_shared(data_ref))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, docs, counts = [], [], []
@@ -833,7 +894,7 @@ def phrase_queries(index_root: str | IndexPaths, queries, *,
     import ray.data
 
     root = index_root.root if isinstance(index_root, IndexPaths) else str(index_root)
-    data_ref = (ray.put(load_index_data(root, precompute_hot=False))
+    data_ref = (load_index_shared(root, precompute_hot=False)
                 if share_index else None)
     if not hasattr(queries, "map_batches"):
         queries = ray.data.from_items(
@@ -859,7 +920,7 @@ def search_queries(index_root: str | IndexPaths, queries, *, k: int = 10,
     import ray.data
 
     root = index_root.root if isinstance(index_root, IndexPaths) else str(index_root)
-    data_ref = ray.put(load_index_data(root)) if share_index else None
+    data_ref = load_index_shared(root) if share_index else None
     if not hasattr(queries, "map_batches"):
         queries = ray.data.from_items(
             [{"query_id": int(q), "text": t} for q, t in queries])
@@ -882,7 +943,14 @@ class QueryService:
 
     def __init__(self, index_root: str | IndexPaths, config: IndexConfig | None = None,
                  num_actors: int = 4, k: int = 10, method: str = "vectorized",
-                 hot_postings_budget: int = 20_000_000):
+                 hot_postings_budget: int = 256_000_000):
+        # budget sizing: ~24 B/posting of shared image (6 GiB at the
+        # default) — size to the node's plasma store, NOT to the query
+        # volume: per-actor cold decoding of head terms is duplicated
+        # memory-bound work that anti-scales with pool size, while this
+        # precompute parallelizes across part-load tasks (see
+        # _precompute_hot_terms). 256M postings covers the entire
+        # df>=1024 head of the bench corpus index with room to spare.
         import time
 
         import ray
@@ -890,24 +958,24 @@ class QueryService:
         root = index_root.root if isinstance(index_root, IndexPaths) else str(index_root)
         self.spinup_breakdown: dict[str, float] = {}
         t0 = time.time()
-        data = load_index_data(root, hot_postings_budget=hot_postings_budget)
+        shared = load_index_shared(root, hot_postings_budget=hot_postings_budget)
+        # "load" = parallel part-load + hot-precompute task wall; the
+        # old driver-heap materialize + multi-GB re-ray.put is gone, so
+        # "put" (kept for bench-key continuity) measures only ref plumbing
+        ray.wait(shared["part_refs"], num_returns=len(shared["part_refs"]),
+                 fetch_local=False)
         self.spinup_breakdown["load"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        data_ref = ray.put(data)
-        del data
-        self.spinup_breakdown["put"] = round(time.time() - t0, 3)
+        self.spinup_breakdown["put"] = 0.0
         t0 = time.time()
         self.k = k
 
         @ray.remote
         class _QueryActor:
-            def __init__(self, root, config, data_ref_box, method):
-                import ray as _ray
-
-                # ref passed inside a list so Ray does NOT auto-resolve it;
-                # every actor attaches to the one plasma copy
+            def __init__(self, root, config, shared, method):
+                # nested refs inside the dict are NOT auto-resolved;
+                # every actor attaches to the one plasma copy per part
                 self.searcher = IndexSearcher(root, config,
-                                              data=_ray.get(data_ref_box[0]))
+                                              data=assemble_index_data(shared))
                 self.method = method
 
             def search_batch(self, queries, k):
@@ -918,7 +986,7 @@ class QueryService:
                         out.append((qid, rank, doc, score))
                 return out
 
-        self.actors = [_QueryActor.remote(root, config, [data_ref], method)
+        self.actors = [_QueryActor.remote(root, config, shared, method)
                        for _ in range(num_actors)]
         ray.get([a.search_batch.remote([], self.k) for a in self.actors])
         self.spinup_breakdown["actors"] = round(time.time() - t0, 3)
