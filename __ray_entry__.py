@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": ts.doc_token_stats,
         "token_count_by_lang": ts.token_count_by_lang,
         "text_quality": ts.text_quality,
+        "repetition_quality": ts.repetition_quality,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
@@ -53,8 +54,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
+        "ann_ivf_topk": ann.ann_ivf_topk,
         # --- text analysis (non-SQL) ---
         "lang_id": ts.lang_id,
+        "distinct_terms_hll": ts.distinct_terms_hll,
         "doc_fingerprint": ts.doc_fingerprint,
         "numeric_literals": ts.numeric_literals,
         "token_count_bpe": ts.token_count_bpe,
@@ -87,6 +90,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": ts.doc_token_stats_sql(),
         "token_count_by_lang": ts.token_count_by_lang_sql(),
         "text_quality": ts.text_quality_sql(),
+        "repetition_quality": ts.repetition_quality_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup_sql(),
         "embedding_near_dups": dedup.embedding_near_dups_sql(),

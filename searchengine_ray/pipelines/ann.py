@@ -9,6 +9,11 @@
   (Charikar 2002) buckets vectors; only the query's bucket (and its
   neighbor probes) is scanned. Recall is tested against the exact
   baseline in tests.
+- ``ann_ivf_topk``: IVF (inverted-file) variant — a deterministic
+  spherical k-means coarse quantizer (trained on a bounded,
+  hash-chosen sample, so training cost is independent of corpus size)
+  partitions vectors into ``list=<c>/`` parquet directories; queries
+  read only their ``nprobe`` closest lists. Recall tested vs exact.
 """
 
 from __future__ import annotations
@@ -17,7 +22,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from searchengine_ray.pipelines.common import bp, int64_col, read
+from searchengine_ray.pipelines.common import bp, emb_matrix, int64_col, read
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -50,7 +55,7 @@ class BruteCosineTopK:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        emb = emb_matrix(batch.column("embedding"))
         emb = _normalize(emb)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         sims_bp = bp(self.qmat @ emb.T)                           # (q, b) integer bp
@@ -129,7 +134,7 @@ class LshBucketStage:
         return bits.astype(np.int64) @ weights
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        emb = emb_matrix(batch.column("embedding"))
         return batch.append_column("bucket", int64_col(self.bucket_of(_normalize(emb))))
 
 
@@ -197,6 +202,135 @@ def ann_lsh_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
             probe.add(int(qb) ^ (1 << i))
     paths = [str(f) for b in sorted(probe)
              for p in [Path(root) / f"bucket={b}"] if p.is_dir()
+             for f in sorted(p.glob("*.parquet"))]
+    if not paths:
+        return pa.table({"query_vec_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "cosine_bp": pa.array([], pa.int64())})
+    qids_ref, qmat_ref = ray.put(qids), ray.put(qmat)
+    pruned = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+    local = pruned.map_batches(BruteCosineTopK,
+                               fn_constructor_args=(qids_ref, qmat_ref, k),
+                               batch_format="pyarrow", batch_size=1024,
+                               concurrency=(1, 2))
+    return local.groupby("query_vec_id").map_groups(
+        _merge_topk_factory(k), batch_format="pandas")
+
+
+def _spherical_kmeans(sample: np.ndarray, n_centroids: int, seed: int,
+                      iters: int = 12) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd's on the unit sphere).
+
+    Cosine assignment == argmax dot product after normalization. Empty
+    clusters are reseeded to the currently worst-covered sample point
+    (deterministic), so every list ends non-degenerate."""
+    x = _normalize(sample.astype(np.float64))
+    rng = np.random.default_rng(seed)
+    c = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ c.T                               # (n, k)
+        assign = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(x)), assign]
+        new_c = np.zeros_like(c)
+        np.add.at(new_c, assign, x)
+        counts = np.bincount(assign, minlength=len(c))
+        worst = np.argsort(best, kind="stable")      # least-covered first
+        wi = 0
+        for j in np.flatnonzero(counts == 0):
+            new_c[j] = x[worst[wi]]                  # deterministic reseed
+            wi += 1
+        c = _normalize(new_c)
+    return c
+
+
+def _ivf_sample(sf_dir: str, sample_size: int = 4096) -> np.ndarray:
+    """Bounded deterministic training sample: every vec_id ≡ 0 (mod m)
+    with m sized from the table's row count — order-independent, so the
+    same sample comes back no matter how blocks are scanned. At 100 TB
+    the sample (and therefore training cost) stays this size."""
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = ds.count()                                   # parquet metadata, no scan
+    m = max(1, n // sample_size)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return batch.take(pa.array(np.flatnonzero(ids % m == 0)))
+
+    rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    return np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+
+class IvfAssignStage:
+    """vec -> nearest-centroid list id (one matmul per batch)."""
+
+    def __init__(self, centroids_ref):
+        import ray
+
+        self.centroids = ray.get(centroids_ref)      # (k, d), unit rows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = emb_matrix(batch.column("embedding"))
+        assign = np.argmax(_normalize(emb) @ self.centroids.T, axis=1)
+        return batch.append_column("list", int64_col(assign.astype(np.int64)))
+
+
+def ensure_ivf_index(sf_dir: str, n_centroids: int = 16, seed: int = 42
+                     ) -> tuple[str, np.ndarray]:
+    """Build (once) the persisted IVF layout: embeddings partitioned by
+    nearest-centroid into ``list=<c>/...parquet``; centroids saved next
+    to the data. Returns (root, centroids). Resumable via done-marker."""
+    import hashlib
+    import json
+    from pathlib import Path
+
+    import ray
+
+    tag = hashlib.blake2b(f"{sf_dir}|ivf|{n_centroids}|{seed}".encode(),
+                          digest_size=6).hexdigest()
+    root = Path(f"/tmp/graft_ivf_index/{tag}")
+    marker = root / "_DONE.json"
+    if marker.is_file():
+        return str(root), np.load(root / "centroids.npy")
+    if root.exists():
+        import shutil
+
+        shutil.rmtree(root)
+    centroids = _spherical_kmeans(_ivf_sample(sf_dir), n_centroids, seed)
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cref = ray.put(centroids)
+    assigned = ds.map_batches(IvfAssignStage, fn_constructor_args=(cref,),
+                              batch_format="pyarrow", batch_size=1024,
+                              concurrency=(1, 2))
+    assigned.write_parquet(str(root), partition_cols=["list"])
+    np.save(root / "centroids.npy", centroids)
+    marker.write_text(json.dumps({"sf_dir": sf_dir, "n_centroids": n_centroids,
+                                  "seed": seed}))
+    return str(root), centroids
+
+
+def ann_ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
+                 n_centroids: int = 16, nprobe: int = 4, seed: int = 42):
+    """Approximate top-k over the persisted IVF layout: each query reads
+    only its ``nprobe`` nearest inverted lists (I/O pruning observable
+    in the read task count), then scans them exactly like the
+    brute-force path. Recall vs the exact baseline is tested."""
+    import ray
+
+    from pathlib import Path
+
+    qids_list = query_ids or DEFAULT_QUERY_IDS
+    qids, qmat = _query_matrix(sf_dir, qids_list)
+    root, centroids = ensure_ivf_index(sf_dir, n_centroids=n_centroids, seed=seed)
+    sims = _normalize(qmat) @ centroids.T            # (q, k)
+    nprobe = min(nprobe, sims.shape[1])
+    probe = set()
+    for qi in range(len(qids)):
+        for c in np.argsort(-sims[qi], kind="stable")[:nprobe]:
+            probe.add(int(c))
+    paths = [str(f) for c in sorted(probe)
+             for p in [Path(root) / f"list={c}"] if p.is_dir()
              for f in sorted(p.glob("*.parquet"))]
     if not paths:
         return pa.table({"query_vec_id": pa.array([], pa.int64()),

@@ -45,3 +45,18 @@ def sql_bp(expr: str, scale: int = 10_000) -> str:
 
 def int64_col(values) -> pa.Array:
     return pa.array(np.asarray(values, dtype=np.int64), pa.int64())
+
+
+def emb_matrix(col) -> np.ndarray:
+    """(n, d) float64 matrix from a list<float> column — zero-copy
+    flatten + reshape instead of a per-row ``to_pylist`` Python loop
+    (embeddings are fixed-dimension, so the flat buffer reshapes
+    exactly; raises if a ragged row sneaks in)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    if flat.size % n:
+        raise ValueError("ragged embedding column")
+    return flat.reshape(n, flat.size // n).astype(np.float64, copy=False)

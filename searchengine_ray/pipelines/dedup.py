@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from searchengine_ray.pipelines.common import bp, int64_col, read
+from searchengine_ray.pipelines.common import bp, emb_matrix, int64_col, read
 
 # ---------------- exact dedup ----------------
 
@@ -487,7 +487,7 @@ class EmbeddingNearDupStage:
         self.threshold = threshold_bp
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        emb = emb_matrix(batch.column("embedding"))
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         emb = emb / np.maximum(norms, 1e-12)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -516,7 +516,7 @@ def embedding_near_dups(sf_dir: str, threshold_bp: int = 4000):
     # Dataset materialization); the scale path is embedding_near_dups_lsh
     tbl = pq.read_table(table_path(sf_dir, "embeddings"),
                         columns=["vec_id", "embedding"])
-    mat = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
+    mat = emb_matrix(tbl.column("embedding"))
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     mat_ref = ray.put(mat)
     ids_ref = ray.put(tbl.column("vec_id").to_numpy(zero_copy_only=False)
@@ -538,7 +538,7 @@ class _BucketPairsCosine:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         ids = group.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        emb = np.stack(group.column("embedding").to_pylist()).astype(np.float64)
+        emb = emb_matrix(group.column("embedding"))
         emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
         order = np.argsort(ids, kind="stable")
         ids, emb = ids[order], emb[order]
@@ -575,7 +575,7 @@ class _MultiTableLshStage:
         self.weights = (1 << np.arange(n_bits, dtype=np.int64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        emb = emb_matrix(batch.column("embedding"))
         emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
         chunks = []
         for t, planes in enumerate(self.planes):

@@ -454,6 +454,11 @@ class IndexSearcher:
             idf_t = float(bm25_idf(self.N, df))
             contrib = bm25_term_scores(tfs, self._dl[pos], idf_t=idf_t,
                                        avgdl=self.avgdl, k1=self.k1, b=self.b)
+            if len(self._dl_ids) < 2**31:
+                # same int32 positions as the shared hot arrays: mixed
+                # dtypes would make every _full_scores searchsorted
+                # promote-and-copy the big array per query
+                pos = pos.astype(np.int32)
             got = (pos, tfs, contrib)
             if len(self._decode_cache) >= self._decode_cache_cap:
                 self._decode_cache.pop(next(iter(self._decode_cache)))
@@ -527,7 +532,10 @@ class IndexSearcher:
         gather, so floats match the exhaustive path bit-for-bit."""
         scores = np.zeros(len(S), dtype=np.float64)
         for pos, contrib, qtf in qterms_dec:
-            idx = np.searchsorted(pos, S)
+            # cast the SMALL side on dtype mismatch — searchsorted with
+            # mixed int widths promote-copies the big postings array
+            idx = np.searchsorted(pos, S if S.dtype == pos.dtype
+                                  else S.astype(pos.dtype))
             idx_c = np.minimum(idx, len(pos) - 1)
             valid = pos[idx_c] == S
             add = np.zeros(len(S), dtype=np.float64)

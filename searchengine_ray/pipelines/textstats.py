@@ -163,6 +163,84 @@ def token_count_by_lang(sf_dir: str):
                                              Sum("tok_p", alias_name="total_tokens"))
 
 
+def _repetition_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc line-repetition metrics (the Gopher repetition filters,
+    Rae et al. 2021 §A1.1, restricted to the SQL-expressible line
+    family): duplicate-line fraction, duplicate-line CHARACTER
+    fraction, and most-frequent-line fraction, as integer basis points.
+    All pandas C kernels: split -> explode -> two groupbys; no Python
+    loop over rows."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    s = pd.Series(batch.column("text").to_pylist())
+    lines = s.str.split("\n").explode()
+    lines = lines[lines != ""]
+    out = pd.DataFrame({
+        "n_lines": np.zeros(len(s), dtype=np.int64),
+        "dup_line_bp": np.zeros(len(s), dtype=np.int64),
+        "dup_char_bp": np.zeros(len(s), dtype=np.int64),
+        "top_line_bp": np.zeros(len(s), dtype=np.int64),
+    }, index=s.index)
+    if len(lines):
+        per = (pd.DataFrame({"row": lines.index, "line": lines.to_numpy()})
+               .groupby(["row", "line"], sort=False).size().rename("c")
+               .reset_index())
+        per["len"] = per["line"].str.len().to_numpy(dtype=np.int64)
+        g = per.groupby("row", sort=False)
+        n_lines = g["c"].sum()
+        n_distinct = g["c"].size()
+        chars_all = (per["c"] * per["len"]).groupby(per["row"]).sum()
+        chars_distinct = g["len"].sum()
+        max_c = g["c"].max()
+        nl = n_lines.to_numpy(dtype=np.float64)
+        ca = np.maximum(chars_all.to_numpy(dtype=np.float64), 1.0)
+        out.loc[n_lines.index, "n_lines"] = n_lines.to_numpy(dtype=np.int64)
+        out.loc[n_lines.index, "dup_line_bp"] = bp(
+            (nl - n_distinct.to_numpy(dtype=np.float64)) / nl)
+        out.loc[n_lines.index, "dup_char_bp"] = bp(
+            (chars_all.to_numpy(dtype=np.float64)
+             - chars_distinct.to_numpy(dtype=np.float64)) / ca)
+        out.loc[n_lines.index, "top_line_bp"] = bp(
+            max_c.to_numpy(dtype=np.float64) / nl)
+    return pa.table({"doc_id": int64_col(ids),
+                     "n_lines": int64_col(out["n_lines"].to_numpy()),
+                     "dup_line_bp": int64_col(out["dup_line_bp"].to_numpy()),
+                     "dup_char_bp": int64_col(out["dup_char_bp"].to_numpy()),
+                     "top_line_bp": int64_col(out["top_line_bp"].to_numpy())})
+
+
+def repetition_quality(sf_dir: str):
+    """(doc_id, n_lines, dup_line_bp, dup_char_bp, top_line_bp) — the
+    repetition family of training-data quality filters. Per-doc, zero
+    shuffles; a filter threshold (e.g. dup_line_bp > 3000 -> drop) is a
+    one-line ``ds.filter`` downstream."""
+    return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _repetition_batch, batch_format="pyarrow", batch_size=2048)
+
+
+def repetition_quality_sql() -> str:
+    return """
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+per_line AS (
+  SELECT doc_id, line, count(*) AS c, length(line) AS len
+  FROM lines WHERE line <> '' GROUP BY doc_id, line),
+agg AS (
+  SELECT doc_id, sum(c) AS n_lines, count(*) AS n_distinct,
+         sum(c * len) AS chars_all, sum(len) AS chars_distinct, max(c) AS max_c
+  FROM per_line GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
+  CAST(floor(coalesce((a.n_lines - a.n_distinct) / CAST(a.n_lines AS DOUBLE), 0)
+             * 10000 + 0.5) AS BIGINT) AS dup_line_bp,
+  CAST(floor(coalesce((a.chars_all - a.chars_distinct)
+                      / CAST(greatest(a.chars_all, 1) AS DOUBLE), 0)
+             * 10000 + 0.5) AS BIGINT) AS dup_char_bp,
+  CAST(floor(coalesce(a.max_c / CAST(a.n_lines AS DOUBLE), 0)
+             * 10000 + 0.5) AS BIGINT) AS top_line_bp
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def token_count_by_lang_sql() -> str:
     return """
 WITH t AS (
@@ -579,3 +657,67 @@ SELECT doc_id,
        END AS fingerprint
 FROM documents
 """
+
+
+# ---- approximate distinct-count sketch (HyperLogLog) ----
+
+_HLL_P = 12                       # 4096 registers -> ~1.6% std error
+_HLL_Q = 50                       # rank bits (mantissa-exact for log2)
+
+
+class DistinctTermsHLLPartial(_SimpleTokenStage):
+    """batch -> ONE row holding a 2^p-byte HyperLogLog register array
+    (Flajolet et al. 2007) over the batch's distinct terms.
+
+    The mergeable-sketch shape for counts that are too big to groupby:
+    the shuffle carries one fixed-size (4 KiB) row per batch instead of
+    one row per distinct term — at 100 TB the merge input is MBs where
+    ``term_df`` would shuffle the whole vocabulary. Registers merge by
+    elementwise max, so any tree/driver merge order is exact."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        texts = batch.column("text").to_pylist()
+        ids = np.arange(len(texts), dtype=np.int64)
+        _, _, _, info = self.analyzer.tokenize_batch(texts, ids)
+        regs = np.zeros(1 << _HLL_P, dtype=np.uint8)
+        vocab = info["vocab"]
+        if len(vocab):
+            h = np.fromiter(
+                (int.from_bytes(hashlib.blake2b(t.encode("utf-8"),
+                                                digest_size=8).digest(), "big")
+                 for t in vocab), dtype=np.uint64, count=len(vocab))
+            idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+            w = (h & np.uint64((1 << _HLL_Q) - 1)).astype(np.float64)
+            rank = np.where(w > 0, _HLL_Q - np.floor(np.log2(np.maximum(w, 1))),
+                            _HLL_Q + 1).astype(np.uint8)
+            np.maximum.at(regs, idx, rank)
+        return pa.table({"registers": pa.array([regs.tobytes()], pa.binary())})
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = float(len(regs))
+    est = (0.7213 / (1.0 + 1.079 / m)) * m * m / np.sum(
+        np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)          # linear-counting small range
+    return float(est)
+
+
+def distinct_terms_hll(sf_dir: str):
+    """One-row (n_distinct_est, n_registers): approximate distinct-term
+    count. Per-batch 4 KiB sketches; the final elementwise-max merge of
+    the per-batch rows is a small driver reduce (num_batches x 4 KiB),
+    NOT a materialization of data rows. Error bound vs the exact
+    ``term_df`` count is asserted in tests."""
+    partial = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        DistinctTermsHLLPartial, batch_format="pyarrow", batch_size=512,
+        concurrency=(1, 4))
+    regs = np.zeros(1 << _HLL_P, dtype=np.uint8)
+    for b in partial.iter_batches(batch_format="pyarrow"):
+        for buf in b.column("registers").to_pylist():
+            np.maximum(regs, np.frombuffer(buf, dtype=np.uint8), out=regs)
+    return pa.table({"n_distinct_est": int64_col([int(round(_hll_estimate(regs)))]),
+                     "n_registers": int64_col([len(regs)])})

@@ -15,7 +15,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
-               "text_quality", "dedup_exact", "embedding_near_dups",
+               "text_quality", "repetition_quality", "dedup_exact",
+               "embedding_near_dups",
                "ann_topk", "multimodal_meta", "frame_sample",
                "pricing_summary", "top_orders_by_revenue", "events_daily",
                "top_parts", "suppliers_by_nation", "segment_counts",
@@ -63,9 +64,19 @@ def test_rows_only_entries_run(ray_session):
     import __ray_entry__ as e
 
     for name in ["minhash_lsh_dedup", "simhash_near_dups", "ann_lsh_topk",
-                 "image_decode_features", "embedding_near_dups_lsh"]:
+                 "ann_ivf_topk", "image_decode_features",
+                 "embedding_near_dups_lsh", "distinct_terms_hll"]:
         res = _to_pandas(e.queries()[name](SF_DIR))
         assert res is not None and len(res) >= 0
+
+
+def _mean_recall(exact: pd.DataFrame, approx: pd.DataFrame) -> float:
+    recalls = []
+    for qid in exact.query_vec_id.unique():
+        ex = set(exact[exact.query_vec_id == qid].vec_id)
+        ap = set(approx[approx.query_vec_id == qid].vec_id)
+        recalls.append(len(ex & ap) / len(ex))
+    return sum(recalls) / len(recalls)
 
 
 def test_ann_lsh_recall_vs_exact(ray_session):
@@ -74,12 +85,22 @@ def test_ann_lsh_recall_vs_exact(ray_session):
 
     exact = _to_pandas(ann_topk(SF_DIR))
     approx = _to_pandas(ann_lsh_topk(SF_DIR))
-    recalls = []
-    for qid in exact.query_vec_id.unique():
-        ex = set(exact[exact.query_vec_id == qid].vec_id)
-        ap = set(approx[approx.query_vec_id == qid].vec_id)
-        recalls.append(len(ex & ap) / len(ex))
-    assert sum(recalls) / len(recalls) >= 0.5  # multiprobe recall floor
+    assert _mean_recall(exact, approx) >= 0.5  # multiprobe recall floor
+
+
+def test_ann_ivf_recall_vs_exact(ray_session):
+    """IVF nprobe-of-16 should recover most of the exact top-10, and a
+    full probe (nprobe = n_centroids) must equal the exact result."""
+    from searchengine_ray.pipelines.ann import ann_ivf_topk, ann_topk
+
+    exact = _to_pandas(ann_topk(SF_DIR))
+    approx = _to_pandas(ann_ivf_topk(SF_DIR))
+    assert _mean_recall(exact, approx) >= 0.5
+    full = _to_pandas(ann_ivf_topk(SF_DIR, nprobe=16))
+    pd.testing.assert_frame_equal(
+        full.sort_values(["query_vec_id", "rank"]).reset_index(drop=True),
+        exact.sort_values(["query_vec_id", "rank"]).reset_index(drop=True),
+        check_dtype=False)
 
 
 def test_entry_smoke(ray_session):
@@ -89,3 +110,44 @@ def test_entry_smoke(ray_session):
     df = _to_pandas(r)
     assert len(df) > 0
     assert set(df.columns) == {"query_id", "rank", "doc_id", "score_bp"}
+
+
+def test_repetition_quality_multiline():
+    """The sf documents are single-line, so the oracle row for
+    repetition_quality is trivially satisfied there; this exercises the
+    dup-line/dup-char/top-line math on crafted multi-line docs, against
+    both a hand computation and the DuckDB oracle."""
+    import pyarrow as pa
+
+    from searchengine_ray.pipelines.textstats import (_repetition_batch,
+                                                      repetition_quality_sql)
+
+    docs = [
+        "a\na\na\nb",          # 4 lines, 2 distinct, top=3; chars all=4, distinct=2
+        "x\ny\nz",             # no repetition
+        "",                    # empty -> all zeros
+        "\n\nonly",            # blank lines dropped -> 1 line
+        "dup dup\ndup dup",    # 2 identical 7-char lines
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    got = _repetition_batch(tbl).to_pandas().sort_values("doc_id")
+    assert got.n_lines.tolist() == [4, 3, 0, 1, 2]
+    assert got.dup_line_bp.tolist() == [5000, 0, 0, 0, 5000]
+    assert got.dup_char_bp.tolist() == [5000, 0, 0, 0, 5000]
+    assert got.top_line_bp.tolist() == [7500, 3333, 0, 10000, 10000]
+
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = _canon(con.sql(repetition_quality_sql()).df())
+    pd.testing.assert_frame_equal(_canon(got), want, check_dtype=False)
+
+
+def test_distinct_terms_hll_error_bound(ray_session):
+    """HLL estimate within 5% of the exact distinct-term count
+    (p=12 -> ~1.6% std error; 5% ≈ 3 sigma)."""
+    from searchengine_ray.pipelines.textstats import distinct_terms_hll, term_df
+
+    exact = _to_pandas(term_df(SF_DIR)).shape[0]
+    est = distinct_terms_hll(SF_DIR).to_pandas().n_distinct_est.iloc[0]
+    assert abs(est - exact) / exact < 0.05, (est, exact)
