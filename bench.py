@@ -140,22 +140,51 @@ def run_bench() -> dict:
     }
 
 
+def _calib_task(i: int) -> float:
+    """Fixed, cache-resident integer work — no Ray, no shared memory, no
+    disk. 64 of these in a pool of N measure how well THIS HOST scales
+    embarrassingly-parallel compute from 8 to 32 workers right now."""
+    import numpy as np
+
+    a = np.arange(20_000, dtype=np.int64) + i
+    s = 0
+    for _ in range(20_000):
+        a = a * 6364136223846793005 + 1442695040888963407
+        s ^= int(a[0])
+    return float(s % 2)
+
+
+def host_calibration(n: int) -> float:
+    """Wall seconds for 64 fixed ALU tasks in a ``n``-process pool."""
+    import multiprocessing as mp
+
+    t0 = time.time()
+    with mp.Pool(n) as pool:
+        pool.map(_calib_task, range(64))
+    return round(time.time() - t0, 3)
+
+
 def run_scaling(repeats: int = 3) -> dict:
     """Same job, fresh processes, num_cpus=8 vs 32 -> scaling efficiency.
 
-    Each level runs ``repeats`` times and keeps the fastest core
-    (build+queries) run — the sandbox shows bursts of co-tenant CPU
-    steal (identical runs vary up to 3x; load swings 0.4-18 with zero
-    local processes) that would otherwise dominate a single sample.
-    The host load average before each sample is recorded alongside."""
-    results = {}
+    Each level runs ``repeats`` times INTERLEAVED (8,32,8,32,...) and
+    keeps the fastest core (build+queries) run per level — the sandbox
+    shows bursts of co-tenant CPU steal (identical runs vary up to 3x;
+    load swings 0.4-18 with zero local processes) that would otherwise
+    dominate a single sample, and the drift is time-correlated, so
+    alternating levels decorrelates it. A no-Ray multiprocessing ALU
+    calibration (``host_calibration``) runs beside each sample pair: it
+    measures the host's OWN ceiling for embarrassingly-parallel compute
+    at 8 vs 32 workers, so job efficiency can be read against what the
+    hardware actually offers (32 advertised cpus on this box do NOT
+    deliver 4x the sustained throughput of 8)."""
+    results: dict[int, tuple] = {}
+    failures = {8: 0, 32: 0}
     loads: dict[int, list] = {8: [], 32: []}
-    for n in (8, 32):
-        best = None
-        failures = 0
-        attempts = 0
-        while attempts < repeats + 2 and (best is None or attempts < repeats):
-            attempts += 1
+    calib: dict[int, list] = {8: [], 32: []}
+    for rep in range(repeats):
+        for n in (8, 32):
+            calib[n].append(host_calibration(n))
             loads[n].append(round(os.getloadavg()[0], 2))
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
@@ -164,18 +193,19 @@ def run_scaling(repeats: int = 3) -> dict:
             if out.returncode != 0:
                 # co-tenant OOM/timeout bursts can kill one sample; report
                 # it and keep sampling rather than aborting the harness
-                failures += 1
+                failures[n] += 1
                 print(f"[scaling] sample failed (num_cpus={n}):\n"
                       + out.stderr[-2000:], file=sys.stderr)
                 continue
             r = json.loads(out.stdout.strip().splitlines()[-1])
             core = r["queries"]["index_build"] + r["queries"]["bm25_queries"]
-            if best is None or core < best[0]:
-                best = (core, r)
-        if best is None:
+            if n not in results or core < results[n][0]:
+                results[n] = (core, r)
+    for n in (8, 32):
+        if n not in results:
             raise RuntimeError(f"all scaling samples failed at num_cpus={n}")
-        results[n] = best[1]
-        results[n]["failed_samples"] = failures
+        results[n] = results[n][1]
+        results[n]["failed_samples"] = failures[n]
     def eff(name, getter):
         t8, t32 = getter(results[8]), getter(results[32])
         return {f"{name}_sec_8": round(t8, 3), f"{name}_sec_32": round(t32, 3),
@@ -203,7 +233,15 @@ def run_scaling(repeats: int = 3) -> dict:
         "load_avg_before_runs": loads,
         "full_8": results[8], "full_32": results[32],
     }
+    # host ceiling: how a zero-shared-state ALU pool scales on this box
+    # right now (1.0 = the hardware really has 4x the throughput at 32)
+    c8, c32 = min(calib[8]), min(calib[32])
+    out["host_calib_sec_8"] = c8
+    out["host_calib_sec_32"] = c32
+    out["host_parallel_ceiling"] = round((c8 / c32) / (32 / 8), 3)
     out["scaling_efficiency"] = out["overall_efficiency"]
+    out["overall_efficiency_vs_host_ceiling"] = round(
+        out["overall_efficiency"] / out["host_parallel_ceiling"], 3)
     return out
 
 

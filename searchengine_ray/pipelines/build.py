@@ -334,9 +334,18 @@ def build_index(source, out_root: str | Path, config: IndexConfig | None = None,
             return merger(pa.concat_tables(tables))
 
         _x2: dict = {}
-        run_partition_exchange(jobs, total_parts, _map_postings,
-                               _reduce_postings, skip_parts=done,
-                               timings=_x2 if _trace else None)
+        out2 = run_partition_exchange(jobs, total_parts, _map_postings,
+                                      _reduce_postings, skip_parts=done,
+                                      timings=_x2 if _trace else None)
+        if _trace:
+            # decompose in-task reduce seconds: sort/merge vs final write
+            sort_s = write_s = 0.0
+            for r in out2:
+                if isinstance(r, pa.Table) and "sort_sec" in r.column_names:
+                    sort_s += float(r.column("sort_sec")[0].as_py())
+                    write_s += float(r.column("write_sec")[0].as_py())
+            _x2["reduce_sort_sum_sec"] = round(sort_s, 3)
+            _x2["reduce_write_sum_sec"] = round(write_s, 3)
         for k, v in _x2.items():
             _phase_seconds[f"phase2_{k.removesuffix('_sec')}"] = v
     _mark("phase2_postings")

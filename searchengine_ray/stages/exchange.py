@@ -61,10 +61,14 @@ def run_partition_exchange(files: list[str], n_parts: int, map_fn, reduce_fn,
             return out[0]
         return tuple(out)
 
+    _timed = timings is not None
+
     @ray.remote
     def _reduce(part, *slices):
+        t_fn = time.time()
         tables = [s for s in slices if s is not None and s.num_rows > 0]
-        return reduce_fn(part, tables)
+        res = reduce_fn(part, tables)
+        return (res, time.time() - t_fn) if _timed else res
 
     # backpressure: bound concurrently-materialized MAP OUTPUTS without
     # stalling submission (wait retires one map's worth of slices at a
@@ -96,6 +100,13 @@ def run_partition_exchange(files: list[str], n_parts: int, map_fn, reduce_fn,
     out = ray.get(out_refs)
     if timings is not None:
         timings["reduce_wall_sec"] = round(time.time() - t0, 3)
+        # in-task fn seconds: wall - sum/cpus ≈ fetch + scheduling overhead.
+        # fn time excludes Ray's arg fetch/deserialize, which runs before
+        # the task body — the gap between these and the wall IS that cost.
+        fn_secs = [s for _, s in out]
+        out = [r for r, _ in out]
+        timings["reduce_fn_sum_sec"] = round(sum(fn_secs), 3)
+        timings["reduce_fn_max_sec"] = round(max(fn_secs), 3) if fn_secs else 0.0
     return out
 
 

@@ -73,7 +73,9 @@ class NormalizePartWriter:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         part = int(group.column("part")[0].as_py())
-        group = group.combine_chunks()
+        # group is a zero-copy concat of exchange slices — sort_indices
+        # and take handle chunked columns; combining first would add a
+        # full extra pass over the (bandwidth-bound) content payload
         order = pc.sort_indices(group, sort_keys=[("repo", "ascending"),
                                                   ("path", "ascending"),
                                                   ("commit", "ascending")])

@@ -30,6 +30,7 @@ balanced because each part holds many terms.
 from __future__ import annotations
 
 import hashlib
+import time
 from pathlib import Path
 
 import numpy as np
@@ -269,6 +270,7 @@ class MergePostingsPartWriter:
             "max_tf": pa.array(max_tf[order], pa.int32()),
             "n_terms": pa.array(n_terms[order], pa.int32()),
         })
+        t_w = time.time()
         write_partition_atomic(
             out, Path(self.doc_meta_dir) / f"part-{part:05d}.parquet",
             kind="doc_meta", partition=part, fingerprint=self.fingerprint,
@@ -276,13 +278,20 @@ class MergePostingsPartWriter:
         return pa.table({"partition": pa.array([part], pa.int64()),
                          "rows": pa.array([out.num_rows], pa.int64()),
                          "n_terms": pa.array([0], pa.int64()),
-                         "n_postings": pa.array([0], pa.int64())})
+                         "n_postings": pa.array([0], pa.int64()),
+                         "sort_sec": pa.array([0.0], pa.float64()),
+                         "write_sec": pa.array([time.time() - t_w], pa.float64())})
 
     def __call__(self, group: pa.Table) -> pa.Table:
         part = int(group.column("part")[0].as_py())
         if self.doc_meta_dir is not None and part >= self.config.num_term_parts:
             return self._write_doc_meta(part, group.combine_chunks())
-        group = group.combine_chunks()
+        # NOTE: group arrives as a zero-copy concat of the map slices
+        # (chunked columns referencing plasma buffers). Do NOT
+        # combine_chunks here — that is a full extra pass over the
+        # payload, and the reduce wave is memory-bandwidth-bound (the
+        # one `take` below is the single gather that materializes rows).
+        t_sort = time.time()
         # sort by (term_hash, bucket, first_doc) — an integer lexsort.
         # The 64-bit hash is a bijection-in-practice stand-in for the term
         # string here (same collision budget the query side already
@@ -351,10 +360,21 @@ class MergePostingsPartWriter:
             n_terms = int(tchange.sum())
             n_postings = int(df_out.sum())
 
+        t_write = time.time()
+        # the three *_bytes streams are already delta+VByte entropy-coded:
+        # snappy over them is a full extra pass of the reduce payload for
+        # ~no size win. Keep snappy on the string/metadata leaves.
+        comp = {"doc_bytes": "NONE", "tf_bytes": "NONE", "pos_bytes": "NONE",
+                "term": "snappy", "term_hash": "snappy", "bucket": "snappy",
+                "df": "snappy"}
+        for c in ("counts", "last_docs", "max_tfs", "doc_sizes", "tf_sizes",
+                  "pos_sizes"):
+            comp[f"{c}.list.element"] = "snappy"
         manifest = write_partition_atomic(
             out, Path(self.postings_dir) / f"part-{part:05d}.parquet",
             kind="postings", partition=part, fingerprint=self.fingerprint,
-            extra={"n_postings": n_postings, "n_terms": n_terms})
+            extra={"n_postings": n_postings, "n_terms": n_terms},
+            compression=comp)
         dictionary = out.select(["term", "bucket", "df"]).append_column(
             "part", pa.array(np.full(out.num_rows, part), pa.int64()))
         write_partition_atomic(
@@ -363,4 +383,6 @@ class MergePostingsPartWriter:
         return pa.table({"partition": pa.array([part], pa.int64()),
                          "rows": pa.array([out.num_rows], pa.int64()),
                          "n_terms": pa.array([manifest["n_terms"]], pa.int64()),
-                         "n_postings": pa.array([manifest["n_postings"]], pa.int64())})
+                         "n_postings": pa.array([manifest["n_postings"]], pa.int64()),
+                         "sort_sec": pa.array([t_write - t_sort], pa.float64()),
+                         "write_sec": pa.array([time.time() - t_write], pa.float64())})

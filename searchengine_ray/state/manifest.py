@@ -34,18 +34,23 @@ import pyarrow.parquet as pq
 def write_partition_atomic(table: pa.Table, path: str | Path, *, kind: str,
                            partition: int, fingerprint: str,
                            extra: dict | None = None,
-                           row_group_size: int | None = None) -> dict:
+                           row_group_size: int | None = None,
+                           compression=None) -> dict:
     """Write one parquet partition atomically + its manifest. Returns the
     manifest dict (also usable as a lineage row). ``row_group_size``
     bounds row groups so downstream map tasks can split a partition
-    without re-decoding the whole file."""
+    without re-decoding the whole file. ``compression`` is passed to
+    ``pq.write_table`` (per-leaf dict or codec name) — used to skip
+    snappy on columns that are already entropy-coded."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     tmp = path.with_name(path.name + f".tmp.{os.getpid()}")
+    kw = {}
     if row_group_size:
-        pq.write_table(table, tmp, row_group_size=row_group_size)
-    else:
-        pq.write_table(table, tmp)
+        kw["row_group_size"] = row_group_size
+    if compression is not None:
+        kw["compression"] = compression
+    pq.write_table(table, tmp, **kw)
     os.replace(tmp, path)
     manifest = {
         "kind": kind,
