@@ -11,9 +11,11 @@ callables use.
                       (SURVEY.md §2 + the training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible
                       entry (incl. positional phrase match, the rolling-
-                      hash fingerprint and the trigram lang-id); the
-                      blake2b-based LSH/minhash/simhash families and the
-                      decode stub are non-SQL -> rows-only check.
+                      hash fingerprint, the trigram lang-id, and the
+                      full MinHash-LSH / SimHash replays via
+                      md5_number_lower + UHUGEINT mod-2^64 arithmetic);
+                      the float-plane LSH/IVF ANN variants, the HLL
+                      sketch and the decode stub stay rows-only.
 """
 
 from __future__ import annotations
@@ -92,6 +94,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": ts.text_quality_sql(),
         "repetition_quality": ts.repetition_quality_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),
+        "minhash_lsh_dedup": dedup.minhash_lsh_dedup_sql(),
+        "simhash_near_dups": dedup.simhash_near_dups_sql(),
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup_sql(),
         "embedding_near_dups": dedup.embedding_near_dups_sql(),
         "lang_id": ts.lang_id_sql(),

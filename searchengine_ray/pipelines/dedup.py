@@ -73,10 +73,13 @@ _SHINGLE_C = np.uint64(0x9E3779B97F4A7C15)   # golden-ratio odd multiplier
 
 
 def _token_hash(tok: str) -> int:
+    """Low 64 bits of md5, little-endian — bit-identical to DuckDB's
+    ``md5_number_lower``, which is what makes every hash in the MinHash/
+    SimHash family replayable by the SQL oracles below."""
     h = _TOKEN_HASH_CACHE.get(tok)
     if h is None:
-        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(),
-                           "big")
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[8:16],
+                           "little")
         _TOKEN_HASH_CACHE[tok] = h
     return h
 
@@ -120,18 +123,25 @@ class MinHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids, bands, band_hashes = [], [], []
+        band_idx = np.arange(_BANDS, dtype=np.int64)
         for did, text in zip(batch.column("doc_id").to_pylist(),
                              batch.column("text").to_pylist()):
-            sig = self.signature(text)
-            for bnd in range(_BANDS):
-                chunk = sig[bnd * _ROWS:(bnd + 1) * _ROWS]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                doc_ids.append(did)
-                bands.append(bnd)
-                band_hashes.append(int.from_bytes(h, "big") >> 3)
-        return pa.table({"doc_id": int64_col(doc_ids),
-                         "band": int64_col(bands),
-                         "band_hash": int64_col(band_hashes)})
+            sig = self.signature(text).reshape(_BANDS, _ROWS)
+            # band hash = wraparound polynomial fold of the band's rows
+            # (SQL-replayable via UHUGEINT list_reduce, unlike a digest)
+            h = np.zeros(_BANDS, dtype=np.uint64)
+            for j in range(_ROWS):
+                h = h * _SHINGLE_C + sig[:, j]
+            doc_ids.append(np.full(_BANDS, did, dtype=np.int64))
+            bands.append(band_idx)
+            band_hashes.append((h >> np.uint64(3)).astype(np.int64))
+        if not doc_ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int64()),
+                             "band_hash": pa.array([], pa.int64())})
+        return pa.table({"doc_id": int64_col(np.concatenate(doc_ids)),
+                         "band": int64_col(np.concatenate(bands)),
+                         "band_hash": int64_col(np.concatenate(band_hashes))})
 
 
 _BUCKET_CAP = 256     # all-pairs only below this; star pairs above
@@ -297,6 +307,101 @@ def minhash_lsh_dedup(sf_dir: str, threshold_bp: int = 5000):
     return routed.groupby("vpart").map_groups(verify, batch_format="pyarrow")
 
 
+_SQL_W64 = "18446744073709551616::UHUGEINT"     # 2^64 (wraparound modulus)
+
+
+def _sql_tokens_cte() -> str:
+    """Tokens + 1-based positions matching ``str.lower().split()``."""
+    return """
+t0 AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(lower(text), '\\s+'), 1)
+           AS raw_pos
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY raw_pos) AS pos
+  FROM t0 WHERE tok <> ''
+)"""
+
+
+def minhash_lsh_dedup_sql(threshold_bp: int = 5000) -> str:
+    """Exact DuckDB replay of the WHOLE MinHash-LSH pipeline — token
+    md5 hashes (``md5_number_lower`` == the Python side's low-64-le
+    md5), wraparound shingle polynomial, the 64 (a,b) permutation
+    hashes mod the Mersenne prime, band folds, the bucket-cap/star pair
+    policy, pair dedup, and exact-Jaccard verification over the hashed
+    shingle sets. All integer arithmetic is UHUGEINT mod 2^64, so every
+    value is bit-identical to numpy's uint64 wraparound."""
+    a, b = _minhash_params()
+    params = ",".join(f"({i},{int(a[i])}::UHUGEINT,{int(b[i])}::UHUGEINT)"
+                      for i in range(_N_HASH))
+    c = f"{_SHINGLE_C}::UHUGEINT"
+    return f"""
+WITH {_sql_tokens_cte()},
+th AS (
+  SELECT doc_id, pos, CAST(md5_number_lower(tok) AS UHUGEINT) AS h FROM toks
+),
+tl AS (
+  SELECT doc_id, list(h ORDER BY pos) AS hs, count(*) AS n FROM th GROUP BY doc_id
+),
+shraw AS (
+  SELECT doc_id,
+         list_reduce(hs[i : i + least(n, 3) - 1],
+                     (x, y) -> (x * {c} + y) % {_SQL_W64}) AS sraw
+  FROM tl, unnest(generate_series(1, CAST(n - least(n, 3) + 1 AS BIGINT))) AS g(i)
+),
+sh AS (SELECT DISTINCT doc_id, sraw // 8 AS s FROM shraw),
+params(i, a, b) AS (VALUES {params}),
+mh AS (
+  SELECT sh.doc_id, p.i,
+         min(((p.a * sh.s) % {_SQL_W64} + p.b) % {_SQL_W64}
+             % {_MERSENNE}::UHUGEINT) AS v
+  FROM sh CROSS JOIN params p GROUP BY sh.doc_id, p.i
+),
+sig AS (
+  SELECT d.doc_id, COALESCE(m.vs, [0::UHUGEINT FOR x IN range({_N_HASH})]) AS vs
+  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN (
+    SELECT doc_id, list(v ORDER BY i) AS vs FROM mh GROUP BY doc_id) m
+  USING (doc_id)
+),
+bh AS (
+  SELECT doc_id, bnd,
+         list_reduce(vs[bnd * {_ROWS} + 1 : bnd * {_ROWS} + {_ROWS}],
+                     (x, y) -> (x * {c} + y) % {_SQL_W64}) // 8 AS band_hash
+  FROM sig, unnest(generate_series(0, {_BANDS - 1})) AS u(bnd)
+),
+sized AS (
+  SELECT doc_id, bnd, band_hash,
+         count(*) OVER (PARTITION BY bnd, band_hash) AS m,
+         min(doc_id) OVER (PARTITION BY bnd, band_hash) AS mn
+  FROM bh
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM sized x JOIN sized y
+    ON x.bnd = y.bnd AND x.band_hash = y.band_hash
+   AND x.doc_id < y.doc_id AND x.m <= {_BUCKET_CAP}
+  UNION
+  SELECT DISTINCT mn AS doc_a, doc_id AS doc_b
+  FROM sized WHERE m > {_BUCKET_CAP} AND doc_id > mn
+),
+shl AS (SELECT doc_id, list(s) AS ss FROM sh GROUP BY doc_id),
+jac AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(floor(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                    / greatest(len(sa.ss) + len(sb.ss)
+                               - len(list_intersect(sa.ss, sb.ss)), 1)
+                    * 10000 + 0.5) AS BIGINT) AS jaccard_bp
+  FROM pairs p
+  LEFT JOIN shl sa ON sa.doc_id = p.doc_a
+  LEFT JOIN shl sb ON sb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, jaccard_bp FROM jac WHERE jaccard_bp >= {threshold_bp}
+"""
+
+
 # ---------------- SimHash ----------------
 
 
@@ -354,6 +459,58 @@ def simhash_near_dups(sf_dir: str):
         batch_format="pandas")
     # distributed dedup of band-duplicated pairs; stays a Dataset
     return _distinct_pairs(pairs)
+
+
+def simhash_near_dups_sql() -> str:
+    """DuckDB replay of the SimHash pipeline: per-occurrence token md5
+    hashes vote +-1 per bit (63 low bits kept, matching the int64-safe
+    fingerprint), band split into 4x16 bits, same bucket-cap/star pair
+    policy and pair dedup as the Ray side. ``sum`` runs over HUGEINT —
+    a DOUBLE sum would round away the low fingerprint bits."""
+    pows = ",".join(f"({k},{1 << k}::UHUGEINT)" for k in range(63))
+    return f"""
+WITH pows(k, p) AS (VALUES {pows}),
+{_sql_tokens_cte()},
+th AS (
+  SELECT doc_id, CAST(md5_number_lower(tok) AS UHUGEINT) AS h FROM toks
+),
+votes AS (
+  SELECT doc_id, k, p,
+         sum(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th CROSS JOIN pows
+  GROUP BY doc_id, k, p
+),
+sim0 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN acc > 0 THEN CAST(p AS HUGEINT)
+                       ELSE 0::HUGEINT END) AS BIGINT) AS v
+  FROM votes GROUP BY doc_id
+),
+sim AS (
+  SELECT d.doc_id, COALESCE(s.v, 0) AS v
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  LEFT JOIN sim0 s USING (doc_id)
+),
+bh AS (
+  SELECT doc_id, u.bnd, (v // u.q) % 65536 AS band_hash
+  FROM sim, (VALUES (0, 1::BIGINT), (1, 65536::BIGINT),
+                    (2, 4294967296::BIGINT),
+                    (3, 281474976710656::BIGINT)) AS u(bnd, q)
+),
+sized AS (
+  SELECT doc_id, bnd, band_hash,
+         count(*) OVER (PARTITION BY bnd, band_hash) AS m,
+         min(doc_id) OVER (PARTITION BY bnd, band_hash) AS mn
+  FROM bh
+)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+FROM sized x JOIN sized y
+  ON x.bnd = y.bnd AND x.band_hash = y.band_hash
+ AND x.doc_id < y.doc_id AND x.m <= {_BUCKET_CAP}
+UNION
+SELECT DISTINCT mn AS doc_a, doc_id AS doc_b
+FROM sized WHERE m > {_BUCKET_CAP} AND doc_id > mn
+"""
 
 
 # ---------------- n-gram Jaccard (exact, shingle inverted index) ------

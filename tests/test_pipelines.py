@@ -23,6 +23,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "bm25_topk", "bm25_topk_wand", "index_dictionary",
                "phrase_search", "lang_id", "doc_fingerprint",
                "numeric_literals", "token_count_bpe", "ngram_jaccard_dedup",
+               "minhash_lsh_dedup", "simhash_near_dups",
                "sessionize_events", "event_asof_join", "event_range_join",
                "top_terms_per_lang", "dataset_split"]
 
@@ -63,7 +64,7 @@ def test_query_matches_oracle(ray_session, duck, name):
 def test_rows_only_entries_run(ray_session):
     import __ray_entry__ as e
 
-    for name in ["minhash_lsh_dedup", "simhash_near_dups", "ann_lsh_topk",
+    for name in ["ann_lsh_topk",
                  "ann_ivf_topk", "image_decode_features",
                  "embedding_near_dups_lsh", "distinct_terms_hll"]:
         res = _to_pandas(e.queries()[name](SF_DIR))
