@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": events.sessionize_events,
         "event_asof_join": events.event_asof_join,
         "event_range_join": events.event_range_join,
+        "event_value_quantiles": events.event_value_quantiles,
+        "order_lineitem_join": rel.order_lineitem_join,
         "top_terms_per_lang": ts.top_terms_per_lang,
         "dataset_split": ts.dataset_split,
         "top_parts": rel.top_parts,
@@ -111,6 +113,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": events.sessionize_events_sql(),
         "event_asof_join": events.event_asof_join_sql(),
         "event_range_join": events.event_range_join_sql(),
+        "event_value_quantiles": events.event_value_quantiles_sql(),
+        "order_lineitem_join": rel.order_lineitem_join_sql(),
         "top_terms_per_lang": ts.top_terms_per_lang_sql(),
         "dataset_split": ts.dataset_split_sql(),
         "top_parts": rel.top_parts_sql(),

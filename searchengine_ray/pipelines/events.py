@@ -253,3 +253,52 @@ FROM (SELECT * FROM events WHERE event_type = '{left_type}') l
 ASOF JOIN (SELECT * FROM events WHERE event_type = '{right_type}') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 """
+
+
+# ---- grouped exact quantiles (distributed selection per key) ----
+
+
+def _quantile_group(qs: tuple[float, ...]):
+    def body(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["value"].to_numpy(np.float64))
+        n = len(v)
+        # quantile_disc rule: the element at ceil(q*n)-1 — an ACTUAL
+        # member of the group, so the result is bit-exact (no float
+        # interpolation to drift from the oracle)
+        picks = [v[min(int(np.ceil(q * n)) - 1, n - 1)] for q in qs]
+        out = {"event_type": [df["event_type"].iloc[0]],
+               "n": np.array([n], dtype=np.int64)}
+        for q, p in zip(qs, picks):
+            out[f"p{int(q * 100)}_cents"] = cents(np.array([p]))
+        return pd.DataFrame(out)
+
+    body.__name__ = "quantile_group"
+    return body
+
+
+def event_value_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """(event_type, n, p50/p90/p99 cents) — exact discrete quantiles of
+    ``value`` per event type.
+
+    Shape: ONE hash shuffle on the group key, then an in-group sort +
+    select. Partitioning assumption (same class as the session/as-of
+    ops): one key's values fit one worker — event-type keys are
+    low-cardinality but each group is value-only (8 B/row). At 100 TB,
+    swap the body for the two-pass histogram-refine selection (partial
+    per-batch histograms -> candidate range -> exact pass) — the
+    group-key shuffle and output contract stay identical.
+    """
+    ds = read(sf_dir, "events", ["event_type", "value"])
+    return ds.groupby("event_type").map_groups(_quantile_group(qs),
+                                               batch_format="pandas")
+
+
+def event_value_quantiles_sql(qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> str:
+    picks = ",\n       ".join(
+        f"CAST(floor(quantile_disc(value, {q}) * 100 + 0.5) AS BIGINT)"
+        f" AS p{int(q * 100)}_cents" for q in qs)
+    return f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       {picks}
+FROM events GROUP BY event_type
+"""

@@ -277,3 +277,92 @@ def segment_counts_sql() -> str:
 SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer GROUP BY c_mktsegment
 """
+
+
+# ---- big-big co-group shuffle join (no broadcastable side) ----
+
+_N_JPARTS = 64
+
+
+def _join_group(df: pd.DataFrame) -> pd.DataFrame:
+    """One join partition: split the unioned rows back into sides, hash
+    join on the key, emit per-month partials (month, n_orders, rev)."""
+    orders = df[df["side"] == 0]
+    items = df[df["side"] == 1]
+    if orders.empty or items.empty:
+        return pd.DataFrame({"month": np.array([], dtype=np.int64),
+                             "n_orders": np.array([], dtype=np.int64),
+                             "revenue_cents": np.array([], dtype=np.int64)})
+    rev = items.groupby("key", as_index=False)["rev_c"].sum()
+    j = orders[["key", "month"]].merge(rev, on="key")
+    out = j.groupby("month", as_index=False).agg(
+        n_orders=("key", "size"), revenue_cents=("rev_c", "sum"))
+    return out.astype({"month": np.int64, "n_orders": np.int64,
+                       "revenue_cents": np.int64})
+
+
+def order_lineitem_join(sf_dir: str):
+    """(month, n_orders, revenue_cents) — revenue per order month via a
+    BIG-BIG repartition join of orders with lineitem.
+
+    Neither side is broadcastable at scale, so this is the co-group
+    shuffle join shape: both tables map to one unioned schema tagged
+    with ``side`` and a shared hash-partition key (``o_orderkey %
+    _N_JPARTS``), ONE ``groupby(jpart)`` co-locates matching keys, and
+    a vectorized pandas hash-join runs per partition. Lineitem rows are
+    pre-aggregated to (orderkey, cents) inside ``map_batches`` BEFORE
+    the shuffle — the exchange carries one row per (batch, orderkey),
+    never raw line items. A tiny final groupby folds the per-partition
+    month partials.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        d = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        d = d.astype("datetime64[M]")
+        month = (d.astype(np.int64) + 12 * 1970)  # months since year 0
+        y, m = month // 12, month % 12 + 1
+        return pa.table({"jpart": int64_col(k % _N_JPARTS),
+                         "key": int64_col(k),
+                         "month": int64_col(y * 100 + m),
+                         "rev_c": int64_col(np.zeros(len(k), np.int64)),
+                         "side": int64_col(np.zeros(len(k), np.int64))})
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        rc = cents(price * (1.0 - disc))
+        uniq, inv = np.unique(k, return_inverse=True)
+        sums = np.bincount(inv, weights=rc).astype(np.int64)
+        return pa.table({"jpart": int64_col(uniq % _N_JPARTS),
+                         "key": int64_col(uniq),
+                         "month": int64_col(np.zeros(len(uniq), np.int64)),
+                         "rev_c": int64_col(sums),
+                         "side": int64_col(np.ones(len(uniq), np.int64))})
+
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        orders_side, batch_format="pyarrow", batch_size=65536)
+    items = read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        lineitem_side, batch_format="pyarrow", batch_size=65536)
+    partial = orders.union(items).groupby("jpart").map_groups(
+        _join_group, batch_format="pandas")
+    return partial.groupby("month").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("revenue_cents", alias_name="revenue_cents"))
+
+
+def order_lineitem_join_sql() -> str:
+    return """
+SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS month,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       CAST(sum(rev_c) AS BIGINT) AS revenue_cents
+FROM orders JOIN (
+  SELECT l_orderkey,
+         CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS rev_c
+  FROM lineitem) li ON li.l_orderkey = o_orderkey
+GROUP BY year(o_orderdate), month(o_orderdate)
+"""

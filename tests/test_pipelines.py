@@ -25,6 +25,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "numeric_literals", "token_count_bpe", "ngram_jaccard_dedup",
                "minhash_lsh_dedup", "simhash_near_dups",
                "sessionize_events", "event_asof_join", "event_range_join",
+               "event_value_quantiles", "order_lineitem_join",
                "top_terms_per_lang", "dataset_split"]
 
 
