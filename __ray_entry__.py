@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis (non-SQL) ---
         "lang_id": ts.lang_id,
         "distinct_terms_hll": ts.distinct_terms_hll,
+        "top_terms_sketch": ts.top_terms_sketch,
         "doc_fingerprint": ts.doc_fingerprint,
         "numeric_literals": ts.numeric_literals,
         "token_count_bpe": ts.token_count_bpe,

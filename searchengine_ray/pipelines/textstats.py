@@ -721,3 +721,80 @@ def distinct_terms_hll(sf_dir: str):
             np.maximum(regs, np.frombuffer(buf, dtype=np.uint8), out=regs)
     return pa.table({"n_distinct_est": int64_col([int(round(_hll_estimate(regs)))]),
                      "n_registers": int64_col([len(regs)])})
+
+
+# ---- frequent-terms sketch (Misra-Gries heavy hitters) ----
+
+_MG_K = 512
+
+
+class TopTermsMGPartial(_SimpleTokenStage):
+    """batch -> ONE row holding a k-entry Misra-Gries summary (terms,
+    residual counts, total decrement) of the batch's term frequencies.
+
+    The second mergeable-sketch family beside the HLL: the shuffle
+    carries one bounded row per batch (k terms max) instead of the
+    vocabulary, and summaries merge by count-sum + re-compression. The
+    classic guarantee survives merging (Agarwal et al. 2012): for every
+    term, true_tf - total_decrement <= est_tf <= true_tf, so any term
+    with true_tf > total_decrement is guaranteed present."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = np.arange(len(texts), dtype=np.int64)
+        codes, _, tfs, info = self.analyzer.tokenize_batch(texts, ids)
+        vocab = np.asarray(info["vocab"])
+        if len(vocab) == 0:
+            terms, counts, dec = [], np.empty(0, np.int64), 0
+        else:
+            counts = np.bincount(codes, weights=tfs.astype(np.float64),
+                                 minlength=len(vocab)).astype(np.int64)
+            terms, counts, dec = _mg_compress(vocab, counts, _MG_K)
+        return pa.table({
+            "terms": pa.array([list(terms)], pa.list_(pa.string())),
+            "counts": pa.array([counts.tolist()], pa.list_(pa.int64())),
+            "dec": int64_col([dec]),
+        })
+
+
+def _mg_compress(terms: np.ndarray, counts: np.ndarray, k: int):
+    """Compress an exact (terms, counts) vector to <= k entries by the
+    Misra-Gries rule: subtract the (k+1)-th largest count everywhere,
+    keep what stays positive. Returns (terms, counts, decrement)."""
+    if len(counts) <= k:
+        return terms, counts, 0
+    thr = int(np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1])
+    keep = counts > thr
+    return terms[keep], counts[keep] - thr, thr
+
+
+def top_terms_sketch(sf_dir: str, k: int = 10):
+    """(term, est_tf, err_bound) — approximate top-k corpus terms from
+    merged per-batch Misra-Gries summaries. The driver merge folds one
+    bounded row per batch (like the HLL), never the vocabulary;
+    ``err_bound`` is the summed decrement: est_tf is exact to within it
+    (one-sided: est <= true <= est + err_bound)."""
+    partial = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        TopTermsMGPartial, batch_format="pyarrow", batch_size=512,
+        concurrency=(1, 4))
+    acc: dict[str, int] = {}
+    total_dec = 0
+    for b in partial.iter_batches(batch_format="pyarrow"):
+        for terms, counts, dec in zip(b.column("terms").to_pylist(),
+                                      b.column("counts").to_pylist(),
+                                      b.column("dec").to_pylist()):
+            total_dec += int(dec)
+            for t, c in zip(terms, counts):
+                acc[t] = acc.get(t, 0) + int(c)
+            if len(acc) > 16 * _MG_K:
+                ts = np.array(list(acc.keys()))
+                cs = np.array(list(acc.values()), dtype=np.int64)
+                ts, cs, d = _mg_compress(ts, cs, _MG_K)
+                total_dec += int(d)
+                acc = dict(zip(ts.tolist(), cs.tolist()))
+    top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table({
+        "term": pa.array([t for t, _ in top], pa.string()),
+        "est_tf": int64_col([c for _, c in top]),
+        "err_bound": int64_col([total_dec] * len(top)),
+    })

@@ -153,3 +153,22 @@ def test_distinct_terms_hll_error_bound(ray_session):
     exact = _to_pandas(term_df(SF_DIR)).shape[0]
     est = distinct_terms_hll(SF_DIR).to_pandas().n_distinct_est.iloc[0]
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_top_terms_sketch_bound(ray_session, duck):
+    """Misra-Gries guarantee: est <= true <= est + err_bound for every
+    returned term, and the true top-1 term is present."""
+    from searchengine_ray.pipelines import textstats as ts
+
+    got = ts.top_terms_sketch(SF_DIR).to_pandas()
+    assert len(got) == 10
+    exact = duck.sql("""
+        WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text),
+                             '[^a-z0-9_]+')) AS term FROM documents)
+        SELECT term, count(*) AS c FROM toks WHERE term <> ''
+        GROUP BY term""").df().set_index("term")["c"]
+    err = int(got["err_bound"].iloc[0])
+    for _, r in got.iterrows():
+        true = int(exact.get(r["term"], 0))
+        assert r["est_tf"] <= true <= r["est_tf"] + err
+    assert exact.idxmax() in set(got["term"])
