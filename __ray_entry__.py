@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_wand": docsearch.bm25_topk_wand,
         "index_dictionary": docsearch.index_dictionary,
         "phrase_search": docsearch.phrase_search,
+        "proximity_search": docsearch.proximity_search,
         # --- tokenizer / aggregation surface (SURVEY §2.2/§2.5) ---
         "term_df": ts.term_df,
         "doc_token_stats": ts.doc_token_stats,
@@ -91,6 +92,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_wand": docsearch.bm25_topk_sql(),
         "index_dictionary": docsearch.index_dictionary_sql(),
         "phrase_search": docsearch.phrase_search_sql(),
+        "proximity_search": docsearch.proximity_search_sql(),
         "term_df": ts.term_df_sql(),
         "doc_token_stats": ts.doc_token_stats_sql(),
         "token_count_by_lang": ts.token_count_by_lang_sql(),

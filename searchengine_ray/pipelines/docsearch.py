@@ -173,6 +173,61 @@ def phrase_search(sf_dir: str):
                           concurrency=(1, 2))
 
 
+PROX_QUERIES = [
+    (1, "hash join", 4),
+    (2, "query scan", 6),
+    (3, "merge window", 8),
+    (4, "batch batch", 5),          # repeated term: ordered chains only
+    (5, "group row limit", 8),
+    (6, "zzznosuchterm join", 4),   # miss
+]
+
+
+def proximity_search(sf_dir: str):
+    """(query_id, doc_id, n_chains) — ordered within-window
+    co-occurrence over the positions-enabled index: tuples of positions
+    ``p_0 < p_1 < ...`` with each gap <= the query's window. The oracle
+    counts the same tuples with an m-way positional self-join, so the
+    chain-count DP is checked exactly (including repeated-term
+    queries)."""
+    from searchengine_ray.pipelines.query import proximity_queries
+
+    paths = ensure_phrase_index(sf_dir)
+    return proximity_queries(paths, PROX_QUERIES,
+                             config=phrase_index_config(), concurrency=(1, 2))
+
+
+def proximity_search_sql() -> str:
+    analyzer = Analyzer(phrase_index_config())
+    selects = []
+    for qid, text, window in PROX_QUERIES:
+        toks = analyzer.raw_tokens(text)
+        joins = []
+        for i, t in enumerate(toks[1:], start=1):
+            joins.append(
+                f"JOIN toks t{i} ON t{i}.doc_id = t0.doc_id "
+                f"AND t{i}.pos > t{i - 1}.pos "
+                f"AND t{i}.pos <= t{i - 1}.pos + {window} "
+                f"AND t{i}.term = '{t}'")
+        selects.append(f"""
+SELECT CAST({qid} AS BIGINT) AS query_id, t0.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chains
+FROM toks t0 {' '.join(joins)}
+WHERE t0.term = '{toks[0]}' GROUP BY t0.doc_id""")
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH raw AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term,
+         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), 1) AS raw_pos
+  FROM documents),
+toks AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY raw_pos) - 1 AS pos
+  FROM raw WHERE term <> '')
+{union}
+"""
+
+
 def phrase_search_sql() -> str:
     analyzer = Analyzer(phrase_index_config())
     selects = []

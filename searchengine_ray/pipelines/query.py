@@ -752,6 +752,64 @@ class IndexSearcher:
                 out.append((doc, int(len(starts))))
         return out
 
+    def proximity_search(self, text: str, window: int = 8
+                         ) -> list[tuple[int, int]]:
+        """Ordered within-window co-occurrence over positional postings:
+        docs containing the query tokens at positions ``p_0 < p_1 < ...``
+        with ``p_i - p_{i-1} <= window``. Returns ``[(doc_id, n_chains)]``
+        ascending by doc_id, where ``n_chains`` counts every qualifying
+        position tuple — exactly what the oracle's m-way positional
+        self-join counts. ``window=1`` degenerates to the phrase chain.
+
+        Per doc the count is a vectorized DP over the per-term position
+        lists: chains ending at position q of term i = sum of chains of
+        term i-1 ending in ``[q-window, q)`` (prefix-sum + two
+        searchsorted per consecutive term pair — no tuple enumeration,
+        so a combinatorial blowup of qualifying tuples stays O(positions)).
+        """
+        raws = self.analyzer.raw_tokens(text)
+        seq: list[str] = []
+        for r in raws:
+            exp = self.analyzer.expand(r)
+            if not exp:
+                return []
+            seq.append(exp[0])
+        if not seq:
+            return []
+        per_term = {}
+        for t in set(seq):
+            got = self._positions_for(t)
+            if got is None:
+                return []
+            per_term[t] = got
+        doc_sets = sorted((per_term[t][0] for t in set(seq)), key=len)
+        cand = doc_sets[0]
+        for d in doc_sets[1:]:
+            cand = cand[np.isin(cand, d, assume_unique=True)]
+            if len(cand) == 0:
+                return []
+        out: list[tuple[int, int]] = []
+        for doc in cand.tolist():
+            prev_pos = prev_cnt = None
+            for i, t in enumerate(seq):
+                docs_t, pos_t, offs_t = per_term[t]
+                j = int(np.searchsorted(docs_t, doc))
+                p = pos_t[offs_t[j]:offs_t[j + 1]].astype(np.int64)
+                if i == 0:
+                    prev_pos, prev_cnt = p, np.ones(len(p), dtype=np.int64)
+                else:
+                    lo = np.searchsorted(prev_pos, p - window, side="left")
+                    hi = np.searchsorted(prev_pos, p, side="left")
+                    csum = np.concatenate([[0], np.cumsum(prev_cnt)])
+                    cnt = csum[hi] - csum[lo]
+                    keep = cnt > 0
+                    prev_pos, prev_cnt = p[keep], cnt[keep]
+                if len(prev_pos) == 0:
+                    break
+            if prev_pos is not None and len(prev_pos):
+                out.append((doc, int(prev_cnt.sum())))
+        return out
+
 
 class _TermCursor:
     """Posting cursor with per-block decode + block-max upper bounds."""
@@ -893,6 +951,31 @@ class PhraseExecutorStage:
                          "n_matches": pa.array(counts, pa.int64())})
 
 
+class ProximityExecutorStage:
+    """Actor-pool stage for within-window co-occurrence queries; emits
+    (query_id, doc_id, n_chains). Index (with positions) loaded once
+    per actor."""
+
+    def __init__(self, index_root: str, window: int = 8,
+                 config: IndexConfig | None = None, data_ref=None):
+        self.searcher = IndexSearcher(index_root, config,
+                                      data=_resolve_shared(data_ref))
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs, counts = [], [], []
+        windows = (batch.column("window").to_pylist()
+                   if "window" in batch.column_names
+                   else [self.window] * batch.num_rows)
+        for qid, text, w in zip(batch.column("query_id").to_pylist(),
+                                batch.column("text").to_pylist(), windows):
+            for doc, n in self.searcher.proximity_search(text, int(w)):
+                qids.append(qid); docs.append(doc); counts.append(n)
+        return pa.table({"query_id": pa.array(qids, pa.int64()),
+                         "doc_id": pa.array(docs, pa.int64()),
+                         "n_chains": pa.array(counts, pa.int64())})
+
+
 def phrase_queries(index_root: str | IndexPaths, queries, *,
                    config: IndexConfig | None = None,
                    concurrency: int | tuple = 4, share_index: bool = True):
@@ -909,6 +992,34 @@ def phrase_queries(index_root: str | IndexPaths, queries, *,
             [{"query_id": int(q), "text": t} for q, t in queries])
     return queries.map_batches(
         PhraseExecutorStage, fn_constructor_args=(root, config, data_ref),
+        batch_format="pyarrow", batch_size=8, concurrency=concurrency)
+
+
+def proximity_queries(index_root: str | IndexPaths, queries, *,
+                      window: int = 8, config: IndexConfig | None = None,
+                      concurrency: int | tuple = 4, share_index: bool = True):
+    """Run proximity queries through the actor pool; Dataset of
+    (query_id, doc_id, n_chains). ``queries`` rows may carry a
+    per-query ``window`` (3-tuples), else ``window`` applies to all."""
+    import ray
+    import ray.data
+
+    root = index_root.root if isinstance(index_root, IndexPaths) else str(index_root)
+    data_ref = (load_index_shared(root, precompute_hot=False)
+                if share_index else None)
+    if not hasattr(queries, "map_batches"):
+        items = []
+        for q in queries:
+            if len(q) == 3:
+                items.append({"query_id": int(q[0]), "text": q[1],
+                              "window": int(q[2])})
+            else:
+                items.append({"query_id": int(q[0]), "text": q[1],
+                              "window": int(window)})
+        queries = ray.data.from_items(items)
+    return queries.map_batches(
+        ProximityExecutorStage,
+        fn_constructor_args=(root, window, config, data_ref),
         batch_format="pyarrow", batch_size=8, concurrency=concurrency)
 
 

@@ -21,7 +21,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "pricing_summary", "top_orders_by_revenue", "events_daily",
                "top_parts", "suppliers_by_nation", "segment_counts",
                "bm25_topk", "bm25_topk_wand", "index_dictionary",
-               "phrase_search", "lang_id", "doc_fingerprint",
+               "phrase_search", "proximity_search", "lang_id", "doc_fingerprint",
                "numeric_literals", "token_count_bpe", "ngram_jaccard_dedup",
                "minhash_lsh_dedup", "simhash_near_dups",
                "sessionize_events", "event_asof_join", "event_range_join",
