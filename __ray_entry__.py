@@ -77,7 +77,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_asof_join": events.event_asof_join,
         "event_range_join": events.event_range_join,
         "event_value_quantiles": events.event_value_quantiles,
+        "hopping_window_counts": events.hopping_window_counts,
         "order_lineitem_join": rel.order_lineitem_join,
+        "customers_without_orders": rel.customers_without_orders,
         "top_terms_per_lang": ts.top_terms_per_lang,
         "dataset_split": ts.dataset_split,
         "top_parts": rel.top_parts,
@@ -117,7 +119,9 @@ def oracle_sql() -> dict[str, str]:
         "event_asof_join": events.event_asof_join_sql(),
         "event_range_join": events.event_range_join_sql(),
         "event_value_quantiles": events.event_value_quantiles_sql(),
+        "hopping_window_counts": events.hopping_window_counts_sql(),
         "order_lineitem_join": rel.order_lineitem_join_sql(),
+        "customers_without_orders": rel.customers_without_orders_sql(),
         "top_terms_per_lang": ts.top_terms_per_lang_sql(),
         "dataset_split": ts.dataset_split_sql(),
         "top_parts": rel.top_parts_sql(),

@@ -302,3 +302,71 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        {picks}
 FROM events GROUP BY event_type
 """
+
+
+# ---- hopping (overlapping) window aggregate ----
+
+
+def hopping_window_counts(sf_dir: str, window_minutes: int = 60,
+                          hop_minutes: int = 15):
+    """(window_start_us, event_type, n_events, sum_value_cents) — counts
+    per OVERLAPPING time window (length ``window``, stride ``hop``).
+
+    The streaming hopping-window analog in batch form: each event maps
+    into exactly ``window/hop`` windows — a bounded per-row fan-out
+    inside ``map_batches`` (duplication factor 4 here, never data-
+    dependent) — then one pre-aggregated groupby on (window, type).
+    The shuffle carries per-batch partials, not duplicated events.
+    """
+    from ray.data.aggregate import Sum
+
+    window_us = window_minutes * 60 * 1_000_000
+    hop_us = hop_minutes * 60 * 1_000_000
+    k = window_us // hop_us
+
+    def expand(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        vc = cents(val)
+        types = batch.column("event_type")
+        base = (t // hop_us) * hop_us
+        frames = []
+        for i in range(k):
+            ws = base - i * hop_us
+            frames.append(pd.DataFrame({
+                "window_start_us": ws, "event_type": types.to_pandas(),
+                "n_p": 1, "sum_p": vc}))
+        df = pd.concat(frames)
+        g = df.groupby(["window_start_us", "event_type"], as_index=False).agg(
+            n_p=("n_p", "sum"), sum_p=("sum_p", "sum"))
+        return pa.table({"window_start_us": int64_col(g["window_start_us"]),
+                         "event_type": pa.array(g["event_type"], pa.string()),
+                         "n_p": int64_col(g["n_p"]),
+                         "sum_p": int64_col(g["sum_p"])})
+
+    ds = read(sf_dir, "events", ["ts", "event_type", "value"])
+    partial = ds.map_batches(expand, batch_format="pyarrow", batch_size=65536)
+    out = partial.groupby(["window_start_us", "event_type"]).aggregate(
+        Sum("n_p", alias_name="n_events"),
+        Sum("sum_p", alias_name="sum_value_cents"))
+    return out
+
+
+def hopping_window_counts_sql(window_minutes: int = 60,
+                              hop_minutes: int = 15) -> str:
+    window_us = window_minutes * 60 * 1_000_000
+    hop_us = hop_minutes * 60 * 1_000_000
+    k = window_us // hop_us
+    return f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS t, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events),
+x AS (
+  SELECT (t // {hop_us} - i) * {hop_us} AS window_start_us, event_type, vc
+  FROM e, unnest(generate_series(0, {k - 1})) AS u(i))
+SELECT window_start_us, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(vc) AS BIGINT) AS sum_value_cents
+FROM x GROUP BY window_start_us, event_type
+"""

@@ -366,3 +366,73 @@ FROM orders JOIN (
   FROM lineitem) li ON li.l_orderkey = o_orderkey
 GROUP BY year(o_orderdate), month(o_orderdate)
 """
+
+
+# ---- co-group anti-join (NOT EXISTS with no broadcastable side) ----
+
+
+def _anti_group(df: pd.DataFrame) -> pd.DataFrame:
+    cust = df[df["side"] == 0]
+    seen = set(df.loc[df["side"] == 1, "key"].to_numpy())
+    miss = cust[~cust["key"].isin(seen)]
+    out = miss.groupby("seg", as_index=False).agg(n_p=("key", "size"))
+    return out.astype({"n_p": np.int64})
+
+
+_INACTIVE_CUTOFF = "2001-01-01"
+
+
+def customers_without_orders(sf_dir: str, cutoff: str = _INACTIVE_CUTOFF):
+    """(c_mktsegment, n_customers) — customers with NO order on/after
+    ``cutoff`` (inactive customers), counted per segment.
+
+    The distributed anti-join (NOT EXISTS) shape: at scale neither the
+    customer keys nor the distinct order custkeys are broadcastable, so
+    both sides hash-partition on the key (orders date-filtered and
+    pre-deduped to distinct keys per batch BEFORE the shuffle), one
+    ``groupby(jpart)`` co-locates them, and the per-partition body is a
+    vectorized set difference. Tiny final sum groupby.
+    """
+    from ray.data.aggregate import Sum
+
+    cut_us = np.datetime64(cutoff, "us").astype(np.int64)
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        k = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({"jpart": int64_col(k % _N_JPARTS),
+                         "key": int64_col(k),
+                         "seg": batch.column("c_mktsegment"),
+                         "side": int64_col(np.zeros(len(k), np.int64))})
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        k = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        k = np.unique(k[d >= cut_us])
+        return pa.table({"jpart": int64_col(k % _N_JPARTS),
+                         "key": int64_col(k),
+                         "seg": pa.array([""] * len(k), pa.string()),
+                         "side": int64_col(np.ones(len(k), np.int64))})
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        cust_side, batch_format="pyarrow", batch_size=65536)
+    orders = read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        order_side, batch_format="pyarrow", batch_size=65536)
+    partial = cust.union(orders).groupby("jpart").map_groups(
+        _anti_group, batch_format="pandas")
+    out = partial.groupby("seg").aggregate(Sum("n_p", alias_name="n_customers"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["c_mktsegment", "n_customers"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def customers_without_orders_sql(cutoff: str = _INACTIVE_CUTOFF) -> str:
+    return f"""
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '{cutoff}')
+GROUP BY c_mktsegment
+"""

@@ -26,6 +26,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "minhash_lsh_dedup", "simhash_near_dups",
                "sessionize_events", "event_asof_join", "event_range_join",
                "event_value_quantiles", "order_lineitem_join",
+               "hopping_window_counts", "customers_without_orders",
                "top_terms_per_lang", "dataset_split"]
 
 
