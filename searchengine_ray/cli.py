@@ -53,6 +53,21 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--stemming", action="store_true", default=None)
     s.add_argument("--analyzer", choices=["code", "simple"], default=None)
 
+    ad = sub.add_parser("add", help="incrementally ingest more documents "
+                        "into an existing index (new generation)")
+    ad.add_argument("corpus")
+    ad.add_argument("index_dir")
+    ad.add_argument("--stemming", action="store_true", default=None)
+    ad.add_argument("--analyzer", choices=["code", "simple"], default=None)
+
+    px = sub.add_parser("proximity", help="within-window co-occurrence "
+                        "query (needs a --positions index)")
+    px.add_argument("index_dir")
+    px.add_argument("query")
+    px.add_argument("--window", type=int, default=8)
+    px.add_argument("--stemming", action="store_true", default=None)
+    px.add_argument("--analyzer", choices=["code", "simple"], default=None)
+
     ph = sub.add_parser("phrase", help="exact phrase query (needs an index "
                                        "built with --positions)")
     ph.add_argument("index_dir")
@@ -74,7 +89,7 @@ def main(argv: list[str] | None = None) -> int:
 
     analyzer = getattr(args, "analyzer", None)
     stemming = getattr(args, "stemming", None)
-    if args.cmd in ("search", "batch", "phrase"):
+    if args.cmd in ("search", "batch", "phrase", "proximity", "add"):
         # query-time analyzer settings default from the INDEX's recorded
         # config (index_meta.json) — querying a stemmed/simple index must
         # analyze queries the same way the documents were analyzed;
@@ -101,6 +116,11 @@ def main(argv: list[str] | None = None) -> int:
             paths = build_index(args.corpus, args.index_dir, cfg,
                                 resume=not args.no_resume)
             print(paths.meta())
+        elif args.cmd == "add":
+            from searchengine_ray.pipelines.build import add_documents
+
+            paths = add_documents(args.corpus, args.index_dir, cfg)
+            print(paths.meta())
         elif args.cmd == "search":
             from searchengine_ray.pipelines.query import IndexSearcher
 
@@ -115,6 +135,12 @@ def main(argv: list[str] | None = None) -> int:
 
             s_ = IndexSearcher(args.index_dir, cfg)
             for doc, n in s_.phrase_search(args.query):
+                print(f"{doc}\t{n}")
+        elif args.cmd == "proximity":
+            from searchengine_ray.pipelines.query import IndexSearcher
+
+            s_ = IndexSearcher(args.index_dir, cfg)
+            for doc, n in s_.proximity_search(args.query, args.window):
                 print(f"{doc}\t{n}")
         elif args.cmd == "batch":
             from searchengine_ray.pipelines.query import search_queries

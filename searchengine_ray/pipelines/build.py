@@ -365,6 +365,8 @@ def build_index(source, out_root: str | Path, config: IndexConfig | None = None,
         "n_postings": sum(m.get("n_postings", 0) for m in post_manifests),
         "num_term_parts": config.num_term_parts,
         "num_doc_parts": config.num_doc_parts,
+        "generation": 1,
+        "doc_parts_used": config.num_doc_parts,
         "fingerprint": fingerprint,
         "build_phase_seconds": _phase_seconds,
         "config": {"analyzer": config.analyzer, "k1": config.k1, "b": config.b,
@@ -407,3 +409,196 @@ class PrelabeledPartWriter:
                                fingerprint=self.fingerprint, row_group_size=8192)
         return pa.table({"partition": pa.array([part], pa.int64()),
                          "rows": pa.array([out.num_rows], pa.int64())})
+
+
+def add_documents(source, out_root: str | Path,
+                  config: IndexConfig | None = None,
+                  source_tag: str | None = None) -> IndexPaths:
+    """Incremental ingest: append a new GENERATION of documents to an
+    existing index without rebuilding it.
+
+    The new docs normalize into FRESH doc partitions (numbered above
+    every earlier generation's), so their ids are strictly higher than
+    all existing ids; each term-part reducer then reads its EXISTING
+    merged partition, re-admits it as segment rows
+    (``segments_from_existing``) and reruns the ordinary merge with the
+    new generation's segments — postings stay docid-ascending by
+    byte concat, doc_meta shards re-sort, the dictionary rewrites.
+    Ingest cost scales with the NEW data (plus one rewrite of each
+    touched partition), not the corpus.
+
+    Constraints (by design, enforced/documented):
+    - the config must match the base index (same analyzer/stemming/
+      min_df/block layout — checked against ``index_meta.json``);
+    - ``min_df`` must be 1: a term pruned in an earlier generation lost
+      its segments and cannot be resurrected by a later one;
+    - key dedup is per-generation (append-only corpora): re-ingesting
+      an existing ``(repo, path, commit)`` yields a second doc id.
+    - resume: rerunning the same ingest skips completed partitions
+      (per-generation fingerprints); partitions without new segments
+      are left untouched.
+    """
+    import pyarrow.parquet as _pqm
+
+    from searchengine_ray.stages.exchange import run_partition_exchange, split_by_part
+    from searchengine_ray.stages.postings import segments_from_existing
+    from searchengine_ray.state.manifest import (completed_partitions,
+                                                 load_manifests,
+                                                 write_empty_partition_manifest,
+                                                 write_json_atomic)
+
+    config = config or IndexConfig()
+    paths = IndexPaths(str(out_root))
+    meta = paths.meta()
+    if not meta:
+        raise ValueError(f"no index at {out_root} — build_index first")
+    if config.min_df != 1:
+        raise ValueError("incremental ingest requires min_df == 1 "
+                         "(pruned terms cannot recover earlier segments)")
+    mc = meta.get("config", {})
+    for field_, got in (("analyzer", config.analyzer),
+                        ("stemming", config.stemming),
+                        ("min_df", config.min_df),
+                        ("block_size", config.block_size),
+                        ("doc_bucket_size", config.doc_bucket_size)):
+        if field_ in mc and mc[field_] != got:
+            raise ValueError(f"config mismatch vs index: {field_}: "
+                             f"index={mc[field_]} vs {got}")
+    if meta.get("num_term_parts") != config.num_term_parts:
+        raise ValueError("num_term_parts must match the base index")
+
+    P = config.num_doc_parts
+    if not isinstance(source, (str, Path)):
+        raise ValueError("add_documents takes a parquet file/dir source")
+    p = Path(source)
+    files = sorted(str(f) for f in (p.rglob("*.parquet") if p.is_dir() else [p]))
+    _, auto_tag, _ = _source_dataset(source)
+    # generation identity = (config, source content) — NOT a call counter:
+    # re-running a completed ingest resolves to the same generation and
+    # no-ops; a crashed ingest resumes its own partitions
+    fingerprint = _config_fingerprint(config, source_tag or auto_tag)
+    if fingerprint == meta.get("fingerprint"):
+        return paths                       # this source is already ingested
+    gens = meta.get("generations", [])
+    rec = next((g for g in gens if g["fingerprint"] == fingerprint), None)
+    if rec is not None:
+        gen, base = int(rec["gen"]), int(rec["base"])
+    else:
+        gen = int(meta.get("generation", 1)) + 1
+        base = int(meta.get("doc_parts_used", config.num_doc_parts))
+
+    # ---- phase 1: normalize new docs -> docs/part-{base..base+P-1} ----
+    new_parts = set(range(base, base + P))
+    done1 = completed_partitions(paths.docs, fingerprint=fingerprint) & new_parts
+    if len(done1) < P:
+        writer = NormalizePartWriter(paths.docs, config, fingerprint)
+
+        def _map_norm(path):
+            from searchengine_ray.stages.normalize import sha256_column
+
+            t = add_part_column(_pqm.read_table(path), P)
+            rel = t.column("part")
+            t = t.remove_column(t.column_names.index("part"))
+            t = t.append_column("rel", rel)
+            t = t.append_column(
+                "part", pa.array(rel.to_numpy(zero_copy_only=False) + base,
+                                 pa.int64()))
+            t = t.append_column("sha256",
+                                sha256_column(t.column("content").to_pylist()))
+            return split_by_part(t, P, part_col="rel")
+
+        def _reduce_norm(rel, tables):
+            if not tables:
+                return write_empty_partition_manifest(
+                    paths.docs, kind="docs", partition=rel + base,
+                    fingerprint=fingerprint)
+            return writer(pa.concat_tables(tables))
+
+        run_partition_exchange(files, P, _map_norm, _reduce_norm,
+                               skip_parts={q - base for q in done1})
+
+    # ---- phase 2: tokenize the new generation, merge into existing ----
+    total_parts = config.num_term_parts + config.num_doc_parts
+    done2 = (completed_partitions(paths.postings, fingerprint=fingerprint)
+             | completed_partitions(paths.doc_meta, fingerprint=fingerprint))
+    if len(done2) < total_parts:
+        gen_parts = completed_partitions(paths.docs, fingerprint=fingerprint)
+        doc_files = sorted(str(Path(paths.docs) / f"part-{q:05d}.parquet")
+                           for q in gen_parts
+                           if (Path(paths.docs) / f"part-{q:05d}.parquet").is_file())
+        merger = MergePostingsPartWriter(paths.postings, paths.dictionary,
+                                         config, fingerprint,
+                                         doc_meta_dir=paths.doc_meta)
+        bs = config.tokenize_batch_size
+        jobs = []
+        import os as _osa
+
+        step = int(_osa.environ.get("GRAFT_RG_STEP", "2"))
+        for f in doc_files:
+            n_rg = _pqm.ParquetFile(f).metadata.num_row_groups
+            for lo in range(0, n_rg, step):
+                jobs.append((f, lo, min(lo + step, n_rg)))
+
+        def _map_postings(job):
+            import pyarrow.parquet as _pq
+
+            import searchengine_ray.stages.postings as _sp
+
+            path, rg_lo, rg_hi = job
+            t = _pq.ParquetFile(path).read_row_groups(
+                list(range(rg_lo, rg_hi)), columns=["doc_id", "content"])
+            pp = getattr(_sp, "_worker_pp", None)
+            if pp is None or pp._fingerprint != fingerprint:
+                pp = PartialPostings(config)
+                pp._fingerprint = fingerprint
+                _sp._worker_pp = pp
+            outs = [pp(t.slice(i, bs)) for i in range(0, t.num_rows, bs)]
+            seg = pa.concat_tables(outs) if outs else None
+            if seg is None or seg.num_rows == 0:
+                return [None] * total_parts
+            return split_by_part(seg, total_parts)
+
+        def _reduce_postings(part, tables):
+            target = (paths.doc_meta if part >= config.num_term_parts
+                      else paths.postings)
+            kind = ("doc_meta" if part >= config.num_term_parts
+                    else "postings")
+            existing = Path(target) / f"part-{part:05d}.parquet"
+            if not tables:
+                if existing.is_file():
+                    return None            # untouched: keep old file+manifest
+                return write_empty_partition_manifest(
+                    target, kind=kind, partition=part, fingerprint=fingerprint)
+            if existing.is_file():
+                old = _pqm.read_table(existing)
+                if old.num_rows:
+                    tables = [segments_from_existing(
+                        part, old, config.num_term_parts)] + list(tables)
+            return merger(pa.concat_tables(tables))
+
+        run_partition_exchange(jobs, total_parts, _map_postings,
+                               _reduce_postings, skip_parts=done2)
+
+    # ---- phase 3: stats across ALL generations (mixed fingerprints:
+    # untouched partitions keep their old manifest, which is correct
+    # because the config is pinned identical above) ----
+    meta_manifests = load_manifests(paths.doc_meta)
+    N = sum(m.get("rows", 0) for m in meta_manifests)
+    total_len = sum(m.get("total_len", 0) for m in meta_manifests)
+    post_manifests = load_manifests(paths.postings)
+    out = dict(meta)
+    out.update({
+        "N": N, "total_len": total_len,
+        "avgdl": total_len / N if N else 1.0,
+        "n_terms": sum(m.get("n_terms", 0) for m in post_manifests),
+        "n_postings": sum(m.get("n_postings", 0) for m in post_manifests),
+        "generation": max(gen, int(meta.get("generation", 1))),
+        "doc_parts_used": max(base + P,
+                              int(meta.get("doc_parts_used", P))),
+        "fingerprint": fingerprint,
+    })
+    if rec is None:
+        out["generations"] = gens + [{"gen": gen, "base": base,
+                                      "fingerprint": fingerprint}]
+    write_json_atomic(out, paths.meta_path)
+    return paths

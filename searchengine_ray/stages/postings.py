@@ -232,6 +232,48 @@ POSTINGS_SCHEMA = pa.schema([
 ])
 
 
+def segments_from_existing(part: int, table: pa.Table,
+                           num_term_parts: int) -> pa.Table:
+    """Re-admit an already-merged partition file as segment rows so the
+    incremental-ingest reducer can concat it with a new generation's
+    segments and rerun the SAME merge. ``first_doc = -1`` sorts the old
+    rows before every new segment of the same (term, bucket) — a new
+    generation's doc ids are strictly higher (fresh doc parts are the
+    high bits), so byte concat keeps postings docid-ascending."""
+    n = table.num_rows
+    if part >= num_term_parts:
+        # doc_meta shard (doc_id, doc_len, max_tf, n_terms) -> ONE
+        # synthetic piggyback row in the _meta_rows layout
+        offs = np.array([0, n], dtype=np.int64)
+        zeros = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table({
+            "part": pa.array([part], pa.int64()),
+            "term": pa.array([""], pa.string()),
+            "term_hash": pa.array(np.zeros(1, np.uint64), pa.uint64()),
+            "bucket": pa.array([-1], pa.int64()),
+            "first_doc": pa.array([-1], pa.int64()),
+            "df": pa.array([n], pa.int64()),
+            "counts": _large_list(
+                table.column("doc_len").combine_chunks().cast(pa.int32()), offs),
+            "last_docs": _large_list(
+                table.column("doc_id").combine_chunks().cast(pa.int64()), offs),
+            "max_tfs": _large_list(
+                table.column("max_tf").combine_chunks().cast(pa.int32()), offs),
+            "doc_sizes": _large_list(
+                table.column("n_terms").combine_chunks().cast(pa.int64()), offs),
+            "tf_sizes": _large_list(zeros, offs),
+            "pos_sizes": _large_list(zeros, offs),
+            "doc_bytes": pa.array([b""], pa.large_binary()),
+            "tf_bytes": pa.array([b""], pa.large_binary()),
+            "pos_bytes": pa.array([b""], pa.large_binary()),
+        }, schema=SEGMENT_SCHEMA)
+    cols = {name: table.column(name) for name in POSTINGS_SCHEMA.names}
+    cols["part"] = pa.array(np.full(n, part), pa.int64())
+    cols["first_doc"] = pa.array(np.full(n, -1), pa.int64())
+    return pa.table({f.name: cols[f.name] for f in SEGMENT_SCHEMA},
+                    schema=SEGMENT_SCHEMA)
+
+
 class MergePostingsPartWriter:
     """``groupby("part").map_groups`` body: merge one term partition and
     write its postings + dictionary files atomically.

@@ -1,0 +1,97 @@
+"""Incremental ingest (add_documents): generation append + merge.
+
+Correctness bar: after ingesting a second corpus into an existing
+index, the index must behave EXACTLY like an index over the union —
+verified by rank/score parity against OracleIndex over the docs the
+index itself holds, plus meta/doc_meta invariants and idempotent
+re-ingest."""
+
+import json
+import shutil
+import sys
+from pathlib import Path
+
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from searchengine_ray.config import IndexConfig
+from searchengine_ray.corpus import generate_corpus
+from searchengine_ray.oracle import OracleIndex
+from searchengine_ray.pipelines.build import add_documents, build_index
+from searchengine_ray.pipelines.query import IndexSearcher
+
+QUERIES = ["parse buffer", "merge sort window", "hash", "zzznosuchterm",
+           "data query line"]
+
+
+@pytest.fixture(scope="module")
+def inc_index(ray_session, tmp_path_factory):
+    work = tmp_path_factory.mktemp("inc")
+    c1 = generate_corpus(1500, work / "c1", seed=7, n_files=4)
+    c2 = generate_corpus(700, work / "c2", seed=1234, n_files=3)
+    cfg = IndexConfig(num_doc_parts=4, num_term_parts=8)
+    paths = build_index(c1, work / "idx", cfg)
+    n1 = paths.meta()["N"]
+    paths = add_documents(c2, work / "idx", cfg)
+    return paths, cfg, n1
+
+
+def _all_docs(paths):
+    import pyarrow as pa
+
+    tables = [pq.read_table(f) for f in sorted(
+        Path(paths.docs).glob("part-*.parquet"))]
+    return pa.concat_tables(tables)
+
+
+def test_meta_counts(inc_index):
+    paths, cfg, n1 = inc_index
+    meta = paths.meta()
+    docs = _all_docs(paths)
+    assert meta["N"] == docs.num_rows > n1
+    assert meta["generation"] == 2
+    assert meta["doc_parts_used"] == 2 * cfg.num_doc_parts
+    # doc_meta holds every doc exactly once
+    dm = sum(pq.read_table(f).num_rows
+             for f in Path(paths.doc_meta).glob("part-*.parquet"))
+    assert dm == meta["N"]
+
+
+def test_generation_ids_disjoint(inc_index):
+    paths, cfg, n1 = inc_index
+    docs = _all_docs(paths)
+    ids = sorted(docs.column("doc_id").to_pylist())
+    assert len(set(ids)) == len(ids)
+    gen2_floor = cfg.num_doc_parts << cfg.doc_id_part_bits
+    assert sum(1 for i in ids if i >= gen2_floor) > 0
+    assert sum(1 for i in ids if i < gen2_floor) == n1
+
+
+def test_rank_parity_after_ingest(inc_index):
+    """BM25 results over the merged index == OracleIndex over the very
+    docs the index holds (bit-identical scores)."""
+    paths, cfg, _ = inc_index
+    oracle = OracleIndex(_all_docs(paths), cfg, id_column="doc_id")
+    s = IndexSearcher(paths.root, cfg)
+    for q in QUERIES:
+        got = s.search(q, k=10)
+        want = oracle.search(q, k=10)
+        assert got == want, q
+
+
+def test_reingest_is_noop(inc_index, tmp_path):
+    paths, cfg, _ = inc_index
+    before = json.loads(Path(paths.meta_path).read_text())
+    # identical source content -> same generation fingerprint -> no-op
+    p2 = add_documents(Path(paths.root).parent / "c2", paths.root, cfg)
+    after = json.loads(Path(p2.meta_path).read_text())
+    assert after == before
+
+
+def test_min_df_guard(inc_index):
+    paths, cfg, _ = inc_index
+    bad = IndexConfig(num_doc_parts=4, num_term_parts=8, min_df=2)
+    with pytest.raises(ValueError, match="min_df"):
+        add_documents("/tmp/nonexistent", paths.root, bad)
