@@ -60,6 +60,18 @@ def main(argv: list[str] | None = None) -> int:
     ad.add_argument("--stemming", action="store_true", default=None)
     ad.add_argument("--analyzer", choices=["code", "simple"], default=None)
 
+    de = sub.add_parser("delete", help="tombstone doc ids (queries stop "
+                        "returning them; stats stale until compact)")
+    de.add_argument("index_dir")
+    de.add_argument("doc_ids", nargs="+", type=int)
+
+    co = sub.add_parser("compact", help="rebuild without tombstones into "
+                        "a new root (exact stats, generations folded)")
+    co.add_argument("index_dir")
+    co.add_argument("new_index_dir")
+    co.add_argument("--stemming", action="store_true", default=None)
+    co.add_argument("--analyzer", choices=["code", "simple"], default=None)
+
     px = sub.add_parser("proximity", help="within-window co-occurrence "
                         "query (needs a --positions index)")
     px.add_argument("index_dir")
@@ -89,7 +101,9 @@ def main(argv: list[str] | None = None) -> int:
 
     analyzer = getattr(args, "analyzer", None)
     stemming = getattr(args, "stemming", None)
-    if args.cmd in ("search", "batch", "phrase", "proximity", "add"):
+    positions = bool(getattr(args, "positions", False))
+    if args.cmd in ("search", "batch", "phrase", "proximity", "add",
+                    "compact"):
         # query-time analyzer settings default from the INDEX's recorded
         # config (index_meta.json) — querying a stemmed/simple index must
         # analyze queries the same way the documents were analyzed;
@@ -104,10 +118,11 @@ def main(argv: list[str] | None = None) -> int:
                 analyzer = mc.get("analyzer")
             if stemming is None:
                 stemming = mc.get("stemming")
+            positions = positions or bool(mc.get("store_positions", False))
     cfg = IndexConfig(analyzer=analyzer or "code",
                       stemming=bool(stemming),
                       min_df=getattr(args, "min_df", 1),
-                      store_positions=bool(getattr(args, "positions", False)))
+                      store_positions=positions)
     _init_ray(args.num_cpus)
     try:
         if args.cmd == "build":
@@ -120,6 +135,16 @@ def main(argv: list[str] | None = None) -> int:
             from searchengine_ray.pipelines.build import add_documents
 
             paths = add_documents(args.corpus, args.index_dir, cfg)
+            print(paths.meta())
+        elif args.cmd == "delete":
+            from searchengine_ray.pipelines.build import delete_documents
+
+            n = delete_documents(args.index_dir, args.doc_ids)
+            print(f"{n} tombstones")
+        elif args.cmd == "compact":
+            from searchengine_ray.pipelines.build import compact_index
+
+            paths = compact_index(args.index_dir, args.new_index_dir, cfg)
             print(paths.meta())
         elif args.cmd == "search":
             from searchengine_ray.pipelines.query import IndexSearcher

@@ -372,7 +372,8 @@ def build_index(source, out_root: str | Path, config: IndexConfig | None = None,
         "config": {"analyzer": config.analyzer, "k1": config.k1, "b": config.b,
                    "min_df": config.min_df, "block_size": config.block_size,
                    "doc_bucket_size": config.doc_bucket_size,
-                   "stemming": config.stemming},
+                   "stemming": config.stemming,
+                   "store_positions": config.store_positions},
     }, paths.meta_path)
     return paths
 
@@ -460,7 +461,8 @@ def add_documents(source, out_root: str | Path,
                         ("stemming", config.stemming),
                         ("min_df", config.min_df),
                         ("block_size", config.block_size),
-                        ("doc_bucket_size", config.doc_bucket_size)):
+                        ("doc_bucket_size", config.doc_bucket_size),
+                        ("store_positions", config.store_positions)):
         if field_ in mc and mc[field_] != got:
             raise ValueError(f"config mismatch vs index: {field_}: "
                              f"index={mc[field_]} vs {got}")
@@ -602,3 +604,65 @@ def add_documents(source, out_root: str | Path,
                                       "fingerprint": fingerprint}]
     write_json_atomic(out, paths.meta_path)
     return paths
+
+
+def delete_documents(out_root: str | Path, doc_ids) -> int:
+    """Tombstone documents: they stop appearing in every query path
+    (BM25, phrase, proximity) from the next searcher/actor construction
+    on. Lucene-style semantics — postings are NOT rewritten, so corpus
+    stats (N/avgdl/df) stay those of the full corpus until
+    ``compact_index`` rebuilds without the dead docs. The tombstone
+    list is a tiny sorted parquet at the index root, replaced
+    atomically; repeated deletes union. Returns the total tombstone
+    count."""
+    import os
+
+    import pyarrow.parquet as _pqm
+
+    paths = IndexPaths(str(out_root))
+    dead = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    dp = Path(paths.root) / "deletes.parquet"
+    if dp.is_file():
+        old = _pqm.read_table(dp).column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dead = np.unique(np.concatenate([old, dead]))
+    tmp = dp.with_name(dp.name + f".tmp.{os.getpid()}")
+    _pqm.write_table(pa.table({"doc_id": pa.array(dead, pa.int64())}), tmp)
+    os.replace(tmp, dp)
+    return int(len(dead))
+
+
+def compact_index(out_root: str | Path, new_root: str | Path,
+                  config: IndexConfig | None = None) -> IndexPaths:
+    """Rebuild the index at ``new_root`` from the live documents only:
+    drops tombstones, restores exact corpus stats (N/avgdl/df), and
+    folds every generation into one. Doc ids are PRESERVED (the
+    pre-assigned-id build path), so existing result references stay
+    valid. The old index directory is left untouched."""
+    import ray.data as _rd
+
+    paths = IndexPaths(str(out_root))
+    config = config or IndexConfig()
+    ds = _rd.read_parquet(sorted(
+        str(f) for f in Path(paths.docs).glob("part-*.parquet")))
+    dp = Path(paths.root) / "deletes.parquet"
+    if dp.is_file():
+        import pyarrow.parquet as _pqm
+
+        dead = _pqm.read_table(dp).column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dead.sort()
+
+        def drop(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(~np.isin(ids, dead)))
+
+        ds = ds.map_batches(drop, batch_format="pyarrow")
+
+    def strip(batch: pa.Table) -> pa.Table:
+        keep = [c for c in batch.column_names if c != "sha256"]
+        return batch.select(keep)
+
+    ds = ds.map_batches(strip, batch_format="pyarrow")
+    return build_index(ds, new_root, config, id_column="doc_id",
+                       source_tag=f"compact:{paths.root}")

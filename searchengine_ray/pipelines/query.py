@@ -355,6 +355,22 @@ class IndexSearcher:
         self._mark_buf: np.ndarray | None = None
         self._impact_cache: dict[str, tuple] = {}
         self._pos_cache: dict[str, tuple] = {}
+        # tombstones: tiny sorted id list read fresh per searcher (NOT
+        # part of the plasma-shared image, so deletes take effect on
+        # the next actor/searcher without re-sharing the index)
+        self._alive: np.ndarray | None = None
+        dp = Path(self.paths.root) / "deletes.parquet"
+        if dp.is_file():
+            dead = pq.read_table(dp).column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(self._dl_ids, dead)
+            ok = idx < len(self._dl_ids)
+            idx, dead = idx[ok], dead[ok]
+            hit = idx[self._dl_ids[idx] == dead]
+            if len(hit):
+                alive = np.ones(len(self._dl_ids), dtype=bool)
+                alive[hit] = False
+                self._alive = alive
 
     # ---- posting access ----
 
@@ -485,6 +501,9 @@ class IndexSearcher:
             # off the cached contribution vector (sequential reads only)
             pos, contrib, qtf = decoded[0]
             scores = contrib if qtf == 1 else qtf * contrib
+            if self._alive is not None:
+                m = self._alive[pos]
+                pos, scores = pos[m], scores[m]
             top = top_k_indices(scores, self._dl_ids[pos], k)
             return [(int(self._dl_ids[pos[i]]), float(scores[i])) for i in top]
         n = len(self._dl_ids)
@@ -500,11 +519,13 @@ class IndexSearcher:
         # scan instead of sorting concatenated position arrays (the sort
         # dominated per-query time for stop-word-heavy queries)
         cand = np.flatnonzero(mark)
-        cand_scores = buf[cand].copy()
+        live = (cand if self._alive is None
+                else cand[self._alive[cand]])
+        cand_scores = buf[live].copy()
         buf[cand] = 0.0                        # reset only what we touched
         mark[cand] = 0
-        top = top_k_indices(cand_scores, self._dl_ids[cand], k)
-        return [(int(self._dl_ids[cand[i]]), float(cand_scores[i])) for i in top]
+        top = top_k_indices(cand_scores, self._dl_ids[live], k)
+        return [(int(self._dl_ids[live[i]]), float(cand_scores[i])) for i in top]
 
     def _impact_ordered(self, term: str):
         """Impact-ordered view of a term's postings: (positions, contribs)
@@ -567,6 +588,9 @@ class IndexSearcher:
         if len(decoded) == 1:
             pos, contrib, qtf = decoded[0]
             scores = contrib if qtf == 1 else qtf * contrib
+            if self._alive is not None:
+                m = self._alive[pos]
+                pos, scores = pos[m], scores[m]
             top = top_k_indices(scores, self._dl_ids[pos], k)
             return [(int(self._dl_ids[pos[i]]), float(scores[i])) for i in top]
         cursors = [0] * len(impact)
@@ -600,6 +624,8 @@ class IndexSearcher:
                 break
             budget *= 2
             S = np.unique(np.concatenate(seen_chunks))
+            if self._alive is not None:
+                S = S[self._alive[S]]
             scores = self._full_scores(decoded, S)
         if S is None or len(S) == 0:
             return []
@@ -616,6 +642,11 @@ class IndexSearcher:
         ``method="impact"`` (impact-ordered exact pruning, vectorized)
         or ``method="vectorized"``.
         """
+        if self._alive is not None:
+            # tombstoned index: delegate to the impact strategy (also
+            # exact); threading the alive-mask through the per-doc DAAT
+            # loop would complicate the pedagogy path for no gain
+            return self._search_impact(qterms, k)
         cursors = []
         for term, qtf in qterms:
             slices = self.postings_for(term)
@@ -732,6 +763,8 @@ class IndexSearcher:
             cand = cand[np.isin(cand, d, assume_unique=True)]
             if len(cand) == 0:
                 return []
+        if self._alive is not None:
+            cand = cand[self._alive[np.searchsorted(self._dl_ids, cand)]]
         out: list[tuple[int, int]] = []
         for doc in cand.tolist():
             starts = None
@@ -788,6 +821,8 @@ class IndexSearcher:
             cand = cand[np.isin(cand, d, assume_unique=True)]
             if len(cand) == 0:
                 return []
+        if self._alive is not None:
+            cand = cand[self._alive[np.searchsorted(self._dl_ids, cand)]]
         out: list[tuple[int, int]] = []
         for doc in cand.tolist():
             prev_pos = prev_cnt = None

@@ -31,7 +31,8 @@ def inc_index(ray_session, tmp_path_factory):
     work = tmp_path_factory.mktemp("inc")
     c1 = generate_corpus(1500, work / "c1", seed=7, n_files=4)
     c2 = generate_corpus(700, work / "c2", seed=1234, n_files=3)
-    cfg = IndexConfig(num_doc_parts=4, num_term_parts=8)
+    cfg = IndexConfig(num_doc_parts=4, num_term_parts=8,
+                      store_positions=True)
     paths = build_index(c1, work / "idx", cfg)
     n1 = paths.meta()["N"]
     paths = add_documents(c2, work / "idx", cfg)
@@ -95,3 +96,44 @@ def test_min_df_guard(inc_index):
     bad = IndexConfig(num_doc_parts=4, num_term_parts=8, min_df=2)
     with pytest.raises(ValueError, match="min_df"):
         add_documents("/tmp/nonexistent", paths.root, bad)
+
+
+def test_delete_and_compact(inc_index, tmp_path):
+    """Tombstones drop docs from every query path without changing the
+    surviving docs' (stale-stats) scores; compaction rebuilds exact."""
+    paths, cfg, _ = inc_index
+    work = tmp_path / "idx_copy"
+    shutil.copytree(paths.root, work)
+    from searchengine_ray.pipelines.build import (compact_index,
+                                                  delete_documents)
+
+    s0 = IndexSearcher(str(work), cfg)
+    q = "parse buffer"
+    pre = s0.search(q, k=10)
+    assert len(pre) == 10
+    victims = {pre[0][0], pre[3][0]}
+    n = delete_documents(work, victims)
+    assert n == 2
+
+    s1 = IndexSearcher(str(work), cfg)   # fresh searcher picks up deletes
+    for method in ("vectorized", "impact", "bmw"):
+        post = s1.search(q, k=10, method=method)
+        assert all(d not in victims for d, _ in post), method
+        want = [r for r in pre if r[0] not in victims]
+        assert post[:len(want)] == want, method
+
+    # phrase path also excludes tombstones
+    ph_all = {d for d, _ in s0.phrase_search("parse buffer")}
+    if ph_all & victims:
+        ph_live = {d for d, _ in s1.phrase_search("parse buffer")}
+        assert not (ph_live & victims)
+
+    # compact: tombstones gone for good, stats exact again
+    new_root = tmp_path / "idx_compact"
+    p2 = compact_index(work, new_root, cfg)
+    assert p2.meta()["N"] == paths.meta()["N"] - 2
+    assert not (Path(p2.root) / "deletes.parquet").is_file()
+    s2 = IndexSearcher(p2.root, cfg)
+    oracle = OracleIndex(_all_docs(p2), cfg, id_column="doc_id")
+    for qq in QUERIES:
+        assert s2.search(qq, k=10) == oracle.search(qq, k=10), qq
