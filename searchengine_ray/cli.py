@@ -102,6 +102,7 @@ def main(argv: list[str] | None = None) -> int:
     analyzer = getattr(args, "analyzer", None)
     stemming = getattr(args, "stemming", None)
     positions = bool(getattr(args, "positions", False))
+    ntp = ndp = None
     if args.cmd in ("search", "batch", "phrase", "proximity", "add",
                     "compact"):
         # query-time analyzer settings default from the INDEX's recorded
@@ -113,16 +114,24 @@ def main(argv: list[str] | None = None) -> int:
 
         meta_file = _Path(args.index_dir) / "index_meta.json"
         if meta_file.is_file():
-            mc = _json.loads(meta_file.read_text()).get("config", {})
+            full_meta = _json.loads(meta_file.read_text())
+            mc = full_meta.get("config", {})
             if analyzer is None:
                 analyzer = mc.get("analyzer")
             if stemming is None:
                 stemming = mc.get("stemming")
             positions = positions or bool(mc.get("store_positions", False))
+            ntp = full_meta.get("num_term_parts")
+            ndp = full_meta.get("num_doc_parts")
+    kw = {}
+    if ntp:
+        kw["num_term_parts"] = int(ntp)
+    if ndp:
+        kw["num_doc_parts"] = int(ndp)
     cfg = IndexConfig(analyzer=analyzer or "code",
                       stemming=bool(stemming),
                       min_df=getattr(args, "min_df", 1),
-                      store_positions=positions)
+                      store_positions=positions, **kw)
     _init_ray(args.num_cpus)
     try:
         if args.cmd == "build":

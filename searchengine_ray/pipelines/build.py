@@ -83,6 +83,23 @@ def _config_fingerprint(config: IndexConfig, source_tag: str) -> str:
     return hashlib.blake2b(payload.encode(), digest_size=16).hexdigest()
 
 
+def _analyzer_fingerprint(config: IndexConfig) -> str:
+    """Hash of every tokenization-relevant option — recorded in
+    index_meta and compared on incremental ingest so generations can
+    never mix incompatible analyses."""
+    payload = json.dumps({
+        "analyzer": config.analyzer, "lowercase": config.lowercase,
+        "split_identifiers": config.split_identifiers,
+        "keep_compound": config.keep_compound, "stemming": config.stemming,
+        "normalize_numbers": config.normalize_numbers,
+        "use_stopwords": config.use_stopwords,
+        "stopwords": sorted(config.stopword_set()),
+        "min_token_len": config.min_token_len,
+        "max_token_len": config.max_token_len,
+    }, sort_keys=True)
+    return hashlib.blake2b(payload.encode(), digest_size=8).hexdigest()
+
+
 def _source_dataset(source) -> tuple[ray.data.Dataset, str, int]:
     if isinstance(source, (str, Path)):
         p = Path(source)
@@ -367,13 +384,19 @@ def build_index(source, out_root: str | Path, config: IndexConfig | None = None,
         "num_doc_parts": config.num_doc_parts,
         "generation": 1,
         "doc_parts_used": config.num_doc_parts,
+        # generation registry: which (config, source) fingerprints own
+        # which doc-part ranges — add_documents appends, compact_index
+        # trusts ONLY docs partitions whose manifest fingerprint is here
+        "generations": [{"gen": 1, "base": 0, "fingerprint": fingerprint}],
+        "doc_id_part_bits": config.doc_id_part_bits,
         "fingerprint": fingerprint,
         "build_phase_seconds": _phase_seconds,
         "config": {"analyzer": config.analyzer, "k1": config.k1, "b": config.b,
                    "min_df": config.min_df, "block_size": config.block_size,
                    "doc_bucket_size": config.doc_bucket_size,
                    "stemming": config.stemming,
-                   "store_positions": config.store_positions},
+                   "store_positions": config.store_positions,
+                   "analyzer_fp": _analyzer_fingerprint(config)},
     }, paths.meta_path)
     return paths
 
@@ -462,32 +485,44 @@ def add_documents(source, out_root: str | Path,
                         ("min_df", config.min_df),
                         ("block_size", config.block_size),
                         ("doc_bucket_size", config.doc_bucket_size),
-                        ("store_positions", config.store_positions)):
+                        ("store_positions", config.store_positions),
+                        ("analyzer_fp", _analyzer_fingerprint(config))):
         if field_ in mc and mc[field_] != got:
             raise ValueError(f"config mismatch vs index: {field_}: "
                              f"index={mc[field_]} vs {got}")
     if meta.get("num_term_parts") != config.num_term_parts:
         raise ValueError("num_term_parts must match the base index")
 
+    if meta.get("num_doc_parts") != config.num_doc_parts:
+        raise ValueError("num_doc_parts must match the base index")
+    if ("doc_id_part_bits" in meta
+            and meta["doc_id_part_bits"] != config.doc_id_part_bits):
+        raise ValueError("doc_id_part_bits must match the base index — a "
+                         "smaller value would break the strictly-higher-"
+                         "doc-id invariant the posting merge relies on")
     P = config.num_doc_parts
     if not isinstance(source, (str, Path)):
         raise ValueError("add_documents takes a parquet file/dir source")
     p = Path(source)
     files = sorted(str(f) for f in (p.rglob("*.parquet") if p.is_dir() else [p]))
-    _, auto_tag, _ = _source_dataset(source)
+    auto_tag = "{}:{}".format(source, hashlib.blake2b(
+        json.dumps([(Path(f).name, Path(f).stat().st_size)
+                    for f in files]).encode(), digest_size=8).hexdigest())
     # generation identity = (config, source content) — NOT a call counter:
-    # re-running a completed ingest resolves to the same generation and
-    # no-ops; a crashed ingest resumes its own partitions
+    # re-running a completed ingest is a NO-OP (a generation record is
+    # written only at successful completion, and later ingests may have
+    # re-stamped this generation's partition manifests, so a re-merge
+    # would duplicate its postings); a CRASHED ingest has no record yet
+    # and recomputes the same gen/base, resuming its own partitions.
     fingerprint = _config_fingerprint(config, source_tag or auto_tag)
     if fingerprint == meta.get("fingerprint"):
         return paths                       # this source is already ingested
     gens = meta.get("generations", [])
-    rec = next((g for g in gens if g["fingerprint"] == fingerprint), None)
-    if rec is not None:
-        gen, base = int(rec["gen"]), int(rec["base"])
-    else:
-        gen = int(meta.get("generation", 1)) + 1
-        base = int(meta.get("doc_parts_used", config.num_doc_parts))
+    if any(g["fingerprint"] == fingerprint for g in gens):
+        return paths                       # completed earlier — no-op
+    rec = None
+    gen = int(meta.get("generation", 1)) + 1
+    base = int(meta.get("doc_parts_used", config.num_doc_parts))
 
     # ---- phase 1: normalize new docs -> docs/part-{base..base+P-1} ----
     new_parts = set(range(base, base + P))
@@ -622,13 +657,22 @@ def delete_documents(out_root: str | Path, doc_ids) -> int:
     paths = IndexPaths(str(out_root))
     dead = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
     dp = Path(paths.root) / "deletes.parquet"
-    if dp.is_file():
-        old = _pqm.read_table(dp).column("doc_id").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        dead = np.unique(np.concatenate([old, dead]))
-    tmp = dp.with_name(dp.name + f".tmp.{os.getpid()}")
-    _pqm.write_table(pa.table({"doc_id": pa.array(dead, pa.int64())}), tmp)
-    os.replace(tmp, dp)
+    # single-node read-modify-write guard: concurrent deleters must not
+    # lose each other's tombstones (atomic replace alone only prevents
+    # torn files). Cross-NODE delete coordination is the caller's job —
+    # document-level deletes are control-plane operations, not data-path.
+    import fcntl
+
+    lock_path = Path(paths.root) / ".deletes.lock"
+    with open(lock_path, "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        if dp.is_file():
+            old = _pqm.read_table(dp).column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            dead = np.unique(np.concatenate([old, dead]))
+        tmp = dp.with_name(dp.name + f".tmp.{os.getpid()}")
+        _pqm.write_table(pa.table({"doc_id": pa.array(dead, pa.int64())}), tmp)
+        os.replace(tmp, dp)
     return int(len(dead))
 
 
@@ -643,8 +687,24 @@ def compact_index(out_root: str | Path, new_root: str | Path,
 
     paths = IndexPaths(str(out_root))
     config = config or IndexConfig()
-    ds = _rd.read_parquet(sorted(
-        str(f) for f in Path(paths.docs).glob("part-*.parquet")))
+    meta = paths.meta()
+    # trust ONLY docs partitions whose manifest fingerprint belongs to a
+    # COMPLETED generation (meta's registry) — a crashed ingest leaves
+    # orphaned docs partitions the index never served, and a blind glob
+    # would resurrect them into the compacted index
+    from searchengine_ray.state.manifest import load_manifests
+
+    allowed = {meta.get("fingerprint")}
+    allowed |= {g["fingerprint"] for g in meta.get("generations", [])}
+    by_part = {m["partition"]: m for m in load_manifests(paths.docs)
+               if m.get("fingerprint") in allowed}
+    doc_files = sorted(
+        str(Path(paths.docs) / f"part-{q:05d}.parquet")
+        for q, m in by_part.items() if m.get("rows", 0) > 0
+        and (Path(paths.docs) / f"part-{q:05d}.parquet").is_file())
+    if not doc_files:
+        raise ValueError(f"no completed docs partitions under {paths.docs}")
+    ds = _rd.read_parquet(doc_files)
     dp = Path(paths.root) / "deletes.parquet"
     if dp.is_file():
         import pyarrow.parquet as _pqm

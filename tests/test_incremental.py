@@ -137,3 +137,25 @@ def test_delete_and_compact(inc_index, tmp_path):
     oracle = OracleIndex(_all_docs(p2), cfg, id_column="doc_id")
     for qq in QUERIES:
         assert s2.search(qq, k=10) == oracle.search(qq, k=10), qq
+
+
+def test_readd_base_corpus_is_noop(inc_index):
+    """The base build is generation 1 in the registry: re-adding the
+    ORIGINAL corpus must not duplicate it (review finding)."""
+    paths, cfg, _ = inc_index
+    before = json.loads(Path(paths.meta_path).read_text())
+    p2 = add_documents(Path(paths.root).parent / "c1", paths.root, cfg)
+    after = json.loads(Path(p2.meta_path).read_text())
+    assert after == before
+
+
+def test_partcount_mismatch_guard(inc_index):
+    paths, cfg, _ = inc_index
+    bad = IndexConfig(num_doc_parts=8, num_term_parts=8,
+                      store_positions=True)
+    with pytest.raises(ValueError, match="num_doc_parts"):
+        add_documents("/tmp/nonexistent", paths.root, bad)
+    bad2 = IndexConfig(num_doc_parts=4, num_term_parts=8,
+                       store_positions=True, doc_id_part_bits=20)
+    with pytest.raises(ValueError, match="doc_id_part_bits"):
+        add_documents("/tmp/nonexistent", paths.root, bad2)
