@@ -60,6 +60,10 @@ def main(argv: list[str] | None = None) -> int:
     ad.add_argument("--stemming", action="store_true", default=None)
     ad.add_argument("--analyzer", choices=["code", "simple"], default=None)
 
+    st = sub.add_parser("stats", help="print index stats (meta, "
+                        "generations, tombstones, on-disk sizes)")
+    st.add_argument("index_dir")
+
     de = sub.add_parser("delete", help="tombstone doc ids (queries stop "
                         "returning them; stats stale until compact)")
     de.add_argument("index_dir")
@@ -132,6 +136,32 @@ def main(argv: list[str] | None = None) -> int:
                       stemming=bool(stemming),
                       min_df=getattr(args, "min_df", 1),
                       store_positions=positions, **kw)
+    if args.cmd == "stats":
+        # pure file reads — no Ray session needed
+        import json as _j
+        from pathlib import Path as _P
+
+        import pyarrow.parquet as _pq
+
+        root = _P(args.index_dir)
+        meta = _j.loads((root / "index_meta.json").read_text())
+        sizes = {d: sum(f.stat().st_size for f in (root / d).glob("*.parquet"))
+                 for d in ("docs", "postings", "dictionary", "doc_meta")
+                 if (root / d).is_dir()}
+        dead = 0
+        if (root / "deletes.parquet").is_file():
+            dead = _pq.ParquetFile(root / "deletes.parquet").metadata.num_rows
+        print(_j.dumps({
+            "N": meta.get("N"), "avgdl": meta.get("avgdl"),
+            "n_terms": meta.get("n_terms"),
+            "n_postings": meta.get("n_postings"),
+            "generation": meta.get("generation"),
+            "generations": len(meta.get("generations", [])),
+            "tombstones": dead,
+            "store_positions": meta.get("config", {}).get("store_positions"),
+            "bytes": sizes,
+        }, indent=1))
+        return 0
     _init_ray(args.num_cpus)
     try:
         if args.cmd == "build":
