@@ -159,3 +159,54 @@ def test_partcount_mismatch_guard(inc_index):
                        store_positions=True, doc_id_part_bits=20)
     with pytest.raises(ValueError, match="doc_id_part_bits"):
         add_documents("/tmp/nonexistent", paths.root, bad2)
+
+
+def test_crashed_ingest_resumes(ray_session, tmp_path):
+    """An ingest that dies mid-merge leaves SOME partitions merged (new
+    fingerprint) and others still pre-ingest, with index_meta not yet
+    rewritten. Reconstruct exactly that state from snapshots, then
+    re-run the ingest: it must merge ONLY the unfinished partitions and
+    converge bit-for-bit with a never-crashed ingest."""
+    c1 = generate_corpus(900, tmp_path / "c1", seed=11, n_files=3)
+    c2 = generate_corpus(400, tmp_path / "c2", seed=2222, n_files=2)
+    cfg = IndexConfig(num_doc_parts=4, num_term_parts=8)
+
+    crashy = build_index(c1, tmp_path / "crashy", cfg)
+    snap = tmp_path / "snap"
+    shutil.copytree(crashy.root, snap)          # pre-ingest snapshot
+    add_documents(c2, tmp_path / "crashy", cfg)
+    done = tmp_path / "done"
+    shutil.copytree(crashy.root, done)          # clean post-ingest state
+
+    # crash state: roll back 3 postings parts + 1 doc_meta shard + meta
+    for sub, parts in (("postings", (1, 5)), ("dictionary", (1, 5)),
+                       ("doc_meta", (9,))):
+        for q in parts:
+            for suffix in (f"part-{q:05d}.parquet",
+                           f"part-{q:05d}.manifest.json"):
+                shutil.copy2(snap / sub / suffix,
+                             Path(crashy.root) / sub / suffix)
+    shutil.copy2(snap / "index_meta.json",
+                 Path(crashy.root) / "index_meta.json")
+    assert json.loads(Path(crashy.meta_path).read_text())["generation"] == 1
+
+    merged_before = {
+        f.name: f.stat().st_mtime_ns
+        for f in (Path(crashy.root) / "postings").glob("part-*.parquet")}
+    add_documents(c2, tmp_path / "crashy", cfg)            # resume
+    merged_after = {
+        f.name: f.stat().st_mtime_ns
+        for f in (Path(crashy.root) / "postings").glob("part-*.parquet")}
+    rewritten = {n for n in merged_after
+                 if merged_after[n] != merged_before[n]}
+    assert rewritten == {"part-00001.parquet", "part-00005.parquet"}
+
+    m_clean = json.loads((done / "index_meta.json").read_text())
+    m_crash = json.loads(Path(crashy.meta_path).read_text())
+    for key in ("N", "total_len", "n_terms", "n_postings", "generation"):
+        assert m_clean[key] == m_crash[key], key
+    s_clean = IndexSearcher(str(done), cfg)
+    s_crash = IndexSearcher(crashy.root, cfg)
+    for q in QUERIES:
+        assert s_clean.search(q, k=10) == s_crash.search(q, k=10), q
+    assert s_clean.df_map() == s_crash.df_map()
