@@ -50,6 +50,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--bmw", action="store_true")
     s.add_argument("--spell", action="store_true")
+    s.add_argument("--snippets", action="store_true",
+                   help="hydrate hits with a contextual text snippet")
     s.add_argument("--stemming", action="store_true", default=None)
     s.add_argument("--analyzer", choices=["code", "simple"], default=None)
 
@@ -189,11 +191,17 @@ def main(argv: list[str] | None = None) -> int:
             from searchengine_ray.pipelines.query import IndexSearcher
 
             s_ = IndexSearcher(args.index_dir, cfg)
-            for rank, (doc, score) in enumerate(
-                    s_.search(args.query, args.k,
-                              method="bmw" if args.bmw else "vectorized",
-                              spell_correct=args.spell), 1):
-                print(f"{rank}\t{doc}\t{score:.6f}")
+            method = "bmw" if args.bmw else "vectorized"
+            if args.snippets:
+                for rank, (doc, score, snip) in enumerate(
+                        s_.search_with_snippets(args.query, args.k,
+                                                method=method), 1):
+                    print(f"{rank}\t{doc}\t{score:.6f}\t{snip}")
+            else:
+                for rank, (doc, score) in enumerate(
+                        s_.search(args.query, args.k, method=method,
+                                  spell_correct=args.spell), 1):
+                    print(f"{rank}\t{doc}\t{score:.6f}")
         elif args.cmd == "phrase":
             from searchengine_ray.pipelines.query import IndexSearcher
 

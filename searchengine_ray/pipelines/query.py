@@ -785,6 +785,68 @@ class IndexSearcher:
                 out.append((doc, int(len(starts))))
         return out
 
+    def fetch_docs(self, doc_ids) -> dict[int, str]:
+        """doc_id -> content for result hydration (the reference GUI
+        shows full tweet text per hit; this is that capability over the
+        partitioned docs/ layout). Key-hash indexes address the owning
+        partition directly (``id >> doc_id_part_bits``); other layouts
+        fall back to a filtered read over all parts, where the
+        per-partition doc_id sort makes parquet row-group pruning
+        effective."""
+        import pyarrow.compute as _pc
+
+        ids = sorted({int(i) for i in doc_ids})
+        if not ids:
+            return {}
+        docs_dir = Path(self.paths.docs)
+        files: list[str] = []
+        bits = int(self.meta.get("doc_id_part_bits", 0))
+        if bits:
+            cand = sorted({i >> bits for i in ids})
+            files = [str(docs_dir / f"part-{p:05d}.parquet") for p in cand]
+            if not all(Path(f).is_file() for f in files):
+                files = []
+        if not files:
+            files = sorted(str(f) for f in docs_dir.glob("part-*.parquet"))
+        tbl = pq.read_table(files, columns=["doc_id", "content"],
+                            filters=_pc.field("doc_id").isin(
+                                pa.array(ids, pa.int64())))
+        return dict(zip(tbl.column("doc_id").to_pylist(),
+                        tbl.column("content").to_pylist()))
+
+    def search_with_snippets(self, text: str, k: int = 10,
+                             method: str = "vectorized",
+                             window_chars: int = 160
+                             ) -> list[tuple[int, float, str]]:
+        """BM25 top-k hydrated with a contextual snippet: a ~window_chars
+        slice of the document around the earliest query-term occurrence
+        (whole-word, case-insensitive), trimmed to whitespace bounds."""
+        import re
+
+        hits = self.search(text, k, method=method)
+        if not hits:
+            return []
+        texts = self.fetch_docs([d for d, _ in hits])
+        raws = [re.escape(r) for r in self.analyzer.raw_tokens(text)]
+        pat = re.compile(r"(?<!\w)(" + "|".join(raws) + r")(?!\w)",
+                         re.IGNORECASE) if raws else None
+        out = []
+        for doc, score in hits:
+            body = texts.get(doc, "")
+            m = pat.search(body) if pat else None
+            if m is None:
+                snip = body[:window_chars]
+            else:
+                lo = max(0, m.start() - window_chars // 2)
+                hi = min(len(body), m.end() + window_chars // 2)
+                snip = body[lo:hi]
+                if lo > 0:
+                    snip = snip.split(" ", 1)[-1]
+                if hi < len(body):
+                    snip = snip.rsplit(" ", 1)[0]
+            out.append((doc, score, snip.strip()))
+        return out
+
     def proximity_search(self, text: str, window: int = 8
                          ) -> list[tuple[int, int]]:
         """Ordered within-window co-occurrence over positional postings:

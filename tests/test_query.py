@@ -60,3 +60,35 @@ def test_actor_pool_stage(ray_session, t1_index, t1_oracle, small_config):
         sub = out[out.query_id == qid].sort_values("rank")
         assert list(sub.doc_id) == [d for d, _ in want]
         assert np.allclose(list(sub.score), [s for _, s in want], rtol=0, atol=0)
+
+
+def test_fetch_docs_and_snippets(ray_session, t1_index, small_config):
+    """Result hydration: fetch_docs returns exactly the stored content
+    (direct-partition path), and snippets contain a query term."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from searchengine_ray.pipelines.query import IndexSearcher
+
+    s = IndexSearcher(t1_index, small_config)
+    hits = s.search("parse buffer", k=5)
+    assert hits
+    ids = [d for d, _ in hits]
+    got = s.fetch_docs(ids)
+    assert set(got) == set(ids)
+    # parity with the docs/ parquet itself
+    docs_dir = Path(t1_index.docs if hasattr(t1_index, "docs")
+                    else str(t1_index) + "/docs")
+    tbl = pq.read_table(sorted(docs_dir.glob("part-*.parquet")),
+                        columns=["doc_id", "content"])
+    want = dict(zip(tbl.column("doc_id").to_pylist(),
+                    tbl.column("content").to_pylist()))
+    for i in ids:
+        assert got[i] == want[i]
+
+    snips = s.search_with_snippets("parse buffer", k=5)
+    assert [(d, sc) for d, sc, _ in snips] == hits
+    for _, _, snip in snips:
+        low = snip.lower()
+        assert "parse" in low or "buffer" in low
+        assert 0 < len(snip) <= 400
