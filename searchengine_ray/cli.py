@@ -108,7 +108,7 @@ def main(argv: list[str] | None = None) -> int:
     analyzer = getattr(args, "analyzer", None)
     stemming = getattr(args, "stemming", None)
     positions = bool(getattr(args, "positions", False))
-    ntp = ndp = None
+    ntp = ndp = dbits = None
     if args.cmd in ("search", "batch", "phrase", "proximity", "add",
                     "compact"):
         # query-time analyzer settings default from the INDEX's recorded
@@ -129,11 +129,14 @@ def main(argv: list[str] | None = None) -> int:
             positions = positions or bool(mc.get("store_positions", False))
             ntp = full_meta.get("num_term_parts")
             ndp = full_meta.get("num_doc_parts")
+            dbits = full_meta.get("doc_id_part_bits")
     kw = {}
     if ntp:
         kw["num_term_parts"] = int(ntp)
     if ndp:
         kw["num_doc_parts"] = int(ndp)
+    if dbits:
+        kw["doc_id_part_bits"] = int(dbits)
     cfg = IndexConfig(analyzer=analyzer or "code",
                       stemming=bool(stemming),
                       min_df=getattr(args, "min_df", 1),
@@ -195,8 +198,10 @@ def main(argv: list[str] | None = None) -> int:
             if args.snippets:
                 for rank, (doc, score, snip) in enumerate(
                         s_.search_with_snippets(args.query, args.k,
-                                                method=method), 1):
-                    print(f"{rank}\t{doc}\t{score:.6f}\t{snip}")
+                                                method=method,
+                                                spell_correct=args.spell), 1):
+                    flat = " ".join(snip.split())   # one TSV row per hit
+                    print(f"{rank}\t{doc}\t{score:.6f}\t{flat}")
             else:
                 for rank, (doc, score) in enumerate(
                         s_.search(args.query, args.k, method=method,

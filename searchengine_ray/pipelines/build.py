@@ -100,15 +100,27 @@ def _analyzer_fingerprint(config: IndexConfig) -> str:
     return hashlib.blake2b(payload.encode(), digest_size=8).hexdigest()
 
 
+def _source_tag(source, files: list[str]) -> str:
+    """Content tag for a parquet file/dir source — the ONE shared
+    identity both build_index and add_documents fingerprint against."""
+    h = hashlib.blake2b(
+        json.dumps([(Path(f).name, Path(f).stat().st_size)
+                    for f in files]).encode(), digest_size=8).hexdigest()
+    return f"{source}:{h}"
+
+
+def _source_files(source) -> list[str]:
+    p = Path(source)
+    return sorted(str(f)
+                  for f in (p.rglob("*.parquet") if p.is_dir() else [p]))
+
+
 def _source_dataset(source) -> tuple[ray.data.Dataset, str, int]:
     if isinstance(source, (str, Path)):
-        p = Path(source)
-        files = sorted(p.rglob("*.parquet")) if p.is_dir() else [p]
-        total = sum(f.stat().st_size for f in files)
-        tag = hashlib.blake2b(
-            json.dumps([(f.name, f.stat().st_size) for f in files]).encode(),
-            digest_size=8).hexdigest()
-        return ray.data.read_parquet([str(f) for f in files]), f"{source}:{tag}", total
+        files = _source_files(source)
+        total = sum(Path(f).stat().st_size for f in files)
+        return (ray.data.read_parquet(files),
+                _source_tag(source, files), total)
     return source, "dataset", 0
 
 
@@ -384,6 +396,10 @@ def build_index(source, out_root: str | Path, config: IndexConfig | None = None,
         "num_doc_parts": config.num_doc_parts,
         "generation": 1,
         "doc_parts_used": config.num_doc_parts,
+        # how docs/ maps doc_id -> partition: "part_bits" = key-hash ids
+        # carry their partition in the high bits; "preassigned" = range
+        # split by ids // span (fetch_docs must not bit-address these)
+        "id_layout": "preassigned" if id_column is not None else "part_bits",
         # generation registry: which (config, source) fingerprints own
         # which doc-part ranges — add_documents appends, compact_index
         # trusts ONLY docs partitions whose manifest fingerprint is here
@@ -505,24 +521,38 @@ def add_documents(source, out_root: str | Path,
         raise ValueError("add_documents takes a parquet file/dir source")
     p = Path(source)
     files = sorted(str(f) for f in (p.rglob("*.parquet") if p.is_dir() else [p]))
-    auto_tag = "{}:{}".format(source, hashlib.blake2b(
-        json.dumps([(Path(f).name, Path(f).stat().st_size)
-                    for f in files]).encode(), digest_size=8).hexdigest())
     # generation identity = (config, source content) — NOT a call counter:
     # re-running a completed ingest is a NO-OP (a generation record is
     # written only at successful completion, and later ingests may have
     # re-stamped this generation's partition manifests, so a re-merge
     # would duplicate its postings); a CRASHED ingest has no record yet
     # and recomputes the same gen/base, resuming its own partitions.
-    fingerprint = _config_fingerprint(config, source_tag or auto_tag)
+    fingerprint = _config_fingerprint(config, source_tag
+                                      or _source_tag(source, files))
     if fingerprint == meta.get("fingerprint"):
         return paths                       # this source is already ingested
     gens = meta.get("generations", [])
     if any(g["fingerprint"] == fingerprint for g in gens):
         return paths                       # completed earlier — no-op
-    rec = None
     gen = int(meta.get("generation", 1)) + 1
     base = int(meta.get("doc_parts_used", config.num_doc_parts))
+
+    # a DIFFERENT crashed ingest may have already merged its segments
+    # into postings/doc_meta partitions (stamped with its fingerprint);
+    # those merges cannot be rolled back, so starting another source
+    # now would fuse two corpora into one id range. Refuse loudly.
+    allowed_fps = ({meta.get("fingerprint"), fingerprint}
+                   | {g["fingerprint"] for g in gens})
+    orphans = {m.get("fingerprint")
+               for d in (paths.postings, paths.doc_meta)
+               for m in load_manifests(d)} - allowed_fps
+    if orphans:
+        raise RuntimeError(
+            "index has partitions from an UNFINISHED ingest of a "
+            "different source (fingerprints "
+            f"{sorted(x[:8] for x in orphans if x)}): finish that ingest "
+            "by re-running add_documents with ITS source, or rebuild via "
+            "compact_index, before ingesting new sources")
 
     # ---- phase 1: normalize new docs -> docs/part-{base..base+P-1} ----
     new_parts = set(range(base, base + P))
@@ -634,9 +664,10 @@ def add_documents(source, out_root: str | Path,
                               int(meta.get("doc_parts_used", P))),
         "fingerprint": fingerprint,
     })
-    if rec is None:
-        out["generations"] = gens + [{"gen": gen, "base": base,
-                                      "fingerprint": fingerprint}]
+    # the generation record is appended exactly once, at completion —
+    # completed re-runs returned early above
+    out["generations"] = gens + [{"gen": gen, "base": base,
+                                  "fingerprint": fingerprint}]
     write_json_atomic(out, paths.meta_path)
     return paths
 
@@ -694,10 +725,18 @@ def compact_index(out_root: str | Path, new_root: str | Path,
     # would resurrect them into the compacted index
     from searchengine_ray.state.manifest import load_manifests
 
-    allowed = {meta.get("fingerprint")}
-    allowed |= {g["fingerprint"] for g in meta.get("generations", [])}
-    by_part = {m["partition"]: m for m in load_manifests(paths.docs)
-               if m.get("fingerprint") in allowed}
+    if "generations" in meta:
+        allowed = {meta.get("fingerprint")}
+        allowed |= {g["fingerprint"] for g in meta["generations"]}
+        manifests = [m for m in load_manifests(paths.docs)
+                     if m.get("fingerprint") in allowed]
+    else:
+        # pre-registry index (older meta): the base build's fingerprint
+        # was overwritten by later ingests, so the registry filter would
+        # silently DROP generation 1 — accept every manifest-backed
+        # partition instead (still no blind glob of orphan files)
+        manifests = load_manifests(paths.docs)
+    by_part = {m["partition"]: m for m in manifests}
     doc_files = sorted(
         str(Path(paths.docs) / f"part-{q:05d}.parquet")
         for q, m in by_part.items() if m.get("rows", 0) > 0

@@ -800,7 +800,10 @@ class IndexSearcher:
             return {}
         docs_dir = Path(self.paths.docs)
         files: list[str] = []
-        bits = int(self.meta.get("doc_id_part_bits", 0))
+        # bit-addressing is only valid for the key-hash id layout; the
+        # preassigned/compacted layout range-partitions by ids // span
+        bits = (int(self.meta.get("doc_id_part_bits", 0))
+                if self.meta.get("id_layout") == "part_bits" else 0)
         if bits:
             cand = sorted({i >> bits for i in ids})
             files = [str(docs_dir / f"part-{p:05d}.parquet") for p in cand]
@@ -816,14 +819,16 @@ class IndexSearcher:
 
     def search_with_snippets(self, text: str, k: int = 10,
                              method: str = "vectorized",
-                             window_chars: int = 160
+                             window_chars: int = 160,
+                             spell_correct: bool = False
                              ) -> list[tuple[int, float, str]]:
         """BM25 top-k hydrated with a contextual snippet: a ~window_chars
         slice of the document around the earliest query-term occurrence
         (whole-word, case-insensitive), trimmed to whitespace bounds."""
         import re
 
-        hits = self.search(text, k, method=method)
+        hits = self.search(text, k, method=method,
+                           spell_correct=spell_correct)
         if not hits:
             return []
         texts = self.fetch_docs([d for d, _ in hits])

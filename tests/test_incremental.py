@@ -137,6 +137,15 @@ def test_delete_and_compact(inc_index, tmp_path):
     oracle = OracleIndex(_all_docs(p2), cfg, id_column="doc_id")
     for qq in QUERIES:
         assert s2.search(qq, k=10) == oracle.search(qq, k=10), qq
+    # compacted layout is range-partitioned (preassigned ids): fetch_docs
+    # must NOT bit-address partitions (regression: review finding)
+    assert p2.meta().get("id_layout") == "preassigned"
+    hits2 = s2.search("parse buffer", k=5)
+    docs_map = s2.fetch_docs([d for d, _ in hits2])
+    all_docs = dict(zip(_all_docs(p2).column("doc_id").to_pylist(),
+                        _all_docs(p2).column("content").to_pylist()))
+    for d, _ in hits2:
+        assert docs_map[d] == all_docs[d]
 
 
 def test_readd_base_corpus_is_noop(inc_index):
@@ -210,3 +219,18 @@ def test_crashed_ingest_resumes(ray_session, tmp_path):
     for q in QUERIES:
         assert s_clean.search(q, k=10) == s_crash.search(q, k=10), q
     assert s_clean.df_map() == s_crash.df_map()
+
+
+def test_orphan_ingest_detected(inc_index, tmp_path):
+    """Partitions stamped by an unfinished ingest of ANOTHER source must
+    block new ingests (their merged segments cannot be rolled back)."""
+    paths, cfg, _ = inc_index
+    work = tmp_path / "idx_orphan"
+    shutil.copytree(paths.root, work)
+    mf = sorted((work / "postings").glob("part-*.manifest.json"))[0]
+    m = json.loads(mf.read_text())
+    m["fingerprint"] = "deadbeef" * 4
+    mf.write_text(json.dumps(m))
+    c3 = generate_corpus(50, tmp_path / "c3", seed=9, n_files=1)
+    with pytest.raises(RuntimeError, match="UNFINISHED"):
+        add_documents(c3, work, cfg)
