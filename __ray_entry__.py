@@ -67,7 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": ts.token_count_bpe,
         # --- multimodal plumbing ---
         "multimodal_meta": multimodal.multimodal_meta,
-        "image_decode_features": multimodal.image_decode_features,
+        "image_decode_features": multimodal.image_decode_features_checked,
         "frame_sample": multimodal.frame_sample,
         # --- relational operator surface (joins/aggs/sort/limit) ---
         "pricing_summary": rel.pricing_summary,
@@ -95,6 +95,7 @@ def oracle_sql() -> dict[str, str]:
         "index_dictionary": docsearch.index_dictionary_sql(),
         "phrase_search": docsearch.phrase_search_sql(),
         "proximity_search": docsearch.proximity_search_sql(),
+        "image_decode_features": multimodal.image_decode_features_sql(),
         "term_df": ts.term_df_sql(),
         "doc_token_stats": ts.doc_token_stats_sql(),
         "token_count_by_lang": ts.token_count_by_lang_sql(),

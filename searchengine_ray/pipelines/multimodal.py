@@ -86,7 +86,9 @@ class FakeImageDecoder:
             raise NotImplementedError(
                 "image decode requires a codec library not present in this "
                 "container; run with strict=False for the deterministic stub")
-        h = hashlib.blake2b(payload, digest_size=16).digest()
+        # md5 (not blake2b): DuckDB can compute it, so even the STUB
+        # kernel is replayed end-to-end by the SQL oracle
+        h = hashlib.md5(payload).digest()
         width = 64 + h[0]
         height = 64 + h[1]
         feat = np.frombuffer(h, dtype=np.uint8).astype(np.float64)[: self.feature_dim]
@@ -148,4 +150,48 @@ def frame_sample_sql(n_frames: int = 4) -> str:
 SELECT doc_id AS item_id, CAST(k AS BIGINT) AS frame,
        CAST((k * greatest(strlen(text), 1)) // {n_frames} AS BIGINT) AS byte_offset
 FROM documents, generate_series(0, {n_frames - 1}) AS t(k)
+"""
+
+
+def image_decode_features_checked(sf_dir: str):
+    """The decode pipeline flattened to scalar basis-point feature
+    columns — the SQL-comparable face of ``image_decode_features``
+    (float-list columns do not hash stably across result frameworks;
+    the bp integers do). Proves the WHOLE stub path — payload bytes →
+    md5 → dims + features — matches the oracle bit-for-bit."""
+    from searchengine_ray.pipelines.common import bp, int64_col
+
+    ds = image_decode_features(sf_dir)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        feats = batch.column("features").combine_chunks()
+        flat = feats.flatten().to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        dim = len(flat) // max(n, 1)
+        cols = {
+            "item_id": batch.column("item_id"),
+            "width": batch.column("width"),
+            "height": batch.column("height"),
+        }
+        m = flat.reshape(n, dim) if n else flat.reshape(0, 0)
+        for i in range(dim):
+            cols[f"f{i}_bp"] = int64_col(bp(m[:, i]))
+        return pa.table(cols)
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
+
+
+def image_decode_features_sql(feature_dim: int = 8) -> str:
+    bytes_exprs = [
+        f"CAST(('0x' || substr(md5(text), {2 * i + 1}, 2)) AS BIGINT)"
+        for i in range(16)]
+    feat_cols = ",\n       ".join(
+        f"CAST(floor(CAST({bytes_exprs[i]} AS DOUBLE) / 255.0 * 10000 + 0.5)"
+        f" AS BIGINT) AS f{i}_bp" for i in range(feature_dim))
+    return f"""
+SELECT doc_id AS item_id,
+       CAST(64 + {bytes_exprs[0]} AS BIGINT) AS width,
+       CAST(64 + {bytes_exprs[1]} AS BIGINT) AS height,
+       {feat_cols}
+FROM documents
 """

@@ -18,6 +18,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "text_quality", "repetition_quality", "dedup_exact",
                "embedding_near_dups",
                "ann_topk", "multimodal_meta", "frame_sample",
+               "image_decode_features",
                "pricing_summary", "top_orders_by_revenue", "events_daily",
                "top_parts", "suppliers_by_nation", "segment_counts",
                "bm25_topk", "bm25_topk_wand", "index_dictionary",
@@ -67,7 +68,7 @@ def test_rows_only_entries_run(ray_session):
     import __ray_entry__ as e
 
     for name in ["ann_lsh_topk",
-                 "ann_ivf_topk", "image_decode_features",
+                 "ann_ivf_topk",
                  "embedding_near_dups_lsh", "distinct_terms_hll"]:
         res = _to_pandas(e.queries()[name](SF_DIR))
         assert res is not None and len(res) >= 0
