@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis (non-SQL) ---
         "lang_id": ts.lang_id,
         "distinct_terms_hll": ts.distinct_terms_hll,
+        "distinct_terms_hll_registers": ts.distinct_terms_hll_registers,
         "top_terms_sketch": ts.top_terms_sketch,
         "doc_fingerprint": ts.doc_fingerprint,
         "numeric_literals": ts.numeric_literals,
@@ -96,6 +97,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": docsearch.phrase_search_sql(),
         "proximity_search": docsearch.proximity_search_sql(),
         "image_decode_features": multimodal.image_decode_features_sql(),
+        "distinct_terms_hll_registers": ts.distinct_terms_hll_registers_sql(),
         "term_df": ts.term_df_sql(),
         "doc_token_stats": ts.doc_token_stats_sql(),
         "token_count_by_lang": ts.token_count_by_lang_sql(),

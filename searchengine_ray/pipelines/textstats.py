@@ -684,9 +684,12 @@ class DistinctTermsHLLPartial(_SimpleTokenStage):
         regs = np.zeros(1 << _HLL_P, dtype=np.uint8)
         vocab = info["vocab"]
         if len(vocab):
+            # md5 low 64 (little-endian) == DuckDB md5_number_lower: the
+            # register construction is exactly SQL-replayable (see
+            # distinct_terms_hll_registers)
             h = np.fromiter(
-                (int.from_bytes(hashlib.blake2b(t.encode("utf-8"),
-                                                digest_size=8).digest(), "big")
+                (int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[8:16],
+                                "little")
                  for t in vocab), dtype=np.uint64, count=len(vocab))
             idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
             w = (h & np.uint64((1 << _HLL_Q) - 1)).astype(np.float64)
@@ -798,3 +801,48 @@ def top_terms_sketch(sf_dir: str, k: int = 10):
         "est_tf": int64_col([c for _, c in top]),
         "err_bound": int64_col([total_dec] * len(top)),
     })
+
+
+def distinct_terms_hll_registers(sf_dir: str):
+    """(register, rank) for every NONZERO HyperLogLog register — the
+    integer-exact face of the sketch. The estimate is a pure float
+    function of these registers (tested against the exact count in
+    ``test_distinct_terms_hll_error_bound``); verifying the registers
+    verifies the whole sketch construction bit-for-bit without putting
+    a float harmonic mean through a hash compare."""
+    regs = np.zeros(1 << _HLL_P, dtype=np.uint8)
+    partial = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        DistinctTermsHLLPartial, batch_format="pyarrow", batch_size=512,
+        concurrency=(1, 4))
+    for b in partial.iter_batches(batch_format="pyarrow"):
+        for buf in b.column("registers").to_pylist():
+            np.maximum(regs, np.frombuffer(buf, dtype=np.uint8), out=regs)
+    nz = np.flatnonzero(regs)
+    return pa.table({"register": int64_col(nz),
+                     "rank": int64_col(regs[nz].astype(np.int64))})
+
+
+def distinct_terms_hll_registers_sql() -> str:
+    """Replay: per distinct term, h = md5 low-64; register = high p bits;
+    rank = q+1 - bit_length(low-q-bits of h) (q+1 when they are zero);
+    per-register max. printf('%b') length is the integer-exact
+    bit_length — no float log2 anywhere."""
+    w64 = "18446744073709551616::UHUGEINT"
+    return f"""
+WITH terms AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+'))
+    AS term
+  FROM documents),
+h AS (
+  SELECT CAST(md5_number_lower(term) AS UHUGEINT) AS hv
+  FROM terms WHERE term <> ''),
+parts AS (
+  SELECT CAST(hv // {1 << (64 - _HLL_P)}::UHUGEINT AS BIGINT) AS register,
+         CAST(hv % {1 << _HLL_Q}::UHUGEINT AS BIGINT) AS w
+  FROM h)
+SELECT register,
+       CAST(max(CASE WHEN w = 0 THEN {_HLL_Q + 1}
+                     ELSE {_HLL_Q + 1} - length(printf('%b', w)) END)
+            AS BIGINT) AS rank
+FROM parts GROUP BY register
+"""

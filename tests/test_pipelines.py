@@ -18,7 +18,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "text_quality", "repetition_quality", "dedup_exact",
                "embedding_near_dups",
                "ann_topk", "multimodal_meta", "frame_sample",
-               "image_decode_features",
+               "image_decode_features", "distinct_terms_hll_registers",
                "pricing_summary", "top_orders_by_revenue", "events_daily",
                "top_parts", "suppliers_by_nation", "segment_counts",
                "bm25_topk", "bm25_topk_wand", "index_dictionary",
