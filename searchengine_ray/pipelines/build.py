@@ -519,8 +519,14 @@ def add_documents(source, out_root: str | Path,
     P = config.num_doc_parts
     if not isinstance(source, (str, Path)):
         raise ValueError("add_documents takes a parquet file/dir source")
-    p = Path(source)
-    files = sorted(str(f) for f in (p.rglob("*.parquet") if p.is_dir() else [p]))
+    files = _source_files(source)
+    if "generations" not in meta:
+        # pre-registry index: it was produced by exactly one build, so
+        # its recorded fingerprint IS generation 1 — synthesize the
+        # record rather than leaving gen 1 unregistered (compact_index
+        # and the orphan check below both trust the registry)
+        meta["generations"] = [{"gen": 1, "base": 0,
+                                "fingerprint": meta.get("fingerprint")}]
     # generation identity = (config, source content) — NOT a call counter:
     # re-running a completed ingest is a NO-OP (a generation record is
     # written only at successful completion, and later ingests may have

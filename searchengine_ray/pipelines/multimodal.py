@@ -161,19 +161,21 @@ def image_decode_features_checked(sf_dir: str):
     md5 → dims + features — matches the oracle bit-for-bit."""
     from searchengine_ray.pipelines.common import bp, int64_col
 
+    dim = 8
     ds = image_decode_features(sf_dir)
 
     def flatten(batch: pa.Table) -> pa.Table:
         feats = batch.column("features").combine_chunks()
         flat = feats.flatten().to_numpy(zero_copy_only=False)
         n = batch.num_rows
-        dim = len(flat) // max(n, 1)
         cols = {
             "item_id": batch.column("item_id"),
             "width": batch.column("width"),
             "height": batch.column("height"),
         }
-        m = flat.reshape(n, dim) if n else flat.reshape(0, 0)
+        # fixed dim (not derived from the batch): an EMPTY block must
+        # still emit all f*_bp columns or schema unification breaks
+        m = flat.reshape(n, dim) if n else np.zeros((0, dim))
         for i in range(dim):
             cols[f"f{i}_bp"] = int64_col(bp(m[:, i]))
         return pa.table(cols)

@@ -801,7 +801,9 @@ class IndexSearcher:
         docs_dir = Path(self.paths.docs)
         files: list[str] = []
         # bit-addressing is only valid for the key-hash id layout; the
-        # preassigned/compacted layout range-partitions by ids // span
+        # preassigned/compacted layout range-partitions by ids // span.
+        # A meta WITHOUT id_layout (older index) falls back to the
+        # filtered full read — slower hydration, never wrong.
         bits = (int(self.meta.get("doc_id_part_bits", 0))
                 if self.meta.get("id_layout") == "part_bits" else 0)
         if bits:

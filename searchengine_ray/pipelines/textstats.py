@@ -693,7 +693,11 @@ class DistinctTermsHLLPartial(_SimpleTokenStage):
                  for t in vocab), dtype=np.uint64, count=len(vocab))
             idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
             w = (h & np.uint64((1 << _HLL_Q) - 1)).astype(np.float64)
-            rank = np.where(w > 0, _HLL_Q - np.floor(np.log2(np.maximum(w, 1))),
+            # rank from the integer bit length (frexp exponent — exact
+            # for w < 2^53): float log2 misrounds at w = 2^k - 1 for
+            # k >= 49, where it returns k instead of k-1
+            exp = np.frexp(np.maximum(w, 1))[1]
+            rank = np.where(w > 0, _HLL_Q + 1 - exp,
                             _HLL_Q + 1).astype(np.uint8)
             np.maximum.at(regs, idx, rank)
         return pa.table({"registers": pa.array([regs.tobytes()], pa.binary())})
@@ -709,12 +713,10 @@ def _hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
-def distinct_terms_hll(sf_dir: str):
-    """One-row (n_distinct_est, n_registers): approximate distinct-term
-    count. Per-batch 4 KiB sketches; the final elementwise-max merge of
-    the per-batch rows is a small driver reduce (num_batches x 4 KiB),
-    NOT a materialization of data rows. Error bound vs the exact
-    ``term_df`` count is asserted in tests."""
+def _merged_hll_registers(sf_dir: str) -> np.ndarray:
+    """Per-batch 4 KiB sketches; the final elementwise-max merge of the
+    per-batch rows is a small driver reduce (num_batches x 4 KiB), NOT
+    a materialization of data rows."""
     partial = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         DistinctTermsHLLPartial, batch_format="pyarrow", batch_size=512,
         concurrency=(1, 4))
@@ -722,6 +724,14 @@ def distinct_terms_hll(sf_dir: str):
     for b in partial.iter_batches(batch_format="pyarrow"):
         for buf in b.column("registers").to_pylist():
             np.maximum(regs, np.frombuffer(buf, dtype=np.uint8), out=regs)
+    return regs
+
+
+def distinct_terms_hll(sf_dir: str):
+    """One-row (n_distinct_est, n_registers): approximate distinct-term
+    count. Error bound vs the exact ``term_df`` count is asserted in
+    tests."""
+    regs = _merged_hll_registers(sf_dir)
     return pa.table({"n_distinct_est": int64_col([int(round(_hll_estimate(regs)))]),
                      "n_registers": int64_col([len(regs)])})
 
@@ -810,13 +820,7 @@ def distinct_terms_hll_registers(sf_dir: str):
     ``test_distinct_terms_hll_error_bound``); verifying the registers
     verifies the whole sketch construction bit-for-bit without putting
     a float harmonic mean through a hash compare."""
-    regs = np.zeros(1 << _HLL_P, dtype=np.uint8)
-    partial = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        DistinctTermsHLLPartial, batch_format="pyarrow", batch_size=512,
-        concurrency=(1, 4))
-    for b in partial.iter_batches(batch_format="pyarrow"):
-        for buf in b.column("registers").to_pylist():
-            np.maximum(regs, np.frombuffer(buf, dtype=np.uint8), out=regs)
+    regs = _merged_hll_registers(sf_dir)
     nz = np.flatnonzero(regs)
     return pa.table({"register": int64_col(nz),
                      "rank": int64_col(regs[nz].astype(np.int64))})
@@ -827,7 +831,6 @@ def distinct_terms_hll_registers_sql() -> str:
     rank = q+1 - bit_length(low-q-bits of h) (q+1 when they are zero);
     per-register max. printf('%b') length is the integer-exact
     bit_length — no float log2 anywhere."""
-    w64 = "18446744073709551616::UHUGEINT"
     return f"""
 WITH terms AS (
   SELECT DISTINCT unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+'))
