@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
         "embedding_near_dups": dedup.embedding_near_dups,
         "embedding_near_dups_lsh": dedup.embedding_near_dups_lsh,
+        "dedup_survivors": dedup.dedup_survivors,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
@@ -107,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup_sql(),
         "simhash_near_dups": dedup.simhash_near_dups_sql(),
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup_sql(),
+        "dedup_survivors": dedup.dedup_survivors_sql(),
         "embedding_near_dups": dedup.embedding_near_dups_sql(),
         "lang_id": ts.lang_id_sql(),
         "doc_fingerprint": ts.doc_fingerprint_sql(),

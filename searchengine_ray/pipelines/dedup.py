@@ -69,6 +69,8 @@ def _minhash_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
 
 
 _TOKEN_HASH_CACHE: dict[str, int] = {}
+_TOKEN_HASH_CACHE_CAP = 1 << 20   # bounded: open vocabulary at 100 TB would
+                                  # otherwise grow this per-worker dict forever
 _SHINGLE_C = np.uint64(0x9E3779B97F4A7C15)   # golden-ratio odd multiplier
 
 
@@ -80,6 +82,8 @@ def _token_hash(tok: str) -> int:
     if h is None:
         h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[8:16],
                            "little")
+        if len(_TOKEN_HASH_CACHE) >= _TOKEN_HASH_CACHE_CAP:
+            _TOKEN_HASH_CACHE.pop(next(iter(_TOKEN_HASH_CACHE)))
         _TOKEN_HASH_CACHE[tok] = h
     return h
 
@@ -782,4 +786,150 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          AS cosine_bp
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE floor(list_cosine_similarity(a.embedding, b.embedding) * 10000 + 0.5) >= {threshold_bp}
+"""
+
+
+# ---------------- survivor selection (connected components) ----------
+
+
+class _HashToMinGroup:
+    """``groupby(gkey).map_groups`` body for one hash-to-min round.
+
+    State rows are (u, v) meaning "v is in u's known component set".
+    Per node u with set C(u) (self-loops guarantee u in C(u)) and
+    m = min(C(u)), emit (v, m) for every v in C(u) and (m, v) for every
+    v in C(u) — the classic Hash-to-Min step (Rastogi et al. 2013,
+    "Finding Connected Components in Map-Reduce in Logarithmic Rounds"),
+    which converges in O(log d) shuffle rounds.
+
+    Vectorized: the group is ONE hash bucket of many nodes (same gkey
+    trick as ``_make_grouped_pairs``); per-node mins come from one sort
+    + ``np.minimum.reduceat``, never a Python loop over nodes.
+    """
+
+    __name__ = "hash_to_min_group"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        u = group.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = group.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(u, kind="stable")
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        m_per_seg = np.minimum.reduceat(v, starts)          # min over C(u)
+        seg_id = np.cumsum(np.r_[False, u[1:] != u[:-1]])
+        m = m_per_seg[seg_id]                               # row-aligned min
+        out_u = np.concatenate([v, m])                      # (v, m) ∪ (m, v)
+        out_v = np.concatenate([m, v])
+        # in-group dedup bounds row growth before the distinct groupby
+        key = np.lexsort((out_v, out_u))
+        out_u, out_v = out_u[key], out_v[key]
+        keep = np.r_[True, (out_u[1:] != out_u[:-1]) | (out_v[1:] != out_v[:-1])]
+        return pa.table({"u": int64_col(out_u[keep]), "v": int64_col(out_v[keep])})
+
+
+_CC_C = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _cc_round_tables(state):
+    """One hash-to-min round: bucket-by-node shuffle + distinct pairs.
+    Returns the new state plus a (count, checksum) convergence signature
+    computed distributively (never a driver materialization of rows)."""
+    from ray.data.aggregate import Count, Sum
+
+    def add_gkey(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+        g = ((u * _CC_C) >> np.uint64(48)) % np.uint64(_PAIR_GROUPS)
+        return batch.append_column("gkey", int64_col(g.astype(np.int64)))
+
+    stepped = state.map_batches(add_gkey, batch_format="pyarrow").groupby(
+        "gkey").map_groups(_HashToMinGroup(), batch_format="pyarrow")
+    uniq = stepped.groupby(["u", "v"]).aggregate(Count(alias_name="_n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.uint64)
+        chk = ((u * _CC_C + v) >> np.uint64(3)).astype(np.int64)
+        return pa.table({"u": int64_col(u.astype(np.int64)),
+                         "v": int64_col(v.astype(np.int64)),
+                         "chk": int64_col(chk)})
+
+    new_state = uniq.map_batches(finish, batch_format="pyarrow").materialize()
+    sig = new_state.aggregate(Count(alias_name="n"), Sum("chk", alias_name="s"))
+    return new_state.select_columns(["u", "v"]), (sig["n"], sig["s"])
+
+
+def connected_components(pairs, max_rounds: int = 64):
+    """(doc_id, component) for every node in the pair graph — distributed
+    union-find via iterative Hash-to-Min label propagation.
+
+    Each round is ONE hash-partitioned groupby over (node, member) rows
+    plus a distinct groupby; the per-round state is pair-scale (edges +
+    component closures), never corpus-scale, so the between-round
+    ``materialize()`` holds only the small shuffle product. Convergence
+    is detected by a distributed (count, wraparound-checksum) signature —
+    Hash-to-Min reaches an exact fixpoint, so an unchanged signature two
+    rounds running is the stop condition. Partitioning assumption: one
+    component's closure fits a map_groups task (near-dup clusters; the
+    star-edge cap in ``_make_grouped_pairs`` keeps hot buckets bounded).
+    """
+    from ray.data.aggregate import Min
+
+    def to_state(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        # C(u) = {u} ∪ neighbors(u): both orientations + self-loops
+        return pa.table({"u": int64_col(np.concatenate([a, b, a, b])),
+                         "v": int64_col(np.concatenate([b, a, a, b]))})
+
+    state = pairs.map_batches(to_state, batch_format="pyarrow")
+    prev_sig = None
+    for _ in range(max_rounds):
+        state, sig = _cc_round_tables(state)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    labels = state.groupby("u").aggregate(Min("v", alias_name="component"))
+
+    def name_cols(batch: pa.Table) -> pa.Table:
+        did = batch.column("u")
+        comp = batch.column("component")
+        import pyarrow.compute as pc
+
+        keep = pc.cast(pc.equal(did, comp), pa.int64())
+        return pa.table({"doc_id": did, "component": comp, "keep": keep})
+
+    return labels.map_batches(name_cols, batch_format="pyarrow")
+
+
+def dedup_survivors(sf_dir: str, threshold_bp: int = 5000):
+    """(doc_id, component, keep) over the MinHash-LSH verified pair
+    stream — the survivor-selection op a training-data pipeline consumes.
+
+    ``component`` is the min doc_id reachable through verified near-dup
+    pairs; ``keep=1`` iff the doc IS its component representative
+    (min-id-wins policy, matching ``dedup_exact``'s first-wins). Output
+    covers only docs that appear in >=1 verified pair — i.e. the
+    drop-list form: any doc absent from this table is trivially a
+    survivor, so downstream consumes it as an anti-join, which keeps the
+    result pair-scale instead of corpus-scale."""
+    return connected_components(minhash_lsh_dedup(sf_dir, threshold_bp))
+
+
+def dedup_survivors_sql(threshold_bp: int = 5000) -> str:
+    """DuckDB replay: recursive CTE transitive closure over the exact
+    MinHash-LSH pair replay, min reachable id per node."""
+    return f"""
+WITH RECURSIVE
+p AS (SELECT doc_a, doc_b FROM ({minhash_lsh_dedup_sql(threshold_bp)}) mp),
+e AS (SELECT doc_a AS a, doc_b AS b FROM p
+      UNION SELECT doc_b AS a, doc_a AS b FROM p),
+n AS (SELECT DISTINCT a AS node FROM e),
+walk(node, front) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN e ON e.a = w.front
+)
+SELECT node AS doc_id, min(front) AS component,
+       CAST(node = min(front) AS BIGINT) AS keep
+FROM walk GROUP BY node
 """

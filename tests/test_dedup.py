@@ -107,3 +107,57 @@ def test_embedding_lsh_subset_of_exact(ray_session):
         assert (a, b) in ex and ex[(a, b)] == c
     if len(ex):
         assert len(approx) / len(ex) >= 0.5
+
+
+def test_hash_to_min_group_step():
+    """One vectorized Hash-to-Min step == the per-node definition:
+    for each node u, m=min(C(u)); emit (v,m) and (m,v) for v in C(u)."""
+    import pyarrow as pa
+
+    from searchengine_ray.pipelines.dedup import _HashToMinGroup
+
+    # two nodes in one gkey bucket: C(5)={5,9,2}, C(9)={9,5}
+    g = pa.table({"u": [5, 5, 5, 9, 9], "v": [5, 9, 2, 9, 5]})
+    got = sorted(map(tuple, _HashToMinGroup()(g).to_pandas().values.tolist()))
+    want = set()
+    for u, c in [(5, [5, 9, 2]), (9, [9, 5])]:
+        m = min(c)
+        for v in c:
+            want.add((v, m))
+            want.add((m, v))
+    assert got == sorted(want)
+
+
+def test_connected_components_chain(ray_session):
+    """A long chain is the propagation worst case: Hash-to-Min must
+    still converge to min-id labels in O(log n) rounds, and isolated
+    pairs keep their own components."""
+    import pyarrow as pa
+    import ray.data
+
+    from searchengine_ray.pipelines.dedup import connected_components
+
+    # chain 0-1-2-...-19, plus separate pair (100,101)
+    a = list(range(19)) + [100]
+    b = list(range(1, 20)) + [101]
+    pairs = ray.data.from_arrow(pa.table({"doc_a": a, "doc_b": b}))
+    got = connected_components(pairs).to_pandas().sort_values("doc_id")
+    assert got.doc_id.tolist() == list(range(20)) + [100, 101]
+    assert got.component.tolist() == [0] * 20 + [100, 100]
+    assert got.keep.tolist() == [1] + [0] * 19 + [1, 0]
+
+
+def test_dedup_survivors_consistency(ray_session):
+    """Survivor table must be consistent with the verified pair stream:
+    every pair's two docs share a component; every component's rep is
+    its min doc_id and the only keep=1 row."""
+    from searchengine_ray.pipelines.dedup import dedup_survivors, minhash_lsh_dedup
+
+    pairs = minhash_lsh_dedup(SF_DIR).to_pandas()
+    surv = dedup_survivors(SF_DIR).to_pandas()
+    comp = dict(zip(surv.doc_id, surv.component))
+    for _, r in pairs.iterrows():
+        assert comp[r.doc_a] == comp[r.doc_b]
+    g = surv.groupby("component")
+    assert (g.doc_id.min() == g.doc_id.min().index).all()
+    assert (surv.keep == (surv.doc_id == surv.component).astype(int)).all()
