@@ -11,11 +11,14 @@ callables use.
                       (SURVEY.md §2 + the training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible
                       entry (incl. positional phrase match, the rolling-
-                      hash fingerprint, the trigram lang-id, and the
-                      full MinHash-LSH / SimHash replays via
-                      md5_number_lower + UHUGEINT mod-2^64 arithmetic);
-                      the float-plane LSH/IVF ANN variants, the HLL
-                      sketch and the decode stub stay rows-only.
+                      hash fingerprint, the trigram lang-id, the full
+                      MinHash-LSH / SimHash replays via md5_number_lower
+                      + UHUGEINT mod-2^64 arithmetic, connected-component
+                      survivor selection via recursive CTE, and the
+                      float-plane LSH/IVF ANN replays via inlined
+                      DOUBLE[] hyperplane/centroid literals); only the
+                      HLL estimate and the Misra-Gries summary stay
+                      rows-only (both error-bound-tested).
 """
 
 from __future__ import annotations
@@ -115,6 +118,9 @@ def oracle_sql() -> dict[str, str]:
         "numeric_literals": ts.numeric_literals_sql(),
         "token_count_bpe": ts.token_count_bpe_sql(),
         "ann_topk": ann.ann_topk_sql(),
+        "ann_lsh_topk": ann.ann_lsh_topk_sql(),
+        "ann_ivf_topk": ann.ann_ivf_topk_sql(),
+        "embedding_near_dups_lsh": dedup.embedding_near_dups_lsh_sql(),
         "multimodal_meta": multimodal.multimodal_meta_sql(),
         "frame_sample": multimodal.frame_sample_sql(),
         "pricing_summary": rel.pricing_summary_sql(),

@@ -120,6 +120,24 @@ FROM ranked WHERE rnk <= {k}
 """
 
 
+_SF_ORACLE_DEFAULT = "/root/testdata/sf0.01"   # the driver's gate scale
+
+
+def _sql_vec(v: np.ndarray) -> str:
+    """Exact DOUBLE[] literal: shortest round-trip repr of each float64
+    parses back bit-identically, so the SQL side sees the same planes/
+    centroids the Ray actors received via ray.put."""
+    return "[" + ",".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+
+def _table_dim(sf_dir: str) -> int:
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT len(embedding) FROM '{sf_dir}/embeddings.parquet' LIMIT 1"
+    ).fetchone()[0]
+
+
 class LshBucketStage:
     """Random-hyperplane signatures: vec -> (bucket, vec_id, embedding)."""
 
@@ -216,6 +234,53 @@ def ann_lsh_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
                                concurrency=(1, 2))
     return local.groupby("query_vec_id").map_groups(
         _merge_topk_factory(k), batch_format="pandas")
+
+
+def ann_lsh_topk_sql(sf_dir: str = _SF_ORACLE_DEFAULT,
+                     query_ids: list[int] | None = None, k: int = 10,
+                     n_bits: int = 6, seed: int = 42) -> str:
+    """Exact DuckDB replay of the LSH path: the seeded hyperplanes are
+    inlined as DOUBLE[] literals; bucket bits come from the raw dot-
+    product sign (normalization never changes a sign, so the SQL skips
+    the unit-scaling the Ray side applies); the candidate set is the
+    union of every query's bucket plus all 1-bit neighbor probes — the
+    same union of probed partitions the Ray side reads from disk."""
+    planes = _lsh_planes(n_bits, _table_dim(sf_dir), seed)
+    plane_rows = ",".join(f"({i},{_sql_vec(planes[i])})" for i in range(n_bits))
+    ids = ",".join(map(str, query_ids or DEFAULT_QUERY_IDS))
+    return f"""
+WITH planes(i, p) AS (VALUES {plane_rows}),
+vb AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_dot_product(e.embedding, pl.p) > 0
+                       THEN (1::BIGINT << pl.i) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id),
+q AS (
+  SELECT e.vec_id AS query_vec_id, e.embedding AS qe, v.bucket
+  FROM embeddings e JOIN vb v ON v.vec_id = e.vec_id
+  WHERE e.vec_id IN ({ids})),
+probe AS (
+  SELECT DISTINCT pb FROM (
+    SELECT bucket AS pb FROM q
+    UNION ALL
+    SELECT xor(q.bucket, 1::BIGINT << pl.i) AS pb
+    FROM q CROSS JOIN planes pl) u),
+cand AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e JOIN vb v ON v.vec_id = e.vec_id
+  WHERE v.bucket IN (SELECT pb FROM probe)),
+sims AS (
+  SELECT q.query_vec_id, c.vec_id,
+         CAST(floor(list_cosine_similarity(q.qe, c.embedding) * 10000 + 0.5)
+              AS BIGINT) AS cosine_bp
+  FROM q CROSS JOIN cand c),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_vec_id
+                               ORDER BY cosine_bp DESC, vec_id ASC) AS rnk
+  FROM sims)
+SELECT query_vec_id, CAST(rnk AS BIGINT) AS rank, vec_id, cosine_bp
+FROM ranked WHERE rnk <= {k}
+"""
 
 
 def _spherical_kmeans(sample: np.ndarray, n_centroids: int, seed: int,
@@ -345,3 +410,71 @@ def ann_ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
                                concurrency=(1, 2))
     return local.groupby("query_vec_id").map_groups(
         _merge_topk_factory(k), batch_format="pandas")
+
+
+def _ivf_sample_local(sf_dir: str, sample_size: int = 4096) -> np.ndarray:
+    """No-Ray twin of ``_ivf_sample`` for oracle-SQL generation: same
+    ``vec_id % m == 0`` rule, same vec_id order, same float32->float64
+    widening — so ``_spherical_kmeans`` reproduces the Ray-side
+    centroids bit-for-bit."""
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.sql(f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
+                ).fetchone()[0]
+    m = max(1, n // sample_size)
+    rows = con.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"WHERE vec_id % {m} = 0 ORDER BY vec_id").fetchall()
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def ann_ivf_topk_sql(sf_dir: str = _SF_ORACLE_DEFAULT,
+                     query_ids: list[int] | None = None, k: int = 10,
+                     n_centroids: int = 16, nprobe: int = 4,
+                     seed: int = 42) -> str:
+    """Exact DuckDB replay of the IVF path. The coarse quantizer is
+    data-dependent, so this generator RETRAINS it locally (DuckDB sample
+    + the same numpy k-means — bit-identical to ``ensure_ivf_index``)
+    and inlines the centroids as DOUBLE[] literals. List assignment =
+    argmax of the raw dot product (scale-invariant, ties to the lowest
+    centroid id exactly like ``np.argmax``); each query probes its
+    ``nprobe`` best lists; candidates = vectors in ANY probed list (the
+    union of partitions the Ray side reads)."""
+    centroids = _spherical_kmeans(_ivf_sample_local(sf_dir), n_centroids, seed)
+    cent_rows = ",".join(f"({c},{_sql_vec(centroids[c])})"
+                         for c in range(len(centroids)))
+    ids = ",".join(map(str, query_ids or DEFAULT_QUERY_IDS))
+    nprobe = min(nprobe, len(centroids))
+    return f"""
+WITH cents(c, v) AS (VALUES {cent_rows}),
+asg AS (
+  SELECT e.vec_id, ct.c,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding, ct.v) DESC, ct.c ASC) AS rn
+  FROM embeddings e CROSS JOIN cents ct),
+vl AS (SELECT vec_id, c AS list FROM asg WHERE rn = 1),
+qp AS (
+  SELECT e.vec_id AS query_vec_id, ct.c,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding, ct.v) DESC, ct.c ASC) AS rn
+  FROM embeddings e CROSS JOIN cents ct WHERE e.vec_id IN ({ids})),
+probe AS (SELECT DISTINCT c FROM qp WHERE rn <= {nprobe}),
+cand AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e JOIN vl ON vl.vec_id = e.vec_id
+  WHERE vl.list IN (SELECT c FROM probe)),
+q AS (SELECT vec_id AS query_vec_id, embedding AS qe FROM embeddings
+      WHERE vec_id IN ({ids})),
+sims AS (
+  SELECT q.query_vec_id, c.vec_id,
+         CAST(floor(list_cosine_similarity(q.qe, c.embedding) * 10000 + 0.5)
+              AS BIGINT) AS cosine_bp
+  FROM q CROSS JOIN cand c),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_vec_id
+                               ORDER BY cosine_bp DESC, vec_id ASC) AS rnk
+  FROM sims)
+SELECT query_vec_id, CAST(rnk AS BIGINT) AS rank, vec_id, cosine_bp
+FROM ranked WHERE rnk <= {k}
+"""

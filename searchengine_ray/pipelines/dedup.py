@@ -772,11 +772,43 @@ def embedding_near_dups_lsh(sf_dir: str, threshold_bp: int = 4000,
         Max("cosine_bp", alias_name="cosine_bp"))
 
 
-def embedding_near_dups_lsh_sql(threshold_bp: int = 4000) -> str:
-    """Recall oracle: every true pair the buckets catch must carry the
-    exact cosine; the driver check is rows-only (approximate recall), but
-    tests assert bucketed results are a subset of this exact set."""
-    return embedding_near_dups_sql(threshold_bp)
+def embedding_near_dups_lsh_sql(threshold_bp: int = 4000, n_bits: int = 4,
+                                n_tables: int = 4, seed: int = 7,
+                                sf_dir: str | None = None) -> str:
+    """Exact DuckDB replay of the bucketed path: the seeded hyperplanes
+    (all ``n_tables`` tables) are inlined as DOUBLE[] literals; bucket
+    bits come from the raw dot-product sign (normalization never flips a
+    sign, so the SQL skips the Ray side's unit scaling); a pair
+    qualifies iff the two vectors share a bucket in ANY table; the
+    per-pair max over tables equals the single exact cosine."""
+    from searchengine_ray.pipelines.ann import (_SF_ORACLE_DEFAULT, _sql_vec,
+                                                _table_dim)
+
+    d = _table_dim(sf_dir or _SF_ORACLE_DEFAULT)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_bits, d))
+    rows = ",".join(f"({t},{i},{_sql_vec(planes[t, i])})"
+                    for t in range(n_tables) for i in range(n_bits))
+    return f"""
+WITH planes(t, i, p) AS (VALUES {rows}),
+vb AS (
+  SELECT e.vec_id, pl.t,
+         CAST(sum(CASE WHEN list_dot_product(e.embedding, pl.p) > 0
+                       THEN (1::BIGINT << pl.i) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.t),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM vb a JOIN vb b ON a.t = b.t AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id)
+SELECT p.vec_a, p.vec_b,
+       CAST(floor(list_cosine_similarity(ea.embedding, eb.embedding)
+                  * 10000 + 0.5) AS BIGINT) AS cosine_bp
+FROM pairs p
+JOIN embeddings ea ON ea.vec_id = p.vec_a
+JOIN embeddings eb ON eb.vec_id = p.vec_b
+WHERE floor(list_cosine_similarity(ea.embedding, eb.embedding)
+            * 10000 + 0.5) >= {threshold_bp}
+"""
 
 
 def embedding_near_dups_sql(threshold_bp: int = 4000) -> str:

@@ -65,79 +65,121 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 # ---- q3-style: broadcast semi-join + groupby + top-k ----
 
 
+def _semi_group(df: pd.DataFrame) -> pa.Table:
+    """Custkey co-group: orders whose custkey appears on the customer
+    side survive, re-keyed by orderkey for the next exchange. Pandas in
+    (vectorized isin), ARROW out — the rows feed the next union+shuffle
+    and must not mix block types with the Arrow lineitem side."""
+    seen = df.loc[df["side"] == 0, "key"].to_numpy()
+    orders = df[df["side"] == 1]
+    hit = orders[orders["key"].isin(set(seen))]
+    okey = hit["okey"].to_numpy(np.int64)
+    return pa.table({"jpart": int64_col(okey % _N_JPARTS),
+                     "key": int64_col(okey),
+                     "odate_us": int64_col(hit["odate_us"].to_numpy(np.int64)),
+                     "rev_c": int64_col(np.zeros(len(okey), np.int64)),
+                     "side": int64_col(np.zeros(len(okey), np.int64))})
+
+
+def _make_topk_rev_group(k: int):
+    def topk_rev_group(df: pd.DataFrame) -> pa.Table:
+        """Orderkey co-group: sum lineitem revenue partials per order,
+        inner-join the qualifying orders, emit the group-local top-k
+        (group key ranges are disjoint, so the global top-k is a subset
+        of the union of group-local top-ks). Arrow out: feeds the final
+        distributed sort."""
+        orders = df[df["side"] == 0]
+        items = df[df["side"] == 1]
+        if orders.empty or items.empty:
+            j = pd.DataFrame({"key": np.array([], np.int64),
+                              "rev_c": np.array([], np.int64),
+                              "odate_us": np.array([], np.int64)})
+        else:
+            rev = items.groupby("key", as_index=False)["rev_c"].sum()
+            j = orders[["key", "odate_us"]].merge(rev, on="key")
+            j = j.sort_values(["rev_c", "key"], ascending=[False, True]).head(k)
+        return pa.table({"o_orderkey": int64_col(j["key"].to_numpy(np.int64)),
+                         "revenue_c": int64_col(j["rev_c"].to_numpy(np.int64)),
+                         "odate_us": int64_col(j["odate_us"].to_numpy(np.int64))})
+
+    return topk_rev_group
+
+
 def top_orders_by_revenue(sf_dir: str, segment: str = "BUILDING", k: int = 10):
-    """Revenue top-k for one customer segment.
+    """Revenue top-k for one customer segment (TPC-H Q3 shape) — fully
+    distributed, two co-group shuffle joins, no driver materialization.
 
-    customer(segment) -> broadcast custkey set -> filter orders ->
-    broadcast (orderkey -> orderdate) -> filter+pre-agg lineitem ->
-    groupby(orderkey) -> sort desc limit k. Small sides ship once via
-    ray.put; the only shuffle is the final orderkey groupby over
-    pre-aggregated rows.
+    At 100-TB scale neither the segment's customers (~20% of customer)
+    nor the qualifying orderkey set is driver- or broadcast-sized, so
+    both joins use the same repartition shape as ``order_lineitem_join``:
+
+    1. custkey exchange — segment-filtered customer keys ∪ orders
+       (key = custkey), one ``groupby(jpart)`` semi-join keeps
+       qualifying orders and re-keys them by orderkey;
+    2. orderkey exchange — qualifying orders ∪ per-batch pre-aggregated
+       lineitem revenue partials, one ``groupby(jpart)`` join+sum with
+       a group-local top-k trim, so the final sort sees at most
+       ``_N_JPARTS * k`` rows.
     """
-    import ray
-    from ray.data.aggregate import Sum
+    def cust_side(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    keys = set(cust.loc[cust.c_mktsegment == segment, "c_custkey"].tolist())
-    keys_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+        batch = batch.filter(pc.equal(batch.column("c_mktsegment"), segment))
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        z = np.zeros(len(ck), np.int64)
+        return pa.table({"jpart": int64_col(ck % _N_JPARTS),
+                         "key": int64_col(ck), "okey": int64_col(z),
+                         "odate_us": int64_col(z), "rev_c": int64_col(z),
+                         "side": int64_col(z)})
 
-    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    def orders_side(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        d = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"jpart": int64_col(ck % _N_JPARTS),
+                         "key": int64_col(ck), "okey": int64_col(ok),
+                         "odate_us": int64_col(d),
+                         "rev_c": int64_col(np.zeros(len(ck), np.int64)),
+                         "side": int64_col(np.ones(len(ck), np.int64))})
 
-    class FilterOrders:
-        def __init__(self, ref):
-            self.keys = ray.get(ref)
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        rc = cents(price * (1.0 - disc))
+        uniq, inv = np.unique(ok, return_inverse=True)
+        sums = np.bincount(inv, weights=rc).astype(np.int64)
+        return pa.table({"jpart": int64_col(uniq % _N_JPARTS),
+                         "key": int64_col(uniq),
+                         "odate_us": int64_col(np.zeros(len(uniq), np.int64)),
+                         "rev_c": int64_col(sums),
+                         "side": int64_col(np.ones(len(uniq), np.int64))})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = np.isin(batch.column("o_custkey").to_numpy(zero_copy_only=False),
-                           self.keys)
-            return batch.filter(pa.array(mask)).select(["o_orderkey"])
+    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        cust_side, batch_format="pyarrow", batch_size=65536)
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_side, batch_format="pyarrow", batch_size=65536)
+    qual = cust.union(orders).groupby("jpart").map_groups(
+        _semi_group, batch_format="pandas")
+    items = read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        lineitem_side, batch_format="pyarrow", batch_size=65536)
+    topk = qual.union(items).groupby("jpart").map_groups(
+        _make_topk_rev_group(k), batch_format="pandas")
+    out = topk.sort(["revenue_c", "o_orderkey"],
+                    descending=[True, False]).limit(k)
 
-    # broadcast side = the bare int64 key column (8 B/row), never the
-    # order rows; dates are looked up AFTER top-k, for k rows only
-    sel = orders.map_batches(FilterOrders, fn_constructor_args=(keys_ref,),
-                             batch_format="pyarrow", concurrency=(1, 2)).to_pandas()
-    okeys_ref = ray.put(np.sort(sel["o_orderkey"].to_numpy().astype(np.int64)))
+    def fmt(batch: pa.Table) -> pa.Table:
+        dt = batch.column("odate_us").cast(pa.timestamp("us"))
+        import pyarrow.compute as pc
 
-    class LineitemPartial:
-        def __init__(self, ref):
-            self.keys = ray.get(ref)
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "revenue_c": batch.column("revenue_c"),
+                         "o_orderdate": pc.strftime(dt, "%Y-%m-%d")})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
-            mask = np.isin(ok, self.keys)
-            ok = ok[mask]
-            price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[mask]
-            disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[mask]
-            rev_c = cents(price * (1.0 - disc))
-            uniq, inv = np.unique(ok, return_inverse=True)
-            sums = np.bincount(inv, weights=rev_c).astype(np.int64)
-            return pa.table({"o_orderkey": int64_col(uniq),
-                             "rev_p": int64_col(sums)})
-
-    li = read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    partial = li.map_batches(LineitemPartial, fn_constructor_args=(okeys_ref,),
-                             batch_format="pyarrow", batch_size=65536,
-                             concurrency=(1, 2))
-    total = partial.groupby("o_orderkey").aggregate(
-        Sum("rev_p", alias_name="revenue_c")).to_pandas()
-    total = total.sort_values(["revenue_c", "o_orderkey"],
-                              ascending=[False, True]).head(k)
-    # date lookup for exactly k rows: a filtered parquet point-read
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    from searchengine_ray.pipelines.common import table_path
-
-    dt = pq.read_table(
-        table_path(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"],
-        filters=pc.field("o_orderkey").isin(
-            pa.array(total["o_orderkey"].to_numpy().astype(np.int64)))).to_pandas()
-    odate = dict(zip(dt.o_orderkey, dt.o_orderdate.dt.strftime("%Y-%m-%d")))
-    total["o_orderdate"] = total.o_orderkey.map(odate)
-    total = total.astype({"o_orderkey": "int64", "revenue_c": "int64"})
-    return pa.Table.from_pandas(
-        total[["o_orderkey", "revenue_c", "o_orderdate"]].reset_index(drop=True),
-        preserve_index=False)
+    return out.map_batches(fmt, batch_format="pyarrow")
 
 
 def top_orders_by_revenue_sql(segment: str = "BUILDING", k: int = 10) -> str:
@@ -232,17 +274,24 @@ def suppliers_by_nation(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     nation = read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    nmap_ref = ray.put(dict(zip(nation.n_nationkey, nation.n_name)))
+    order = np.argsort(nation.n_nationkey.to_numpy())
+    nmap_ref = ray.put((nation.n_nationkey.to_numpy()[order].astype(np.int64),
+                        nation.n_name.to_numpy()[order].astype(object)))
 
     class JoinNation:
         def __init__(self, ref):
-            self.nmap = ray.get(ref)
+            self.nkeys, self.nnames = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            nk = batch.column("s_nationkey").to_pylist()
+            nk = batch.column("s_nationkey").to_numpy(zero_copy_only=False)
             bal = batch.column("s_acctbal").to_numpy(zero_copy_only=False)
+            # vectorized dictionary lookup: searchsorted over the sorted
+            # broadcast key array, then one fancy-index gather
+            pos = np.searchsorted(self.nkeys, nk)
+            if not np.array_equal(self.nkeys[pos], nk):
+                raise KeyError("s_nationkey missing from nation table")
             return pa.table({
-                "n_name": pa.array([self.nmap[k] for k in nk], pa.string()),
+                "n_name": pa.array(self.nnames[pos], pa.string()),
                 "bal_c": int64_col(cents(bal)),
             })
 

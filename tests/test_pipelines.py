@@ -17,7 +17,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "text_quality", "repetition_quality", "dedup_exact",
                "embedding_near_dups",
-               "ann_topk", "multimodal_meta", "frame_sample",
+               "ann_topk", "ann_lsh_topk", "embedding_near_dups_lsh",
+               "multimodal_meta", "frame_sample",
                "image_decode_features", "distinct_terms_hll_registers",
                "pricing_summary", "top_orders_by_revenue", "events_daily",
                "top_parts", "suppliers_by_nation", "segment_counts",
@@ -67,11 +68,21 @@ def test_query_matches_oracle(ray_session, duck, name):
 def test_rows_only_entries_run(ray_session):
     import __ray_entry__ as e
 
-    for name in ["ann_lsh_topk",
-                 "ann_ivf_topk",
-                 "embedding_near_dups_lsh", "distinct_terms_hll"]:
+    for name in ["distinct_terms_hll"]:
         res = _to_pandas(e.queries()[name](SF_DIR))
         assert res is not None and len(res) >= 0
+
+
+def test_ann_ivf_matches_oracle(ray_session, duck):
+    """IVF's oracle SQL embeds DATA-DEPENDENT centroids (retrained
+    locally per sf_dir), so the registry default targets the driver's
+    sf0.01; here the SQL is regenerated for this test's sf_dir."""
+    from searchengine_ray.pipelines import ann
+
+    got = _canon(_to_pandas(ann.ann_ivf_topk(SF_DIR)))
+    want = _canon(duck.sql(ann.ann_ivf_topk_sql(SF_DIR)).df())
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
 def _mean_recall(exact: pd.DataFrame, approx: pd.DataFrame) -> float:
