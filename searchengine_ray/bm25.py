@@ -54,11 +54,14 @@ def bm25_score_single(tf: int, dl: int, *, N: int, df: int, avgdl: float,
     return i * tf_f * (k1 + 1.0) / denom
 
 
-def top_k_indices(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray:
-    """Indices of the top-k by (score desc, doc_id asc) — deterministic.
+def top_k_indices(scores: np.ndarray, doc_ids: np.ndarray, k: int,
+                  tie: np.ndarray | None = None) -> np.ndarray:
+    """Indices of the top-k by (score desc[, tie desc], doc_id asc) —
+    deterministic. ``tie`` is the optional recency column (int64): newer
+    wins among rounded-equal scores, doc_id asc breaks exact ts ties.
 
     For large candidate sets, pre-filter with ``np.partition`` (O(n))
-    down to everything >= the k-th score (ties included, so the doc_id
+    down to everything >= the k-th score (ties included, so the
     tie-break stays exact), then lexsort only the survivors.
     """
     n = len(scores)
@@ -68,7 +71,11 @@ def top_k_indices(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray
     if n > max(1024, 4 * k):
         kth = np.partition(scores, n - k)[n - k]
         keep = np.flatnonzero(scores >= kth)
-        order = np.lexsort((doc_ids[keep], -scores[keep]))
+        keys = ((doc_ids[keep], -scores[keep]) if tie is None
+                else (doc_ids[keep], -tie[keep], -scores[keep]))
+        order = np.lexsort(keys)
         return keep[order[:k]]
-    order = np.lexsort((doc_ids, -scores))
+    keys = ((doc_ids, -scores) if tie is None
+            else (doc_ids, -tie, -scores))
+    order = np.lexsort(keys)
     return order[:k]

@@ -50,6 +50,12 @@ class IndexConfig:
     store_positions: bool = False   # per-posting token positions (phrase queries);
                                     # reference stores them in location_dict
                                     # (parser_module.py:222-241, indexer.py:108)
+    tie_break_column: str | None = None
+    # opt-in recency tie-break: name of an int64/timestamp column in the
+    # source corpus; ranking becomes (score desc, column desc, doc_id
+    # asc). Deterministic replacement for the reference's wall-clock
+    # doc-age tie-break (ranker.py:30-32 via indexer.py:170-178's
+    # datetime.now()) — a DATA column instead of ingest time.
     min_df: int = 1                 # singleton prune: reference indexer.py:604-615 (min_df=2 there)
     block_size: int = 128
     doc_bucket_size: int = 1 << 22  # 4M docs per posting bucket (skew cap)

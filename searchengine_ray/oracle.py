@@ -96,6 +96,12 @@ class OracleIndex:
                 "sha256": content_sha256(content),
                 **{k: r[k] for k in ("repo", "path", "commit", "lang") if k in cols},
             }
+            tb = self.config.tie_break_column
+            if tb:
+                v = r[tb]
+                self.doc_meta[did]["_tie"] = (
+                    int(v.timestamp() * 1e6) if hasattr(v, "timestamp")
+                    else int(v))
             for t, tf in terms.items():
                 self.postings.setdefault(t, []).append((did, tf))
         for t in self.postings:
@@ -137,5 +143,13 @@ class OracleIndex:
                     tf, self.doc_len[did], N=self.N, df=df, avgdl=self.avgdl,
                     k1=self.config.k1, b=self.config.b)
                 scores[did] = scores.get(did, 0.0) + qtf * contrib
-        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        if self.config.tie_break_column:
+            # (score desc, recency desc, doc_id asc) — the deterministic
+            # replacement for the reference's wall-clock tie-break
+            ranked = sorted(scores.items(),
+                            key=lambda kv: (-kv[1],
+                                            -self.doc_meta[kv[0]]["_tie"],
+                                            kv[0]))
+        else:
+            ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]

@@ -102,10 +102,22 @@ def _analyzer_fingerprint(config: IndexConfig) -> str:
 
 def _source_tag(source, files: list[str]) -> str:
     """Content tag for a parquet file/dir source — the ONE shared
-    identity both build_index and add_documents fingerprint against."""
+    identity both build_index and add_documents fingerprint against.
+
+    Includes mtime_ns and the parquet footer length alongside
+    (name, size): add_documents uses this tag as a permanent generation
+    registry key, and a different corpus whose files coincidentally
+    share names+sizes must NOT collide (it would be silently skipped as
+    'already ingested' — data loss, not just a stale resume)."""
+    def sig(f: str):
+        st = Path(f).stat()
+        with open(f, "rb") as fh:
+            fh.seek(max(0, st.st_size - 8))
+            tail = fh.read(8).hex()          # footer-length + PAR1 magic
+        return (Path(f).name, st.st_size, st.st_mtime_ns, tail)
+
     h = hashlib.blake2b(
-        json.dumps([(Path(f).name, Path(f).stat().st_size)
-                    for f in files]).encode(), digest_size=8).hexdigest()
+        json.dumps([sig(f) for f in files]).encode(), digest_size=8).hexdigest()
     return f"{source}:{h}"
 
 
@@ -443,6 +455,13 @@ class PrelabeledPartWriter:
                        else pa.array([""] * group.num_rows, pa.string()))
         cols["sha256"] = sha256_column(group.column("content").to_pylist())
         cols["content"] = group.column("content")
+        tb = self.config.tie_break_column
+        if tb:
+            from searchengine_ray.stages.normalize import tie_break_int64
+
+            if tb not in names:
+                raise ValueError(f"tie_break_column {tb!r} missing from corpus")
+            cols[tb] = tie_break_int64(group.column(tb))
         out = pa.table(cols)
         write_partition_atomic(out, Path(self.docs_dir) / f"part-{part:05d}.parquet",
                                kind="docs", partition=part,
@@ -496,6 +515,7 @@ def add_documents(source, out_root: str | Path,
         raise ValueError("incremental ingest requires min_df == 1 "
                          "(pruned terms cannot recover earlier segments)")
     mc = meta.get("config", {})
+    unrecorded = []
     for field_, got in (("analyzer", config.analyzer),
                         ("stemming", config.stemming),
                         ("min_df", config.min_df),
@@ -503,9 +523,23 @@ def add_documents(source, out_root: str | Path,
                         ("doc_bucket_size", config.doc_bucket_size),
                         ("store_positions", config.store_positions),
                         ("analyzer_fp", _analyzer_fingerprint(config))):
-        if field_ in mc and mc[field_] != got:
+        if field_ not in mc:
+            unrecorded.append(field_)
+        elif mc[field_] != got:
             raise ValueError(f"config mismatch vs index: {field_}: "
                              f"index={mc[field_]} vs {got}")
+    if unrecorded:
+        # a legacy (pre-upgrade) meta can't prove these settings match;
+        # silently passing would let a mismatched analyzer or positions
+        # setting mix incompatible analyses across generations — the
+        # exact failure the fingerprint exists to prevent
+        import warnings
+
+        warnings.warn(
+            f"index meta at {out_root} does not record "
+            f"{unrecorded}; incremental ingest is proceeding on the "
+            f"UNVERIFIED assumption that the current config matches — "
+            f"compact_index to upgrade the meta", stacklevel=2)
     if meta.get("num_term_parts") != config.num_term_parts:
         raise ValueError("num_term_parts must match the base index")
 
@@ -723,8 +757,28 @@ def compact_index(out_root: str | Path, new_root: str | Path,
     import ray.data as _rd
 
     paths = IndexPaths(str(out_root))
-    config = config or IndexConfig()
     meta = paths.meta()
+    mc = meta.get("config", {}) if meta else {}
+    if config is None:
+        # default the analyzer-relevant settings from the SOURCE index:
+        # compacting is a pure fold of generations, and a bare
+        # IndexConfig() on a stemmed/positions index would silently
+        # rebuild with a different analyzer (the CLI hydrates from meta;
+        # the library path must too)
+        kw = {k: mc[k] for k in ("analyzer", "stemming", "min_df",
+                                 "block_size", "doc_bucket_size",
+                                 "store_positions") if k in mc}
+        for k in ("num_term_parts", "num_doc_parts", "doc_id_part_bits"):
+            if k in meta:
+                kw[k] = meta[k]
+        config = IndexConfig(**kw)
+    elif ("analyzer_fp" in mc
+            and mc["analyzer_fp"] != _analyzer_fingerprint(config)):
+        raise ValueError(
+            "compact_index config analyzes text differently from the "
+            f"source index (analyzer_fp {mc['analyzer_fp']} vs "
+            f"{_analyzer_fingerprint(config)}); pass a matching config "
+            "or None to inherit the index's settings")
     # trust ONLY docs partitions whose manifest fingerprint belongs to a
     # COMPLETED generation (meta's registry) — a crashed ingest leaves
     # orphaned docs partitions the index never served, and a blind glob

@@ -362,9 +362,16 @@ WITH e AS (
   SELECT epoch_us(ts) AS t, event_type,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
   FROM events),
+-- exact FLOOR division (numpy // semantics): DuckDB's integer //
+-- truncates toward zero, which disagrees for pre-epoch timestamps;
+-- subtracting the non-negative remainder first makes // exact+floored
+f AS (
+  SELECT (t - ((t % {hop_us}) + {hop_us}) % {hop_us}) // {hop_us} AS fd,
+         event_type, vc
+  FROM e),
 x AS (
-  SELECT (t // {hop_us} - i) * {hop_us} AS window_start_us, event_type, vc
-  FROM e, unnest(generate_series(0, {k - 1})) AS u(i))
+  SELECT (fd - i) * {hop_us} AS window_start_us, event_type, vc
+  FROM f, unnest(generate_series(0, {k - 1})) AS u(i))
 SELECT window_start_us, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(vc) AS BIGINT) AS sum_value_cents

@@ -358,6 +358,24 @@ class IndexSearcher:
         # tombstones: tiny sorted id list read fresh per searcher (NOT
         # part of the plasma-shared image, so deletes take effect on
         # the next actor/searcher without re-sharing the index)
+        # opt-in recency tie-break: values come from the docs partitions
+        # (a pruned 2-column read), NOT the plasma-shared image, so the
+        # option works on any index whose build carried the column
+        self._tie: np.ndarray | None = None
+        tb = self.config.tie_break_column
+        if tb:
+            tie_tbl = pq.read_table(
+                sorted(Path(self.paths.docs).glob("part-*.parquet")),
+                columns=["doc_id", tb])
+            tids = tie_tbl.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            tvals = tie_tbl.column(tb).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            torder = np.argsort(tids, kind="stable")
+            tie = np.zeros(len(self._dl_ids), dtype=np.int64)
+            pos = np.searchsorted(self._dl_ids, tids[torder])
+            tie[pos] = tvals[torder]
+            self._tie = tie
         self._alive: np.ndarray | None = None
         dp = Path(self.paths.root) / "deletes.parquet"
         if dp.is_file():
@@ -409,6 +427,10 @@ class IndexSearcher:
     def doc_lens(self, doc_ids: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self._dl_ids, doc_ids)
         return self._dl[idx]
+
+    def _tie_at(self, idx: np.ndarray):
+        """Recency values aligned to _dl_ids positions, or None."""
+        return None if self._tie is None else self._tie[idx]
 
     # ---- scoring ----
 
@@ -504,7 +526,8 @@ class IndexSearcher:
             if self._alive is not None:
                 m = self._alive[pos]
                 pos, scores = pos[m], scores[m]
-            top = top_k_indices(scores, self._dl_ids[pos], k)
+            top = top_k_indices(scores, self._dl_ids[pos], k,
+                                tie=self._tie_at(pos))
             return [(int(self._dl_ids[pos[i]]), float(scores[i])) for i in top]
         n = len(self._dl_ids)
         buf = self._score_buf
@@ -524,7 +547,8 @@ class IndexSearcher:
         cand_scores = buf[live].copy()
         buf[cand] = 0.0                        # reset only what we touched
         mark[cand] = 0
-        top = top_k_indices(cand_scores, self._dl_ids[live], k)
+        top = top_k_indices(cand_scores, self._dl_ids[live], k,
+                            tie=self._tie_at(live))
         return [(int(self._dl_ids[live[i]]), float(cand_scores[i])) for i in top]
 
     def _impact_ordered(self, term: str):
@@ -591,7 +615,8 @@ class IndexSearcher:
             if self._alive is not None:
                 m = self._alive[pos]
                 pos, scores = pos[m], scores[m]
-            top = top_k_indices(scores, self._dl_ids[pos], k)
+            top = top_k_indices(scores, self._dl_ids[pos], k,
+                                tie=self._tie_at(pos))
             return [(int(self._dl_ids[pos[i]]), float(scores[i])) for i in top]
         cursors = [0] * len(impact)
         seen_chunks: list[np.ndarray] = []
@@ -629,7 +654,7 @@ class IndexSearcher:
             scores = self._full_scores(decoded, S)
         if S is None or len(S) == 0:
             return []
-        top = top_k_indices(scores, self._dl_ids[S], k)
+        top = top_k_indices(scores, self._dl_ids[S], k, tie=self._tie_at(S))
         return [(int(self._dl_ids[S[i]]), float(scores[i])) for i in top]
 
     def _search_bmw(self, qterms: list[tuple[str, int]], k: int
@@ -642,10 +667,11 @@ class IndexSearcher:
         ``method="impact"`` (impact-ordered exact pruning, vectorized)
         or ``method="vectorized"``.
         """
-        if self._alive is not None:
-            # tombstoned index: delegate to the impact strategy (also
-            # exact); threading the alive-mask through the per-doc DAAT
-            # loop would complicate the pedagogy path for no gain
+        if self._alive is not None or self._tie is not None:
+            # tombstoned or recency-tie-break index: delegate to the
+            # impact strategy (also exact); threading the alive-mask /
+            # the ts heap key through the per-doc DAAT loop would
+            # complicate the pedagogy path for no gain
             return self._search_impact(qterms, k)
         cursors = []
         for term, qtf in qterms:

@@ -35,7 +35,8 @@ import pyarrow as pa
 def run_partition_exchange(files: list[str], n_parts: int, map_fn, reduce_fn,
                            *, skip_parts: set[int] | None = None,
                            max_in_flight: int | None = None,
-                           timings: dict | None = None) -> list:
+                           timings: dict | None = None,
+                           reduce_fanin: int | None = 64) -> list:
     """Execute the exchange; returns the (small) reduce results.
 
     ``map_fn(file) -> list[pa.Table]`` (length ``n_parts``);
@@ -47,6 +48,15 @@ def run_partition_exchange(files: list[str], n_parts: int, map_fn, reduce_fn,
     slices as args), so the explicit barrier this inserts changes nothing
     on a single node; it exists to decompose the exchange wall-clock into
     its map (tokenize/normalize) and reduce (merge/write) components.
+
+    ``reduce_fanin``: above this many map tasks, each part's slices are
+    folded through gather tasks in CONSECUTIVE groups of ``fanin``
+    (recursively), so reducer arg lists and the driver's live ref set
+    stay bounded at 10^6 maps instead of a flat maps x parts matrix.
+    The fold runs incrementally during submission — full groups collapse
+    to one ref as soon as they exist. Below the threshold the flat path
+    is kept: a gather level costs one extra object-store pass over the
+    payload, which is pure loss at sandbox scale. ``None`` forces flat.
     """
     import time
 
@@ -60,6 +70,14 @@ def run_partition_exchange(files: list[str], n_parts: int, map_fn, reduce_fn,
         if n_parts == 1:
             return out[0]
         return tuple(out)
+
+    @ray.remote
+    def _gather(*slices):
+        # zero-copy chunk-list concat; consecutive groups keep map order
+        tables = [s for s in slices if s is not None and s.num_rows > 0]
+        if not tables:
+            return None
+        return pa.concat_tables(tables, promote_options="none")
 
     _timed = timings is not None
 
@@ -77,19 +95,42 @@ def run_partition_exchange(files: list[str], n_parts: int, map_fn, reduce_fn,
     if max_in_flight is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         max_in_flight = max(cpus * 4, 16)
+    fold = (reduce_fanin if reduce_fanin is not None
+            and len(files) > reduce_fanin else None)
     t0 = time.time()
     slice_refs: list[list] = [[] for _ in range(n_parts)]
+    level0: list[list] = [[] for _ in range(n_parts)]
     pending: list = []
     for f in files:
         refs = _map.remote(f)
         if n_parts == 1:
             refs = [refs]
         for p in range(n_parts):
-            slice_refs[p].append(refs[p])
+            if fold is None:
+                slice_refs[p].append(refs[p])
+                continue
+            level0[p].append(refs[p])
+            if len(level0[p]) == fold:
+                # collapse the full level-0 group to ONE gather ref; its
+                # inputs drop from the driver, so the live ref set stays
+                # O(parts * (fanin + maps/fanin)) instead of maps * parts
+                slice_refs[p].append(_gather.remote(*level0[p]))
+                level0[p] = []
         pending.extend(refs)
         while len(pending) > max_in_flight * n_parts:
             ready, pending = ray.wait(pending, num_returns=min(n_parts,
                                                                len(pending)))
+    if fold:
+        for p in range(n_parts):
+            slice_refs[p].extend(level0[p])
+            # proper tree: fold consecutive groups level by level (log
+            # depth), never a rolling chain (linear depth) of gathers
+            while len(slice_refs[p]) > fold:
+                slice_refs[p] = [
+                    _gather.remote(*slice_refs[p][i:i + fold])
+                    if i + 1 < min(i + fold, len(slice_refs[p]))
+                    else slice_refs[p][i]
+                    for i in range(0, len(slice_refs[p]), fold)]
     if timings is not None:
         while pending:
             _, pending = ray.wait(pending, num_returns=len(pending))

@@ -55,6 +55,15 @@ def sha256_column(contents: list[str]) -> pa.Array:
                     pa.string())
 
 
+def tie_break_int64(col) -> pa.ChunkedArray | pa.Array:
+    """Normalize the recency tie-break column to int64 (timestamps →
+    epoch microseconds) so the searcher's lexsort key is uniform."""
+    t = col.type
+    if pa.types.is_timestamp(t):
+        return col.cast(pa.timestamp("us")).cast(pa.int64())
+    return col.cast(pa.int64())
+
+
 class NormalizePartWriter:
     """``groupby("part").map_groups`` body: one call per doc partition.
 
@@ -106,7 +115,7 @@ class NormalizePartWriter:
         # with input files); compute here only for non-exchange callers
         sha = (group.column("sha256") if "sha256" in group.column_names
                else sha256_column(group.column("content").to_pylist()))
-        out = pa.table({
+        cols = {
             "doc_id": doc_ids,
             "repo": group.column("repo"),
             "path": group.column("path"),
@@ -114,7 +123,13 @@ class NormalizePartWriter:
             "lang": group.column("lang"),
             "sha256": sha,
             "content": group.column("content"),
-        })
+        }
+        tb = self.config.tie_break_column
+        if tb:
+            if tb not in group.column_names:
+                raise ValueError(f"tie_break_column {tb!r} missing from corpus")
+            cols[tb] = tie_break_int64(group.column(tb))
+        out = pa.table(cols)
         manifest = write_partition_atomic(
             out, Path(self.docs_dir) / f"part-{part:05d}.parquet",
             kind="docs", partition=part, fingerprint=self.fingerprint,

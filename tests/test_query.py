@@ -92,3 +92,55 @@ def test_fetch_docs_and_snippets(ray_session, t1_index, small_config):
         low = snip.lower()
         assert "parse" in low or "buffer" in low
         assert 0 < len(snip) <= 400
+
+
+def test_recency_tie_break(ray_session, tmp_path):
+    """Opt-in (score desc, ts desc, doc_id asc) ordering from a data
+    column: engine == oracle for every method, and among exact-score
+    ties the NEWER doc wins (the default would rank lower doc_id
+    first). Deterministic replacement for reference ranker.py:30-32."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.oracle import OracleIndex
+    from searchengine_ray.pipelines.build import build_index
+    from searchengine_ray.pipelines.query import IndexSearcher
+
+    # 3 identical docs (guaranteed score ties) at ts 10 < 30 < 20, plus
+    # distinct filler docs so df/N are non-trivial
+    texts = (["shared identical query text alpha"] * 3
+             + [f"filler document body number {i} beta" for i in range(5)])
+    ts = [10, 30, 20, 1, 2, 3, 4, 5]
+    n = len(texts)
+    tbl = pa.table({
+        "repo": [f"r{i}" for i in range(n)],
+        "path": [f"p{i}.py" for i in range(n)],
+        "commit": ["c"] * n,
+        "lang": ["py"] * n,
+        "content": texts,
+        "ts": pa.array(ts, pa.int64()),
+    })
+    src = tmp_path / "corpus"; src.mkdir()
+    pq.write_table(tbl, src / "part-0.parquet")
+    cfg = IndexConfig(num_doc_parts=2, num_term_parts=4,
+                      tie_break_column="ts")
+    paths = build_index(str(src), tmp_path / "idx", cfg)
+    searcher = IndexSearcher(paths, cfg)
+    oracle = OracleIndex(tbl, cfg)
+
+    q = "shared identical alpha"
+    want = oracle.search(q, k=5)
+    by_doc_ts = {did: m["_tie"] for did, m in oracle.doc_meta.items()}
+    for method in ("vectorized", "impact", "bmw"):
+        got = searcher.search(q, k=5, method=method)
+        assert got == want, method
+    # the three tied docs must come back in ts-desc order (30, 20, 10)
+    tied = [d for d, _ in want[:3]]
+    assert [by_doc_ts[d] for d in tied] == [30, 20, 10]
+    # sanity: the default ordering WOULD differ (doc_id asc != ts desc)
+    default = IndexConfig(num_doc_parts=2, num_term_parts=4)
+    paths2 = build_index(str(src), tmp_path / "idx2", default)
+    got_default = IndexSearcher(paths2, default).search(q, k=3)
+    assert [d for d, _ in got_default] == sorted(tied)
