@@ -180,6 +180,55 @@ def host_calibration(n: int) -> float:
     return round(time.time() - t0, 3)
 
 
+_QCAL_ARR = None
+
+
+def _query_calib_init():
+    # built in the PARENT before fork: children share the physical pages
+    # read-only — the same one-copy-many-readers memory shape as the
+    # plasma-shared index image the query actors gather from
+    global _QCAL_ARR
+    import numpy as np
+
+    if _QCAL_ARR is None:
+        _QCAL_ARR = (np.arange(8_000_000, dtype=np.int64) * 2654435761
+                     % 1_000_003).astype(np.float64)
+
+
+def _query_calib_task(i: int) -> float:
+    """Fixed query-shaped work: strided gathers from the big SHARED
+    read-only array + BM25-ish float math + a small lexsort — the
+    memory-access profile of one scored query (posting gather, score,
+    top-k), with zero Ray/IPC. How a pool of these scales 8->32 is the
+    host's ceiling for the QUERY phase specifically (the ALU task
+    measures pure compute; queries are gather-bound)."""
+    import numpy as np
+
+    a = _QCAL_ARR
+    n = len(a)
+    acc = 0
+    idx_base = np.arange(400_000, dtype=np.int64)
+    for r in range(48):
+        idx = (idx_base * (2654435761 + 9176 * i + r)) % n
+        tf = a[idx]
+        score = tf * 2.2 / (tf + 0.3 + 0.9 * (r + 1))
+        top = np.lexsort((idx[:2048], -score[:2048]))[:10]
+        acc ^= int(score.sum()) ^ int(top[0])
+    return float(acc % 2)
+
+
+def query_calibration(n: int) -> float:
+    """Wall seconds for 64 fixed query-shaped tasks in an ``n``-process
+    pool over one shared read-only array."""
+    import multiprocessing as mp
+
+    _query_calib_init()
+    t0 = time.time()
+    with mp.Pool(n) as pool:
+        pool.map(_query_calib_task, range(64))
+    return round(time.time() - t0, 3)
+
+
 def run_scaling(repeats: int = 3) -> dict:
     """Same job, fresh processes, num_cpus=8 vs 32 -> scaling efficiency.
 
@@ -198,9 +247,11 @@ def run_scaling(repeats: int = 3) -> dict:
     failures = {8: 0, 32: 0}
     loads: dict[int, list] = {8: [], 32: []}
     calib: dict[int, list] = {8: [], 32: []}
+    qcalib: dict[int, list] = {8: [], 32: []}
     for rep in range(repeats):
         for n in (8, 32):
             calib[n].append(host_calibration(n))
+            qcalib[n].append(query_calibration(n))
             loads[n].append(round(os.getloadavg()[0], 2))
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
@@ -255,6 +306,15 @@ def run_scaling(repeats: int = 3) -> dict:
     out["host_calib_sec_8"] = c8
     out["host_calib_sec_32"] = c32
     out["host_parallel_ceiling"] = round((c8 / c32) / (32 / 8), 3)
+    # query-phase ceiling: gather-bound work over ONE shared read-only
+    # array — what the hardware offers the query pool's access pattern
+    # (distinct from the ALU ceiling; see _query_calib_task)
+    q8, q32 = min(qcalib[8]), min(qcalib[32])
+    out["query_calib_sec_8"] = q8
+    out["query_calib_sec_32"] = q32
+    out["query_host_ceiling"] = round((q8 / q32) / (32 / 8), 3)
+    out["queries_efficiency_vs_ceiling"] = round(
+        out["queries_efficiency"] / out["query_host_ceiling"], 3)
     out["scaling_efficiency"] = out["overall_efficiency"]
     out["overall_efficiency_vs_host_ceiling"] = round(
         out["overall_efficiency"] / out["host_parallel_ceiling"], 3)

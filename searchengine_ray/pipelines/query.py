@@ -1228,12 +1228,22 @@ class QueryService:
                 self.method = method
 
             def search_batch(self, queries, k):
-                out = []
+                # columnar return: four numpy arrays serialize as flat
+                # buffers — per-row Python tuples cost a pickle op per
+                # HIT and a driver-side row loop, a constant overhead
+                # that eats the wall gains of a bigger pool
+                qids, ranks, docs, scores = [], [], [], []
                 for qid, text in queries:
-                    for rank, (doc, score) in enumerate(
-                            self.searcher.search(text, k, self.method), 1):
-                        out.append((qid, rank, doc, score))
-                return out
+                    hits = self.searcher.search(text, k, self.method)
+                    qids.extend([qid] * len(hits))
+                    ranks.extend(range(1, len(hits) + 1))
+                    for doc, score in hits:
+                        docs.append(doc)
+                        scores.append(score)
+                return (np.asarray(qids, dtype=np.int64),
+                        np.asarray(ranks, dtype=np.int32),
+                        np.asarray(docs, dtype=np.int64),
+                        np.asarray(scores, dtype=np.float64))
 
         self.actors = [_QueryActor.remote(root, config, shared, method)
                        for _ in range(num_actors)]
@@ -1250,18 +1260,43 @@ class QueryService:
         self.spinup_breakdown["warmup"] = round(time.time() - t0, 3)
 
     def search_batch(self, queries: list[tuple[int, str]], k: int | None = None,
-                     chunk: int = 32):
-        """Round-robin the query list over the pool; returns a pandas
-        DataFrame (query_id, rank, doc_id, score)."""
+                     chunk: int = 64, depth: int = 2):
+        """Dispatch the query list over the pool with DYNAMIC load
+        balancing; returns a pandas DataFrame (query_id, rank, doc_id,
+        score).
+
+        Static round-robin pre-assignment gates the whole batch on the
+        slowest actor (co-tenant CPU steal makes actor speeds uneven on
+        a shared box; on a real cluster, node heterogeneity does): each
+        actor keeps ``depth`` chunks in flight and receives the next one
+        only when it finishes, so fast actors absorb the tail."""
         import pandas as pd
         import ray
 
         k = k or self.k
         chunks = [queries[i:i + chunk] for i in range(0, len(queries), chunk)]
-        refs = [self.actors[i % len(self.actors)].search_batch.remote(c, k)
-                for i, c in enumerate(chunks)]
-        rows = [r for part in ray.get(refs) for r in part]
-        return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+        chunks.reverse()                      # pop() consumes in order
+        in_flight: dict = {}
+        parts = []
+        for a in self.actors:
+            for _ in range(depth):
+                if chunks:
+                    in_flight[a.search_batch.remote(chunks.pop(), k)] = a
+        while in_flight:
+            done, _ = ray.wait(list(in_flight), num_returns=1)
+            for r in done:
+                a = in_flight.pop(r)
+                parts.append(ray.get(r))
+                if chunks:
+                    in_flight[a.search_batch.remote(chunks.pop(), k)] = a
+        if not parts:
+            return pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
+        return pd.DataFrame({
+            "query_id": np.concatenate([p[0] for p in parts]),
+            "rank": np.concatenate([p[1] for p in parts]),
+            "doc_id": np.concatenate([p[2] for p in parts]),
+            "score": np.concatenate([p[3] for p in parts]),
+        })
 
     def shutdown(self):
         import ray
