@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": dedup.embedding_near_dups,
         "embedding_near_dups_lsh": dedup.embedding_near_dups_lsh,
         "dedup_survivors": dedup.dedup_survivors,
+        "dedup_apply": dedup.dedup_apply,
+        "clean_text": ts.clean_text,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
@@ -112,6 +114,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": dedup.simhash_near_dups_sql(),
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup_sql(),
         "dedup_survivors": dedup.dedup_survivors_sql(),
+        "dedup_apply": dedup.dedup_apply_sql(),
+        "clean_text": ts.clean_text_sql(),
         "embedding_near_dups": dedup.embedding_near_dups_sql(),
         "lang_id": ts.lang_id_sql(),
         "doc_fingerprint": ts.doc_fingerprint_sql(),

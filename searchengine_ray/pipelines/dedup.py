@@ -965,3 +965,59 @@ SELECT node AS doc_id, min(front) AS component,
        CAST(node = min(front) AS BIGINT) AS keep
 FROM walk GROUP BY node
 """
+
+
+def dedup_apply(sf_dir: str, threshold_bp: int = 5000):
+    """(doc_id, lang, n_chars) of documents SURVIVING near-dup removal —
+    the terminal consumer of ``dedup_survivors``: its keep=0 rows become
+    a drop-list that anti-joins the documents table.
+
+    Shape: at scale neither side broadcasts (the drop-list is
+    pair-graph-sized, the corpus is the corpus), so both hash-partition
+    on doc_id and ONE ``groupby(jpart)`` co-locates them — the same
+    distributed anti-join shape as ``customers_without_orders``. Only
+    metadata columns ride the shuffle, never text."""
+    surv = dedup_survivors(sf_dir, threshold_bp)
+    n_jparts = 64
+
+    def drop_side(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch.column("keep"), 0))
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"jpart": int64_col(ids % n_jparts),
+                         "doc_id": int64_col(ids),
+                         "lang": pa.array([""] * len(ids), pa.string()),
+                         "n_chars": int64_col(np.zeros(len(ids), np.int64)),
+                         "side": int64_col(np.ones(len(ids), np.int64))})
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"jpart": int64_col(ids % n_jparts),
+                         "doc_id": int64_col(ids),
+                         "lang": batch.column("lang"),
+                         "n_chars": batch.column("n_chars").cast(pa.int64()),
+                         "side": int64_col(np.zeros(len(ids), np.int64))})
+
+    def anti(df: pd.DataFrame) -> pa.Table:
+        docs = df[df["side"] == 0]
+        dead = set(df.loc[df["side"] == 1, "doc_id"].to_numpy())
+        live = docs[~docs["doc_id"].isin(dead)]
+        return pa.table({"doc_id": int64_col(live["doc_id"].to_numpy(np.int64)),
+                         "lang": pa.array(live["lang"].tolist(), pa.string()),
+                         "n_chars": int64_col(live["n_chars"].to_numpy(np.int64))})
+
+    drops = surv.map_batches(drop_side, batch_format="pyarrow")
+    docs = read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+        doc_side, batch_format="pyarrow", batch_size=65536)
+    return docs.union(drops).groupby("jpart").map_groups(
+        anti, batch_format="pandas")
+
+
+def dedup_apply_sql(threshold_bp: int = 5000) -> str:
+    return f"""
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM ({dedup_survivors_sql(threshold_bp)}) s WHERE s.keep = 0)
+"""

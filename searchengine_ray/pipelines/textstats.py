@@ -849,3 +849,71 @@ SELECT register,
             AS BIGINT) AS rank
 FROM parts GROUP BY register
 """
+
+
+# ---------------- text cleaning (normalization for training data) ----
+
+_WS_RUN = None    # compiled per process, not per batch
+
+
+def _clean_one(text: str) -> str:
+    """Canonical whitespace normalization: horizontal-whitespace runs
+    collapse to one space, 3+ newlines squeeze to a paragraph break,
+    spaces around newlines drop, leading/trailing whitespace trims.
+    Every regex uses EXPLICIT ASCII classes so python re and DuckDB's
+    RE2 agree byte-for-byte (\\s differs between the two engines)."""
+    global _WS_RUN
+    if _WS_RUN is None:
+        import re
+
+        _WS_RUN = (re.compile(r"[ \t\f\v]+"), re.compile(r"[ ]*\n[ ]*"),
+                   re.compile(r"\n{3,}"))
+    h, nl, para = _WS_RUN
+    t = h.sub(" ", text)
+    t = nl.sub("\n", t)
+    t = para.sub("\n\n", t)
+    return t.strip(" \t\f\v\n")
+
+
+class CleanTextStage:
+    """map_batches: (doc_id, text) -> (doc_id, text_clean,
+    n_chars_clean, n_chars_removed). Pure per-row C-regex work — no
+    shuffle, embarrassingly parallel at any corpus size."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        clean = [_clean_one(t) for t in texts]
+        n_clean = np.fromiter((len(c) for c in clean), np.int64, len(clean))
+        n_orig = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text_clean": pa.array(clean, pa.string()),
+            "n_chars_clean": int64_col(n_clean),
+            "n_chars_removed": int64_col(n_orig - n_clean),
+        })
+
+
+def clean_text(sf_dir: str):
+    """Whitespace-canonicalized text + removal accounting, per document."""
+    return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        CleanTextStage, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 4))
+
+
+def clean_text_sql() -> str:
+    """DuckDB replay with the same explicit ASCII whitespace classes;
+    trim() gets the same strip set as python's str.strip arguments."""
+    return r"""
+WITH c AS (
+  SELECT doc_id, length(text) AS n_orig,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+                text, '[ \t\f\v]+', ' ', 'g'),
+                ' *\n *', chr(10), 'g'),
+                '\n{3,}', chr(10) || chr(10), 'g'),
+              ' ' || chr(9) || chr(12) || chr(11) || chr(10)) AS text_clean
+  FROM documents)
+SELECT doc_id, text_clean,
+       CAST(length(text_clean) AS BIGINT) AS n_chars_clean,
+       CAST(n_orig - length(text_clean) AS BIGINT) AS n_chars_removed
+FROM c
+"""

@@ -36,7 +36,7 @@ def run_partition_exchange(files: list[str], n_parts: int, map_fn, reduce_fn,
                            *, skip_parts: set[int] | None = None,
                            max_in_flight: int | None = None,
                            timings: dict | None = None,
-                           reduce_fanin: int | None = 64) -> list:
+                           reduce_fanin: int | None = 1024) -> list:
     """Execute the exchange; returns the (small) reduce results.
 
     ``map_fn(file) -> list[pa.Table]`` (length ``n_parts``);
@@ -55,8 +55,11 @@ def run_partition_exchange(files: list[str], n_parts: int, map_fn, reduce_fn,
     stay bounded at 10^6 maps instead of a flat maps x parts matrix.
     The fold runs incrementally during submission — full groups collapse
     to one ref as soon as they exist. Below the threshold the flat path
-    is kept: a gather level costs one extra object-store pass over the
-    payload, which is pure loss at sandbox scale. ``None`` forces flat.
+    is kept: a gather level costs ONE EXTRA OBJECT-STORE PASS over the
+    payload, measured at +70% reduce fn-seconds when it activated on the
+    ~128-map bench build — so the default (1024) keeps every
+    sandbox-scale exchange flat and only giant map counts pay for the
+    bound they need. ``None`` forces flat.
     """
     import time
 

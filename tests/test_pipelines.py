@@ -26,6 +26,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "phrase_search", "proximity_search", "lang_id", "doc_fingerprint",
                "numeric_literals", "token_count_bpe", "ngram_jaccard_dedup",
                "minhash_lsh_dedup", "simhash_near_dups", "dedup_survivors",
+               "dedup_apply", "clean_text",
                "sessionize_events", "event_asof_join", "event_range_join",
                "event_value_quantiles", "order_lineitem_join",
                "hopping_window_counts", "customers_without_orders",
