@@ -99,9 +99,16 @@ class OracleIndex:
             tb = self.config.tie_break_column
             if tb:
                 v = r[tb]
-                self.doc_meta[did]["_tie"] = (
-                    int(v.timestamp() * 1e6) if hasattr(v, "timestamp")
-                    else int(v))
+                if hasattr(v, "timestamp"):
+                    # integer-exact epoch µs for naive datetimes — the
+                    # engine casts timestamp->int64 µs in Arrow; a float
+                    # .timestamp() would be local-tz-dependent and lose
+                    # sub-µs bits at current epochs
+                    import datetime as _dt
+
+                    v = ((v.replace(tzinfo=None) - _dt.datetime(1970, 1, 1))
+                         // _dt.timedelta(microseconds=1))
+                self.doc_meta[did]["_tie"] = int(v)
             for t, tf in terms.items():
                 self.postings.setdefault(t, []).append((did, tf))
         for t in self.postings:

@@ -130,6 +130,10 @@ def _sql_vec(v: np.ndarray) -> str:
     return "[" + ",".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
 def _table_dim(sf_dir: str) -> int:
     import duckdb
 
@@ -241,8 +245,11 @@ def ann_lsh_topk_sql(sf_dir: str = _SF_ORACLE_DEFAULT,
                      n_bits: int = 6, seed: int = 42) -> str:
     """Exact DuckDB replay of the LSH path: the seeded hyperplanes are
     inlined as DOUBLE[] literals; bucket bits come from the raw dot-
-    product sign (normalization never changes a sign, so the SQL skips
-    the unit-scaling the Ray side applies); the candidate set is the
+    product sign (normalization never changes a sign MATHEMATICALLY —
+    in float64 the two can disagree only when |dot| is within a few ulps
+    of zero, a measure-zero slice of random data accepted as residual
+    oracle risk; so the SQL skips the unit-scaling the Ray side
+    applies); the candidate set is the
     union of every query's bucket plus all 1-bit neighbor probes — the
     same union of probed partitions the Ray side reads from disk."""
     planes = _lsh_planes(n_bits, _table_dim(sf_dir), seed)
@@ -429,6 +436,17 @@ def _ivf_sample_local(sf_dir: str, sample_size: int = 4096) -> np.ndarray:
     return np.array([r[0] for r in rows], dtype=np.float64)
 
 
+from functools import lru_cache as _lru
+
+
+@_lru(maxsize=16)
+def _oracle_centroids(sf_dir: str, n_centroids: int, seed: int) -> np.ndarray:
+    """Memoized: the retrain is deterministic per (sf_dir, params), and
+    callers (the test suite re-reads oracle_sql() per case) must not pay
+    the sample scan + 12 k-means iterations every time."""
+    return _spherical_kmeans(_ivf_sample_local(sf_dir), n_centroids, seed)
+
+
 def ann_ivf_topk_sql(sf_dir: str = _SF_ORACLE_DEFAULT,
                      query_ids: list[int] | None = None, k: int = 10,
                      n_centroids: int = 16, nprobe: int = 4,
@@ -441,7 +459,7 @@ def ann_ivf_topk_sql(sf_dir: str = _SF_ORACLE_DEFAULT,
     centroid id exactly like ``np.argmax``); each query probes its
     ``nprobe`` best lists; candidates = vectors in ANY probed list (the
     union of partitions the Ray side reads)."""
-    centroids = _spherical_kmeans(_ivf_sample_local(sf_dir), n_centroids, seed)
+    centroids = _oracle_centroids(sf_dir, n_centroids, seed)
     cent_rows = ",".join(f"({c},{_sql_vec(centroids[c])})"
                          for c in range(len(centroids)))
     ids = ",".join(map(str, query_ids or DEFAULT_QUERY_IDS))

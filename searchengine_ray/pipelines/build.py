@@ -104,17 +104,21 @@ def _source_tag(source, files: list[str]) -> str:
     """Content tag for a parquet file/dir source — the ONE shared
     identity both build_index and add_documents fingerprint against.
 
-    Includes mtime_ns and the parquet footer length alongside
+    Includes a hash of each file's TAIL (up to 64 KiB — the parquet
+    footer: schema, row-group offsets and column stats) alongside
     (name, size): add_documents uses this tag as a permanent generation
     registry key, and a different corpus whose files coincidentally
     share names+sizes must NOT collide (it would be silently skipped as
-    'already ingested' — data loss, not just a stale resume)."""
+    'already ingested' — data loss, not just a stale resume). The tag
+    deliberately does NOT use mtime: a copied/rsynced corpus or a
+    crash-retried ingest after a touch must still resolve to the SAME
+    generation (re-running a completed ingest stays a no-op)."""
     def sig(f: str):
         st = Path(f).stat()
         with open(f, "rb") as fh:
-            fh.seek(max(0, st.st_size - 8))
-            tail = fh.read(8).hex()          # footer-length + PAR1 magic
-        return (Path(f).name, st.st_size, st.st_mtime_ns, tail)
+            fh.seek(max(0, st.st_size - 65536))
+            tail = hashlib.blake2b(fh.read(), digest_size=8).hexdigest()
+        return (Path(f).name, st.st_size, tail)
 
     h = hashlib.blake2b(
         json.dumps([sig(f) for f in files]).encode(), digest_size=8).hexdigest()
@@ -424,6 +428,7 @@ def build_index(source, out_root: str | Path, config: IndexConfig | None = None,
                    "doc_bucket_size": config.doc_bucket_size,
                    "stemming": config.stemming,
                    "store_positions": config.store_positions,
+                   "tie_break_column": config.tie_break_column,
                    "analyzer_fp": _analyzer_fingerprint(config)},
     }, paths.meta_path)
     return paths
@@ -522,6 +527,7 @@ def add_documents(source, out_root: str | Path,
                         ("block_size", config.block_size),
                         ("doc_bucket_size", config.doc_bucket_size),
                         ("store_positions", config.store_positions),
+                        ("tie_break_column", config.tie_break_column),
                         ("analyzer_fp", _analyzer_fingerprint(config))):
         if field_ not in mc:
             unrecorded.append(field_)
@@ -764,10 +770,14 @@ def compact_index(out_root: str | Path, new_root: str | Path,
         # compacting is a pure fold of generations, and a bare
         # IndexConfig() on a stemmed/positions index would silently
         # rebuild with a different analyzer (the CLI hydrates from meta;
-        # the library path must too)
+        # the library path must too). k1/b/tie_break_column ride along:
+        # they change RANKING, not analysis, and a compact must not
+        # silently alter either
         kw = {k: mc[k] for k in ("analyzer", "stemming", "min_df",
                                  "block_size", "doc_bucket_size",
-                                 "store_positions") if k in mc}
+                                 "store_positions", "k1", "b",
+                                 "tie_break_column")
+              if k in mc and mc[k] is not None}
         for k in ("num_term_parts", "num_doc_parts", "doc_id_part_bits"):
             if k in meta:
                 kw[k] = meta[k]

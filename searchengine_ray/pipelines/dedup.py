@@ -778,7 +778,9 @@ def embedding_near_dups_lsh_sql(threshold_bp: int = 4000, n_bits: int = 4,
     """Exact DuckDB replay of the bucketed path: the seeded hyperplanes
     (all ``n_tables`` tables) are inlined as DOUBLE[] literals; bucket
     bits come from the raw dot-product sign (normalization never flips a
-    sign, so the SQL skips the Ray side's unit scaling); a pair
+    sign mathematically; float64 can disagree only for |dot| within ulps
+    of zero — accepted residual risk; so the SQL skips the Ray side's
+    unit scaling); a pair
     qualifies iff the two vectors share a bucket in ANY table; the
     per-pair max over tables equals the single exact cosine."""
     from searchengine_ray.pipelines.ann import (_SF_ORACLE_DEFAULT, _sql_vec,

@@ -371,10 +371,17 @@ class IndexSearcher:
                 zero_copy_only=False).astype(np.int64)
             tvals = tie_tbl.column(tb).to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            torder = np.argsort(tids, kind="stable")
+            # guard the scatter like the deletes loader below: orphaned
+            # docs partitions (crashed ingest) can hold doc_ids the
+            # served index never merged — an unguarded searchsorted
+            # would IndexError past the end or silently write an
+            # orphan's ts into another doc's slot
             tie = np.zeros(len(self._dl_ids), dtype=np.int64)
-            pos = np.searchsorted(self._dl_ids, tids[torder])
-            tie[pos] = tvals[torder]
+            pos = np.searchsorted(self._dl_ids, tids)
+            ok = pos < len(self._dl_ids)
+            pos, tids, tvals = pos[ok], tids[ok], tvals[ok]
+            hit = self._dl_ids[pos] == tids
+            tie[pos[hit]] = tvals[hit]
             self._tie = tie
         self._alive: np.ndarray | None = None
         dp = Path(self.paths.root) / "deletes.parquet"

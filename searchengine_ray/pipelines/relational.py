@@ -288,6 +288,9 @@ def suppliers_by_nation(sf_dir: str):
             # vectorized dictionary lookup: searchsorted over the sorted
             # broadcast key array, then one fancy-index gather
             pos = np.searchsorted(self.nkeys, nk)
+            # clip BEFORE probing: a key above the max would IndexError
+            # out of the gather instead of reaching the diagnostic
+            pos = np.minimum(pos, len(self.nkeys) - 1)
             if not np.array_equal(self.nkeys[pos], nk):
                 raise KeyError("s_nationkey missing from nation table")
             return pa.table({

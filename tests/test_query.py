@@ -144,3 +144,44 @@ def test_recency_tie_break(ray_session, tmp_path):
     paths2 = build_index(str(src), tmp_path / "idx2", default)
     got_default = IndexSearcher(paths2, default).search(q, k=3)
     assert [d for d, _ in got_default] == sorted(tied)
+
+
+def test_recency_tie_break_timestamp_column(ray_session, tmp_path):
+    """Timestamp-typed tie column: the build casts to epoch µs in Arrow
+    and the oracle must convert integer-exactly (float .timestamp()
+    would be tz-dependent and lose sub-µs bits) — ranks must agree for
+    ties 1 µs apart."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.oracle import OracleIndex
+    from searchengine_ray.pipelines.build import build_index
+    from searchengine_ray.pipelines.query import IndexSearcher
+
+    base = dt.datetime(2025, 6, 1, 12, 0, 0)
+    texts = ["tie breaker micro text"] * 3 + ["other doc entirely"]
+    ts = [base, base + dt.timedelta(microseconds=2),
+          base + dt.timedelta(microseconds=1), base]
+    n = len(texts)
+    tbl = pa.table({
+        "repo": [f"r{i}" for i in range(n)],
+        "path": [f"p{i}.py" for i in range(n)],
+        "commit": ["c"] * n, "lang": ["py"] * n,
+        "content": texts,
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+    src = tmp_path / "corpus"; src.mkdir()
+    pq.write_table(tbl, src / "part-0.parquet")
+    cfg = IndexConfig(num_doc_parts=2, num_term_parts=4,
+                      tie_break_column="ts")
+    paths = build_index(str(src), tmp_path / "idx", cfg)
+    got = IndexSearcher(paths, cfg).search("tie breaker", k=3)
+    want = OracleIndex(tbl, cfg).search("tie breaker", k=3)
+    assert got == want
+    meta = OracleIndex(tbl, cfg).doc_meta
+    ranked_ties = [meta[d]["_tie"] for d, _ in want]
+    assert ranked_ties == sorted(ranked_ties, reverse=True)
+    assert ranked_ties[0] - ranked_ties[2] == 2     # µs-exact ordering
