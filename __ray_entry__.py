@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": rel.customers_without_orders,
         "top_terms_per_lang": ts.top_terms_per_lang,
         "dataset_split": ts.dataset_split,
+        "sample_per_group": ts.sample_per_group,
         "top_parts": rel.top_parts,
         "suppliers_by_nation": rel.suppliers_by_nation,
         "segment_counts": rel.segment_counts,
@@ -153,6 +154,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "customers_without_orders": rel.customers_without_orders_sql(),
         "top_terms_per_lang": ts.top_terms_per_lang_sql(),
         "dataset_split": ts.dataset_split_sql(),
+        "sample_per_group": ts.sample_per_group_sql(),
         "top_parts": rel.top_parts_sql(),
         "suppliers_by_nation": rel.suppliers_by_nation_sql(),
         "segment_counts": rel.segment_counts_sql(),

@@ -109,6 +109,7 @@ def main(argv: list[str] | None = None) -> int:
     stemming = getattr(args, "stemming", None)
     positions = bool(getattr(args, "positions", False))
     ntp = ndp = dbits = None
+    tie_col = None
     if args.cmd in ("search", "batch", "phrase", "proximity", "add",
                     "compact"):
         # query-time analyzer settings default from the INDEX's recorded
@@ -127,10 +128,15 @@ def main(argv: list[str] | None = None) -> int:
             if stemming is None:
                 stemming = mc.get("stemming")
             positions = positions or bool(mc.get("store_positions", False))
+            # ranking settings ride with the index too: searching a
+            # recency-tie-break index must order the same way
+            tie_col = mc.get("tie_break_column")
             ntp = full_meta.get("num_term_parts")
             ndp = full_meta.get("num_doc_parts")
             dbits = full_meta.get("doc_id_part_bits")
     kw = {}
+    if tie_col:
+        kw["tie_break_column"] = tie_col
     if ntp:
         kw["num_term_parts"] = int(ntp)
     if ndp:

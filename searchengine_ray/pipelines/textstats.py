@@ -917,3 +917,70 @@ SELECT doc_id, text_clean,
        CAST(n_orig - length(text_clean) AS BIGINT) AS n_chars_removed
 FROM c
 """
+
+
+# ---------------- deterministic per-group sampling ----------------
+
+
+class _SampleHashPartial:
+    """map_batches: keep only each batch's LOCAL best-n rows per lang
+    by (md5(doc_id), doc_id) order, so the lang shuffle carries at most
+    n x n_batches rows instead of the corpus. md5 of the DECIMAL doc_id
+    string is the SQL-replayable deterministic 'random' order."""
+
+    def __init__(self, n: int):
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
+        df = pd.DataFrame({"lang": batch.column("lang").to_pylist(),
+                           "doc_id": ids.astype(np.int64), "h": h})
+        df = df.sort_values(["lang", "h", "doc_id"]).groupby(
+            "lang", as_index=False).head(self.n)
+        return pa.table({"lang": pa.array(df["lang"].tolist(), pa.string()),
+                         "doc_id": int64_col(df["doc_id"].to_numpy()),
+                         "h": pa.array(df["h"].tolist(), pa.string())})
+
+
+def _make_sample_final(n: int):
+    def sample_final(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["h", "doc_id"]).head(n)
+        return pa.table({
+            "lang": pa.array(df["lang"].tolist(), pa.string()),
+            "doc_id": int64_col(df["doc_id"].to_numpy(np.int64)),
+            "sample_rank": int64_col(np.arange(1, len(df) + 1)),
+        })
+
+    sample_final.__name__ = "sample_final"
+    return sample_final
+
+
+def sample_per_group(sf_dir: str, n: int = 20):
+    """(lang, doc_id, sample_rank) — a deterministic 'random' sample of
+    ``n`` documents PER LANGUAGE (the balanced-subset op a training-data
+    pipeline uses to downsample dominant groups).
+
+    Order within a group is md5(doc_id) — uniform, seedless,
+    reproducible on any cluster shape, and exactly replayable in SQL.
+    Shape: per-batch local top-n prune BEFORE the one lang groupby, so
+    the shuffle moves O(n x batches) rows, never the corpus."""
+    partial = read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        _SampleHashPartial(n), batch_format="pyarrow", batch_size=65536)
+    return partial.groupby("lang").map_groups(
+        _make_sample_final(n), batch_format="pandas")
+
+
+def sample_per_group_sql(n: int = 20) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS sample_rank
+  FROM documents)
+SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM ranked WHERE sample_rank <= {n}
+"""
