@@ -168,6 +168,12 @@ def test_partcount_mismatch_guard(inc_index):
                        store_positions=True, doc_id_part_bits=20)
     with pytest.raises(ValueError, match="doc_id_part_bits"):
         add_documents("/tmp/nonexistent", paths.root, bad2)
+    # ranking config rides with the index too: a generation ingested
+    # with a different tie_break_column would rank inconsistently
+    bad3 = IndexConfig(num_doc_parts=4, num_term_parts=8,
+                       store_positions=True, tie_break_column="ts")
+    with pytest.raises(ValueError, match="tie_break_column"):
+        add_documents("/tmp/nonexistent", paths.root, bad3)
 
 
 def test_crashed_ingest_resumes(ray_session, tmp_path):
