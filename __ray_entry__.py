@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_lang": ts.top_terms_per_lang,
         "dataset_split": ts.dataset_split,
         "sample_per_group": ts.sample_per_group,
+        "tfidf_keywords": ts.tfidf_keywords,
         "top_parts": rel.top_parts,
         "suppliers_by_nation": rel.suppliers_by_nation,
         "segment_counts": rel.segment_counts,
@@ -155,6 +156,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "top_terms_per_lang": ts.top_terms_per_lang_sql(),
         "dataset_split": ts.dataset_split_sql(),
         "sample_per_group": ts.sample_per_group_sql(),
+        "tfidf_keywords": ts.tfidf_keywords_sql(),
         "top_parts": rel.top_parts_sql(),
         "suppliers_by_nation": rel.suppliers_by_nation_sql(),
         "segment_counts": rel.segment_counts_sql(),

@@ -984,3 +984,107 @@ WITH ranked AS (
 SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
 FROM ranked WHERE sample_rank <= {n}
 """
+
+
+# ---------------- per-doc TF-IDF keywords ----------------
+
+
+class TfidfRowsStage(_SimpleTokenStage):
+    """batch -> one (gkey, term, doc_id, tf) row per (doc, term). A doc
+    is whole in its batch, so rows are globally unique — the term
+    co-group downstream can count df as plain group size."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from zlib import crc32
+
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, docs, tfs, info = self.analyzer.tokenize_batch(texts, ids)
+        vocab = info["vocab"]
+        gk = np.fromiter((crc32(t.encode()) % 64 for t in vocab),
+                         np.int64, len(vocab))
+        terms = np.asarray(vocab, dtype=object)
+        return pa.table({"gkey": int64_col(gk[codes]),
+                         "term": pa.array(terms[codes], pa.string()),
+                         "doc_id": int64_col(docs),
+                         "tf": int64_col(tfs)})
+
+
+def _make_tfidf_score_group(n_docs: int, dparts: int = 64):
+    def tfidf_score_group(df: pd.DataFrame) -> pa.Table:
+        """Term co-group: df(term) = rows per term (globally exact —
+        every row of a term lands in this one gkey group); idf via
+        scalar math.log per DISTINCT term (np.log differs from libm by
+        1 ulp on some inputs — the same bit-parity rule bm25.idf
+        documents)."""
+        import math
+
+        idf_map = {t: math.log(n_docs / int(d))
+                   for t, d in df.groupby("term").size().items()}
+        idf = df["term"].map(idf_map).to_numpy(np.float64)
+        score = bp(df["tf"].to_numpy(np.float64) * idf)
+        did = df["doc_id"].to_numpy(np.int64)
+        return pa.table({"dkey": int64_col(did % dparts),
+                         "doc_id": int64_col(did),
+                         "term": pa.array(df["term"].tolist(), pa.string()),
+                         "tfidf_bp": int64_col(score)})
+
+    tfidf_score_group.__name__ = "tfidf_score_group"
+    return tfidf_score_group
+
+
+def _make_tfidf_topk_group(k: int):
+    def tfidf_topk_group(df: pd.DataFrame) -> pa.Table:
+        """Doc co-group: per-doc top-k by (bp desc, term asc) + rank."""
+        df = df.sort_values(["doc_id", "tfidf_bp", "term"],
+                            ascending=[True, False, True])
+        top = df.groupby("doc_id").head(k)
+        rank = top.groupby("doc_id").cumcount().to_numpy() + 1
+        return pa.table({"doc_id": int64_col(top["doc_id"].to_numpy(np.int64)),
+                         "rank": int64_col(rank),
+                         "term": pa.array(top["term"].tolist(), pa.string()),
+                         "tfidf_bp": int64_col(top["tfidf_bp"].to_numpy(np.int64))})
+
+    tfidf_topk_group.__name__ = "tfidf_topk_group"
+    return tfidf_topk_group
+
+
+def tfidf_keywords(sf_dir: str, k: int = 5):
+    """(doc_id, rank, term, tfidf_bp) — top-k TF-IDF keywords per doc
+    (keyword extraction / doc summarization for training-data curation).
+
+    Two co-group shuffles, both over (doc, term) rows never raw text:
+    a term-bucket groupby computes exact global df inside each group
+    (score = tf * ln(N/df), bp-rounded), then a doc-bucket groupby
+    takes each doc's top-k. N comes from parquet metadata (no scan)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+    rows = ds.map_batches(TfidfRowsStage, batch_format="pyarrow",
+                          batch_size=512, concurrency=(1, 4))
+    scored = rows.groupby("gkey").map_groups(
+        _make_tfidf_score_group(n_docs), batch_format="pandas")
+    return scored.groupby("dkey").map_groups(
+        _make_tfidf_topk_group(k), batch_format="pandas")
+
+
+def tfidf_keywords_sql(k: int = 5) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+       GROUP BY doc_id, term),
+dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(floor(tf.tf * ln(n.nn / dfv.df) * 10000 + 0.5) AS BIGINT)
+           AS tfidf_bp
+  FROM tf JOIN dfv ON dfv.term = tf.term CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf_bp DESC, term ASC) AS rnk
+  FROM sc)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, tfidf_bp
+FROM ranked WHERE rnk <= {k}
+"""

@@ -30,7 +30,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "sessionize_events", "event_asof_join", "event_range_join",
                "event_value_quantiles", "order_lineitem_join",
                "hopping_window_counts", "customers_without_orders",
-               "top_terms_per_lang", "dataset_split", "sample_per_group"]
+               "top_terms_per_lang", "dataset_split", "sample_per_group",
+               "tfidf_keywords"]
 
 
 @pytest.fixture(scope="module")
