@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    import duckdb as _duckdb
+
     out = _oracle_sql_static()
     # the ANN oracles are GENERATED (dimension read + IVF centroid
     # retrain against the driver's sf0.01 tables; memoized); on a host
@@ -109,8 +111,14 @@ def oracle_sql() -> dict[str, str]:
                        dedup.embedding_near_dups_lsh_sql)):
         try:
             out[name] = gen()
-        except Exception:
-            pass
+        except (FileNotFoundError, OSError, _duckdb.IOException) as e:
+            # only the expected absent-testdata failure may degrade the
+            # entry to rows-only checking; a real generator bug must
+            # propagate, not silently weaken the correctness gate
+            import warnings
+
+            warnings.warn(f"oracle for {name} skipped (no gate-scale "
+                          f"testdata: {e})", stacklevel=2)
     return out
 
 

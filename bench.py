@@ -180,6 +180,16 @@ def host_calibration(n: int) -> float:
     return round(time.time() - t0, 3)
 
 
+def _fork_ctx():
+    """The query calibration's shared-pages premise (parent builds the
+    array, children read the same physical pages) only holds under
+    fork; fail fast where fork is unavailable rather than crashing in
+    the workers with _QCAL_ARR=None under spawn."""
+    import multiprocessing as mp
+
+    return mp.get_context("fork")
+
+
 _QCAL_ARR = None
 
 
@@ -220,11 +230,9 @@ def _query_calib_task(i: int) -> float:
 def query_calibration(n: int) -> float:
     """Wall seconds for 64 fixed query-shaped tasks in an ``n``-process
     pool over one shared read-only array."""
-    import multiprocessing as mp
-
     _query_calib_init()
     t0 = time.time()
-    with mp.Pool(n) as pool:
+    with _fork_ctx().Pool(n) as pool:
         pool.map(_query_calib_task, range(64))
     return round(time.time() - t0, 3)
 

@@ -100,13 +100,16 @@ class OracleIndex:
             if tb:
                 v = r[tb]
                 if hasattr(v, "timestamp"):
-                    # integer-exact epoch µs for naive datetimes — the
-                    # engine casts timestamp->int64 µs in Arrow; a float
-                    # .timestamp() would be local-tz-dependent and lose
-                    # sub-µs bits at current epochs
+                    # integer-exact epoch µs — the engine casts
+                    # timestamp->int64 µs in Arrow (tz-aware values keep
+                    # their UTC instant), so tz-aware datetimes convert
+                    # to UTC FIRST; a float .timestamp() would be
+                    # local-tz-dependent and lose sub-µs bits
                     import datetime as _dt
 
-                    v = ((v.replace(tzinfo=None) - _dt.datetime(1970, 1, 1))
+                    if v.tzinfo is not None:
+                        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                    v = ((v - _dt.datetime(1970, 1, 1))
                          // _dt.timedelta(microseconds=1))
                 self.doc_meta[did]["_tie"] = int(v)
             for t, tf in terms.items():

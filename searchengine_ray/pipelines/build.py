@@ -125,6 +125,25 @@ def _source_tag(source, files: list[str]) -> str:
     return f"{source}:{h}"
 
 
+def _legacy_source_tags(source, files: list[str]) -> list[str]:
+    """Earlier tag formats this repo has shipped, oldest last.
+
+    The tag participates in the PERMANENT generation-registry key, so
+    any format change silently un-recognizes corpora ingested under the
+    old format — ``add_documents`` would re-ingest a completed source as
+    a duplicate generation. Whenever ``_source_tag`` changes, the prior
+    format MUST be appended here so the registry lookup keeps matching
+    old completed generations (the current format is frozen; extend,
+    don't edit)."""
+    def sig_v1(f: str):               # (name, size) only — pre-tail-hash
+        st = Path(f).stat()
+        return [Path(f).name, st.st_size]
+
+    h = hashlib.blake2b(
+        json.dumps([sig_v1(f) for f in files]).encode(), digest_size=8).hexdigest()
+    return [f"{source}:{h}"]
+
+
 def _source_files(source) -> list[str]:
     p = Path(source)
     return sorted(str(f)
@@ -575,11 +594,31 @@ def add_documents(source, out_root: str | Path,
     # and recomputes the same gen/base, resuming its own partitions.
     fingerprint = _config_fingerprint(config, source_tag
                                       or _source_tag(source, files))
-    if fingerprint == meta.get("fingerprint"):
-        return paths                       # this source is already ingested
+    # migration: generations ingested before the tag format grew its
+    # footer-tail hash are registered under the (name, size)-only tag —
+    # re-running such a COMPLETED ingest must still resolve to "already
+    # ingested", not silently re-ingest the corpus as a new generation
+    legacy_fps = ([] if source_tag else
+                  [_config_fingerprint(config, t)
+                   for t in _legacy_source_tags(source, files)])
     gens = meta.get("generations", [])
-    if any(g["fingerprint"] == fingerprint for g in gens):
-        return paths                       # completed earlier — no-op
+    known = {meta.get("fingerprint")} | {g["fingerprint"] for g in gens}
+    if fingerprint in known:
+        return paths                       # this source is already ingested
+    if any(fp in known for fp in legacy_fps):
+        return paths                       # completed under a legacy tag — no-op
+    if legacy_fps:
+        # a CRASHED legacy-tag ingest of this source left partitions
+        # stamped with the old fingerprint; adopt that identity so the
+        # rerun resumes and completes the old ingest instead of
+        # refusing it as an orphan (or duplicating it under the new tag)
+        stamped = {m.get("fingerprint")
+                   for d in (paths.docs, paths.postings, paths.doc_meta)
+                   for m in load_manifests(d)}
+        for fp in legacy_fps:
+            if fp in stamped:
+                fingerprint = fp
+                break
     gen = int(meta.get("generation", 1)) + 1
     base = int(meta.get("doc_parts_used", config.num_doc_parts))
 

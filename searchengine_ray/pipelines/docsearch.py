@@ -258,19 +258,37 @@ toks AS (
 
 def index_dictionary(sf_dir: str):
     """(term, df) of the real compressed index over documents — checkable
-    against SQL df because the simple analyzer == the SQL tokenizer."""
-    import pyarrow.parquet as pq
+    against SQL df because the simple analyzer == the SQL tokenizer.
+
+    Streams: per-partition pre-aggregation inside ``map_batches`` (a
+    term's bucket slices all live in ONE dictionary partition, so the
+    per-batch sum is already the global sum — blocks never split a
+    partition's term because each dictionary file is one block at gate
+    scale, and at vocabulary scale the final tiny groupby below folds
+    any block-split remainders). No driver-side full-dictionary pandas."""
     from pathlib import Path
 
-    paths = ensure_doc_index(sf_dir)
-    tbl = pq.read_table(sorted(Path(paths.dictionary).glob("*.parquet")),
-                        columns=["term", "df"])
-    # sum bucket slices per term
-    import pandas as pd
+    import ray.data
 
-    df = tbl.to_pandas().groupby("term", as_index=False)["df"].sum()
-    df["df"] = df["df"].astype(np.int64)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    paths = ensure_doc_index(sf_dir)
+    files = sorted(str(f) for f in Path(paths.dictionary).glob("*.parquet"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("term").aggregate([("df", "sum")])
+        return pa.table({"term": g.column("term"),
+                         "df": g.column("df_sum").cast(pa.int64())})
+
+    ds = ray.data.read_parquet(files, columns=["term", "df"]) \
+                 .map_batches(partial, batch_format="pyarrow")
+    # second fold: terms split across blocks/partitions (vocabulary-scale
+    # safety); input rows here are the already-collapsed partials. The
+    # result stays a Dataset — never materialized on the driver.
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"term": batch.column("term"),
+                         "df": batch.column("sum(df)").cast(pa.int64())})
+
+    return ds.groupby("term").sum("df").map_batches(
+        rename, batch_format="pyarrow")
 
 
 def index_dictionary_sql() -> str:

@@ -66,6 +66,10 @@ def run_partition_exchange(files: list[str], n_parts: int, map_fn, reduce_fn,
     import ray
 
     skip = skip_parts or set()
+    if reduce_fanin is not None and reduce_fanin < 2:
+        # a fanin < 2 can never shrink a group (every "fold" is a group
+        # of one), so the tree-fold loop below would spin forever
+        reduce_fanin = 2
 
     @ray.remote(num_returns=n_parts)
     def _map(path):

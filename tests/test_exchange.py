@@ -80,3 +80,17 @@ def test_exchange_bounded_at_1e4_maps(ray_session):
     got = run_partition_exchange(list(range(n)), 2, map_one, reduce_count,
                                  reduce_fanin=fanin)
     assert sorted(got) == [(0, n, sum(range(n))), (1, n, sum(range(n)))]
+
+
+def test_fanin_below_two_terminates(ray_session):
+    """reduce_fanin < 2 can never shrink a fold group; the exchange must
+    clamp it instead of spinning forever (ADVICE r3)."""
+    from searchengine_ray.stages.exchange import run_partition_exchange
+
+    map_fn, reduce_fn = _make_fns()
+    files = list(range(9))
+    flat = run_partition_exchange(files, 3, map_fn, reduce_fn,
+                                  reduce_fanin=None)
+    one = run_partition_exchange(files, 3, map_fn, reduce_fn,
+                                 reduce_fanin=1)
+    assert one == flat

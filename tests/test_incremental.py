@@ -240,3 +240,35 @@ def test_orphan_ingest_detected(inc_index, tmp_path):
     c3 = generate_corpus(50, tmp_path / "c3", seed=9, n_files=1)
     with pytest.raises(RuntimeError, match="UNFINISHED"):
         add_documents(c3, work, cfg)
+
+
+def test_legacy_source_tag_reingest_is_noop(inc_index):
+    """Generations registered before the source tag grew its footer
+    hash carry (name, size)-only fingerprints; re-adding such a source
+    must resolve to 'already ingested', not re-ingest (ADVICE r3)."""
+    from searchengine_ray.pipelines.build import (_config_fingerprint,
+                                                  _legacy_source_tags,
+                                                  _source_files)
+
+    paths, cfg, _ = inc_index
+    src = Path(paths.root).parent / "c2"
+    meta = json.loads(Path(paths.meta_path).read_text())
+    # rewrite the c2 generation's registry entry to its LEGACY fingerprint,
+    # exactly what an index ingested under the old tag format records
+    legacy_fp = _config_fingerprint(
+        cfg, _legacy_source_tags(src, _source_files(src))[0])
+    rewritten = dict(meta)
+    rewritten["generations"] = [
+        dict(g, fingerprint=legacy_fp) if g["gen"] == 2 else g
+        for g in meta["generations"]]
+    rewritten["fingerprint"] = legacy_fp
+    Path(paths.meta_path).write_text(json.dumps(rewritten))
+    try:
+        before_docs = sorted(p.name for p in Path(paths.docs).glob("*.parquet"))
+        p2 = add_documents(src, paths.root, cfg)
+        after = json.loads(Path(p2.meta_path).read_text())
+        assert after["generation"] == 2          # no third generation
+        assert sorted(p.name for p in Path(paths.docs).glob("*.parquet")) \
+            == before_docs
+    finally:
+        Path(paths.meta_path).write_text(json.dumps(meta))
