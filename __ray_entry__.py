@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups_lsh": dedup.embedding_near_dups_lsh,
         "dedup_survivors": dedup.dedup_survivors,
         "dedup_apply": dedup.dedup_apply,
+        "dedup_spans": dedup.dedup_spans,
         "clean_text": ts.clean_text,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
@@ -69,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_terms_hll": ts.distinct_terms_hll,
         "distinct_terms_hll_registers": ts.distinct_terms_hll_registers,
         "top_terms_sketch": ts.top_terms_sketch,
+        "top_terms_sketch_violations": ts.top_terms_sketch_violations,
         "doc_fingerprint": ts.doc_fingerprint,
         "numeric_literals": ts.numeric_literals,
         "token_count_bpe": ts.token_count_bpe,
@@ -142,6 +144,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup_sql(),
         "dedup_survivors": dedup.dedup_survivors_sql(),
         "dedup_apply": dedup.dedup_apply_sql(),
+        "dedup_spans": dedup.dedup_spans_sql(),
+        "top_terms_sketch_violations": ts.top_terms_sketch_violations_sql(),
         "clean_text": ts.clean_text_sql(),
         "embedding_near_dups": dedup.embedding_near_dups_sql(),
         "lang_id": ts.lang_id_sql(),

@@ -212,6 +212,37 @@ def _clean_stale_partitions(directory: str, fingerprint: str) -> None:
                 mf.unlink()
 
 
+def _row_group_jobs(doc_files: list[str]) -> list[tuple[str, int, int]]:
+    """Phase-2 map jobs: consecutive row-group ranges per docs file.
+
+    Granularity targets ~2 jobs per core (floor 32 jobs so small
+    clusters still pipeline): each map task returns ``total_parts``
+    objects, and measured at 32 cpus the per-task/per-object overhead
+    dominates below ~64 jobs' worth of work (2M docs: 128 jobs -> 16.4 s
+    phase-2 vs 64 jobs -> 13.5 s), while 256 jobs' 32k slices inflated
+    the reduce arg resolution 13x. ``GRAFT_RG_STEP`` overrides."""
+    import os
+
+    import pyarrow.parquet as _pqm
+    import ray as _ray
+
+    per_file = [(_f, _pqm.ParquetFile(_f).metadata.num_row_groups)
+                for _f in doc_files]
+    total_rgs = sum(n for _, n in per_file)
+    env = os.environ.get("GRAFT_RG_STEP")
+    if env:
+        step = max(1, int(env))
+    else:
+        cpus = (int(_ray.cluster_resources().get("CPU", 8))
+                if _ray.is_initialized() else 8)
+        step = max(1, total_rgs // max(2 * cpus, 32))
+    jobs = []
+    for f, n_rg in per_file:
+        for lo in range(0, n_rg, step):
+            jobs.append((f, lo, min(lo + step, n_rg)))
+    return jobs
+
+
 def _filter_done_parts(ds: ray.data.Dataset, col: str, done: set[int]) -> ray.data.Dataset:
     if not done:
         return ds
@@ -354,15 +385,7 @@ def build_index(source, out_root: str | Path, config: IndexConfig | None = None,
         # fine-grained tasks balance the tokenize wave at any CPU count
         import pyarrow.parquet as _pqm
 
-        jobs = []
-        # map granularity: row groups per task. 2 balances wave evenness
-        # against per-object store overhead (each map task returns
-        # total_parts objects)
-        step = int(_os.environ.get("GRAFT_RG_STEP", "2"))
-        for f in doc_files:
-            n_rg = _pqm.ParquetFile(f).metadata.num_row_groups
-            for lo in range(0, n_rg, step):
-                jobs.append((f, lo, min(lo + step, n_rg)))
+        jobs = _row_group_jobs(doc_files)
 
         def _map_postings(job):
             import pyarrow.parquet as _pq
@@ -682,14 +705,7 @@ def add_documents(source, out_root: str | Path,
                                          config, fingerprint,
                                          doc_meta_dir=paths.doc_meta)
         bs = config.tokenize_batch_size
-        jobs = []
-        import os as _osa
-
-        step = int(_osa.environ.get("GRAFT_RG_STEP", "2"))
-        for f in doc_files:
-            n_rg = _pqm.ParquetFile(f).metadata.num_row_groups
-            for lo in range(0, n_rg, step):
-                jobs.append((f, lo, min(lo + step, n_rg)))
+        jobs = _row_group_jobs(doc_files)
 
         def _map_postings(job):
             import pyarrow.parquet as _pq

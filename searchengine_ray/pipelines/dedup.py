@@ -1023,3 +1023,251 @@ FROM documents d
 WHERE d.doc_id NOT IN (
   SELECT doc_id FROM ({dedup_survivors_sql(threshold_bp)}) s WHERE s.keep = 0)
 """
+
+
+# ---------------- exact substring (duplicate-span) dedup ----------------
+#
+# Lee et al., "Deduplicating Training Data Makes Language Models Better"
+# (ACL 2022) deduplicate exact SUBSTRINGS, not whole documents, via a
+# suffix array. The distributed re-expression: every character position
+# becomes a (rolling-hash-of-k-chars, doc, pos) anchor row; anchors are
+# hash-bucketed (ONE shuffle of fixed-width rows, never text); docs
+# sharing an anchor yield matched positions; per (pair, diagonal),
+# consecutive runs of matched positions are exact shared spans of
+# length run+k-1 — the suffix array's duplicate spans, found by
+# grouping instead of sorting suffixes.
+
+_SPAN_K = 20                  # minimum detectable span (chars)
+_SPAN_POS_CAP = 256           # boilerplate cutoff: a k-gram occurring at
+                              # more than this many positions corpus-wide
+                              # is dropped (replicated in the SQL oracle)
+_SPAN_B = 1_000_003           # polynomial base — same as doc_fingerprint
+_SPAN_M = (1 << 61) - 1
+
+
+def _span_hashes(cp: np.ndarray, k: int) -> np.ndarray:
+    """Rolling k-gram hashes over a codepoint array: Horner left-to-right,
+    h[p] = sum(cp[p+j] * B^(k-1-j)) mod 2^61-1 — vectorized across all
+    positions (k modmul passes), bit-identical to the SQL list_reduce."""
+    from searchengine_ray.pipelines.textstats import _modmul61
+
+    M = np.uint64(_SPAN_M)
+    B = np.uint64(_SPAN_B)
+    m = len(cp) - k + 1
+    h = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        h = _modmul61(h, B) + cp[j:j + m]
+        h = np.where(h >= M, h - M, h)
+    return h
+
+
+class SpanAnchorStage:
+    """map_batches: docs -> (gkey, h, doc_id, pos) anchor rows, one per
+    character position (minus the last k-1 per doc). Fully vectorized:
+    the batch's docs are concatenated into ONE codepoint array, hashed
+    in k numpy passes, and windows crossing doc boundaries are masked.
+
+    ``anchor_mod`` > 1 keeps only content-defined anchors
+    (h % anchor_mod == 0, Manber 1994): density drops ~anchor_mod-fold
+    — the 100-TB knob, since anchors-per-char is this operator's
+    inherent volume (the suffix array pays it too). Content-defined
+    positions align in both copies of a span automatically, unlike
+    fixed-stride sampling. Spans then report diagonal EXTENT between
+    matched anchors (a lower bound on the true span); anchor_mod=1 is
+    the exact setting the registry entry and oracle run."""
+
+    def __init__(self, k: int = _SPAN_K, anchor_mod: int = 1):
+        self.k = k
+        self.anchor_mod = anchor_mod
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        k = self.k
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cps = [np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32) for t in texts]
+        lens = np.fromiter((len(c) for c in cps), np.int64, len(cps))
+        empty = pa.table({"gkey": pa.array([], pa.int64()),
+                          "h": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64())})
+        n = int(lens.sum())
+        if n < k:
+            return empty
+        cp = np.concatenate(cps).astype(np.uint64)
+        h = _span_hashes(cp, k)
+        starts = np.zeros(len(cps), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        doc_of = np.repeat(np.arange(len(cps), dtype=np.int64), lens)
+        m = len(h)
+        valid = doc_of[:m] == doc_of[k - 1:]
+        if self.anchor_mod > 1:
+            valid &= (h % np.uint64(self.anchor_mod)) == 0
+        p = np.flatnonzero(valid)
+        if len(p) == 0:
+            return empty
+        d = doc_of[p]
+        hv = h[p].astype(np.int64)
+        return pa.table({"gkey": int64_col(hv % _PAIR_GROUPS),
+                         "h": int64_col(hv),
+                         "doc_id": int64_col(ids[d]),
+                         "pos": int64_col(p - starts[d])})
+
+
+def _make_span_pairs(pos_cap: int, n_jparts: int = 64):
+    def span_pairs(df: pd.DataFrame) -> pa.Table:
+        """gkey co-group: per-h position counts here are GLOBAL (all rows
+        of an h share its gkey); k-grams above ``pos_cap`` positions are
+        boilerplate and dropped (same cutoff in the oracle); the rest
+        self-merge into matched position pairs."""
+        empty = pa.table({"jkey": pa.array([], pa.int64()),
+                          "doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "pa_": pa.array([], pa.int64()),
+                          "pb_": pa.array([], pa.int64())})
+        sizes = df.groupby("h")["doc_id"].transform("size")
+        df = df[sizes <= pos_cap]
+        if len(df) < 2:
+            return empty
+        m = df.merge(df, on="h")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if not len(m):
+            return empty
+        a = m["doc_id_x"].to_numpy(np.int64)
+        b = m["doc_id_y"].to_numpy(np.int64)
+        jkey = (a * np.int64(1_000_003) + b) % np.int64(n_jparts)
+        return pa.table({"jkey": int64_col(jkey),
+                         "doc_a": int64_col(a), "doc_b": int64_col(b),
+                         "pa_": int64_col(m["pos_x"].to_numpy(np.int64)),
+                         "pb_": int64_col(m["pos_y"].to_numpy(np.int64))})
+
+    span_pairs.__name__ = "span_pairs"
+    return span_pairs
+
+
+def _make_span_islands(k: int, exact: bool, min_span: int):
+    def span_islands(df: pd.DataFrame) -> pa.Table:
+        """Pair co-group: per (pair, diagonal pa-pb), runs of consecutive
+        matched positions are exact shared spans (every window inside a
+        duplicated region matches, so runs advance by exactly 1; any
+        mismatch breaks the hash with probability 1 - 2^-61). Emits one
+        row per pair: the longest span and the matched-position count."""
+        a = df["doc_a"].to_numpy(np.int64)
+        b = df["doc_b"].to_numpy(np.int64)
+        pa_v = df["pa_"].to_numpy(np.int64)
+        pb_v = df["pb_"].to_numpy(np.int64)
+        diag = pa_v - pb_v
+        order = np.lexsort((pa_v, diag, b, a))
+        a, b, pa_v, diag = a[order], b[order], pa_v[order], diag[order]
+        new_grp = np.empty(len(a), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = ((a[1:] != a[:-1]) | (b[1:] != b[:-1])
+                       | (diag[1:] != diag[:-1]))
+        if exact:
+            brk = new_grp.copy()
+            brk[1:] |= pa_v[1:] != pa_v[:-1] + 1
+            isl = np.cumsum(brk) - 1
+            isl_len = np.bincount(isl)
+            isl_span = isl_len + (k - 1)
+        else:       # anchor-sampled: span = diagonal extent between anchors
+            brk = new_grp
+            isl = np.cumsum(brk) - 1
+            isl_start = pa_v[np.flatnonzero(brk)]
+            isl_end = np.maximum.reduceat(pa_v, np.flatnonzero(brk))
+            isl_span = isl_end - isl_start + k
+            isl_len = np.bincount(isl)
+        pair_of_isl = np.cumsum(new_grp) - 1
+        pair_first = np.flatnonzero(new_grp)
+        n_pairs = len(pair_first)
+        isl_pair = pair_of_isl[np.flatnonzero(brk)]
+        span = np.zeros(n_pairs, dtype=np.int64)
+        np.maximum.at(span, isl_pair, isl_span)
+        n_pos_d = np.bincount(pair_of_isl, minlength=n_pairs)
+        # n_pos per PAIR (across diagonals): fold diag-level rows.
+        # 2-column unique (no packed-int encode — doc ids may exceed 31
+        # bits under the part-bits id layout)
+        pair_cols = np.stack([a[pair_first], b[pair_first]], axis=1)
+        uniq, inv = np.unique(pair_cols, axis=0, return_inverse=True)
+        span_p = np.zeros(len(uniq), dtype=np.int64)
+        np.maximum.at(span_p, inv, span)
+        npos_p = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(npos_p, inv, n_pos_d)
+        keep = span_p >= min_span
+        return pa.table({
+            "doc_a": int64_col(uniq[keep, 0]),
+            "doc_b": int64_col(uniq[keep, 1]),
+            "span_len": int64_col(span_p[keep]),
+            "n_pos": int64_col(npos_p[keep])})
+
+    span_islands.__name__ = "span_islands"
+    return span_islands
+
+
+def dedup_spans(sf_dir: str, k: int = _SPAN_K, pos_cap: int = _SPAN_POS_CAP,
+                min_span: int = 0, anchor_mod: int = 1):
+    """(doc_a, doc_b, span_len, n_pos) — exact duplicate-substring pairs:
+    docs sharing a verbatim character span >= k (>= min_span if set),
+    with the longest shared span length and the matched-window count.
+
+    Scale shape: anchor rows are fixed-width (hash, doc, pos) — the one
+    corpus-scale shuffle, hash-bucketed with NO per-key skew beyond
+    ``pos_cap`` (the boilerplate cutoff, replicated in the oracle);
+    matched pairs co-group by pair key; island detection is vectorized
+    numpy. Anchors-per-character volume is inherent to exact substring
+    dedup (Lee et al.'s suffix array pays the same); ``anchor_mod``
+    thins it ~anchor_mod-fold via content-defined sampling for the
+    100-TB setting (detects spans that contain >= 1 sampled anchor,
+    reporting anchor-extent lower-bound lengths)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    anchors = ds.map_batches(SpanAnchorStage, fn_constructor_args=(k, anchor_mod),
+                             batch_format="pyarrow", batch_size=512,
+                             concurrency=(1, 4))
+    pairs = anchors.groupby("gkey").map_groups(
+        _make_span_pairs(pos_cap), batch_format="pandas")
+    return pairs.groupby("jkey").map_groups(
+        _make_span_islands(k, anchor_mod == 1, min_span),
+        batch_format="pandas")
+
+
+def dedup_spans_sql(k: int = _SPAN_K, pos_cap: int = _SPAN_POS_CAP,
+                    min_span: int = 0, anchor_mod: int = 1) -> str:
+    """SQL twin: same codepoint rolling hash (HUGEINT Horner), same
+    boilerplate cutoff, same diagonal-island span lengths."""
+    anchor_filter = (f"WHERE h % {anchor_mod} = 0" if anchor_mod > 1 else "")
+    if anchor_mod == 1:
+        span_expr = f"count(*) + {k - 1}"
+    else:
+        span_expr = f"max(pa) - min(pa) + {k}"
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - {k} + 1)) AS p
+  FROM documents WHERE length(text) >= {k}),
+hashes AS (
+  SELECT doc_id, p - 1 AS pos,
+         CAST(list_reduce(
+                list_transform(
+                  [substr(text, p + j, 1) for j in generate_series(0, {k - 1})],
+                  c -> CAST(ord(c) AS HUGEINT)),
+                (a, x) -> (a * {_SPAN_B} + x) % {_SPAN_M}) AS BIGINT) AS h
+  FROM pos),
+anchors AS (
+  SELECT * FROM (
+    SELECT * FROM hashes {anchor_filter}
+  ) QUALIFY count(*) OVER (PARTITION BY h) <= {pos_cap}),
+matched AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa, y.pos AS pb
+  FROM anchors x JOIN anchors y ON x.h = y.h AND x.doc_id < y.doc_id),
+islands AS (
+  SELECT doc_a, doc_b, pa,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                 ORDER BY pa) AS grp,
+         pa - pb AS diag
+  FROM matched),
+spans AS (
+  SELECT doc_a, doc_b, {span_expr} AS span, count(*) AS npos
+  FROM islands GROUP BY doc_a, doc_b, diag, grp)
+SELECT doc_a, doc_b, CAST(max(span) AS BIGINT) AS span_len,
+       CAST(sum(npos) AS BIGINT) AS n_pos
+FROM spans GROUP BY doc_a, doc_b
+HAVING max(span) >= {min_span}
+"""

@@ -781,12 +781,10 @@ def _mg_compress(terms: np.ndarray, counts: np.ndarray, k: int):
     return terms[keep], counts[keep] - thr, thr
 
 
-def top_terms_sketch(sf_dir: str, k: int = 10):
-    """(term, est_tf, err_bound) — approximate top-k corpus terms from
-    merged per-batch Misra-Gries summaries. The driver merge folds one
-    bounded row per batch (like the HLL), never the vocabulary;
-    ``err_bound`` is the summed decrement: est_tf is exact to within it
-    (one-sided: est <= true <= est + err_bound)."""
+def _mg_merged(sf_dir: str) -> tuple[dict, int]:
+    """Merged Misra-Gries summary: (term -> est_tf, total decrement).
+    The driver folds one bounded row per batch (like the HLL), never
+    the vocabulary."""
     partial = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         TopTermsMGPartial, batch_format="pyarrow", batch_size=512,
         concurrency=(1, 4))
@@ -805,12 +803,82 @@ def top_terms_sketch(sf_dir: str, k: int = 10):
                 ts, cs, d = _mg_compress(ts, cs, _MG_K)
                 total_dec += int(d)
                 acc = dict(zip(ts.tolist(), cs.tolist()))
+    return acc, total_dec
+
+
+def top_terms_sketch(sf_dir: str, k: int = 10):
+    """(term, est_tf, err_bound) — approximate top-k corpus terms from
+    merged per-batch Misra-Gries summaries; ``err_bound`` is the summed
+    decrement: est_tf is exact to within it (one-sided:
+    est <= true <= est + err_bound)."""
+    acc, total_dec = _mg_merged(sf_dir)
     top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     return pa.table({
         "term": pa.array([t for t, _ in top], pa.string()),
         "est_tf": int64_col([c for _, c in top]),
         "err_bound": int64_col([total_dec] * len(top)),
     })
+
+
+def top_terms_sketch_violations(sf_dir: str):
+    """(term, total_tf, est_tf) rows where the Misra-Gries guarantee is
+    VIOLATED against exact per-term counts — expected (and oracled)
+    EMPTY. The companion row that makes the sketch driver-checkable:
+    ``top_terms_sketch`` itself is partitioning-dependent (which terms
+    survive the summary depends on batch order), so its output has no
+    SQL replay; the GUARANTEE does not depend on partitioning:
+
+      - every summarized term: est <= true_tf <= est + err_bound
+      - every term with true_tf > err_bound must be in the summary
+
+    Both are checked here per term, joining the merged summary
+    (broadcast, bounded at 16*k entries) against the exact counts from
+    the pre-aggregated term_df shuffle — streaming, vocabulary never on
+    the driver. Any violation emits a row and hash-mismatches the empty
+    oracle, failing the correctness gate."""
+    import ray
+
+    acc, total_dec = _mg_merged(sf_dir)
+    acc_ref = ray.put(acc)
+    exact = term_df(sf_dir)
+
+    def check(batch: pa.Table) -> pa.Table:
+        a = ray.get(acc_ref) if not isinstance(acc_ref, dict) else acc_ref
+        terms = batch.column("term").to_pylist()
+        tt = batch.column("total_tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        est = np.fromiter((a.get(t, -1) for t in terms), np.int64, len(terms))
+        in_s = est >= 0
+        viol = (in_s & ((est > tt) | (tt > est + total_dec))) \
+            | (~in_s & (tt > total_dec))
+        idx = np.flatnonzero(viol)
+        return pa.table({
+            "term": pa.array([terms[i] for i in idx], pa.string()),
+            "total_tf": int64_col(tt[idx]),
+            "est_tf": int64_col(est[idx])})
+
+    out = exact.map_batches(check, batch_format="pyarrow")
+    # materialize with an EXPLICIT schema: the expected result is empty,
+    # and an all-empty Dataset loses its column types on to_pandas,
+    # which would fail the driver's schema compare for the wrong reason.
+    # take_all is bounded by the violation count (0 when the sketch is
+    # correct), not the vocabulary.
+    rows = out.take_all()
+    return pa.table({
+        "term": pa.array([r["term"] for r in rows], pa.string()),
+        "total_tf": int64_col(np.array([r["total_tf"] for r in rows],
+                                       np.int64)),
+        "est_tf": int64_col(np.array([r["est_tf"] for r in rows], np.int64))})
+
+
+def top_terms_sketch_violations_sql() -> str:
+    """The guarantee holds for any input and any partitioning, so the
+    oracle is the empty set with the matching schema — a Ray-side
+    violation row breaks the hash compare and fails the gate."""
+    return """
+SELECT CAST(NULL AS VARCHAR) AS term, CAST(NULL AS BIGINT) AS total_tf,
+       CAST(NULL AS BIGINT) AS est_tf
+WHERE FALSE
+"""
 
 
 def distinct_terms_hll_registers(sf_dir: str):
@@ -989,10 +1057,34 @@ FROM ranked WHERE sample_rank <= {n}
 # ---------------- per-doc TF-IDF keywords ----------------
 
 
-class TfidfRowsStage(_SimpleTokenStage):
-    """batch -> one (gkey, term, doc_id, tf) row per (doc, term). A doc
-    is whole in its batch, so rows are globally unique — the term
-    co-group downstream can count df as plain group size."""
+_TFIDF_TAGGED_SCHEMA = pa.schema([
+    ("k1", pa.int64()), ("src", pa.int64()), ("term", pa.string()),
+    ("doc_id", pa.int64()), ("tf", pa.int64()), ("tfidf_bp", pa.int64()),
+])
+
+
+class _TfidfScoreOrTag(_SimpleTokenStage):
+    """Tokenize + attach idf WITHOUT co-locating a hot term's rows.
+
+    Head terms (df >= head_df) are scored inline from a broadcast
+    term->idf dict (``ray.put`` once, one plasma copy per node, read in
+    every task — the same df>=1024 treatment the query path gives hot
+    postings); their rows leave this stage already scored (src=2),
+    spread by doc so NO downstream group ever holds a hot term's full
+    row set. Cold rows (src=0) are tagged with a term-hash gkey for the
+    bounded cold co-group. The broadcast head is small by construction:
+    at most total_rows / head_df entries (the Zipf head)."""
+
+    def __init__(self, head_ref, n_docs: int, dparts: int, n_groups: int):
+        super().__init__()
+        import math
+
+        import ray
+
+        head = ray.get(head_ref) if not isinstance(head_ref, dict) else head_ref
+        self.idf = {t: math.log(n_docs / int(d)) for t, d in head.items()}
+        self.dparts = dparts
+        self.n_groups = n_groups
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from zlib import crc32
@@ -1000,37 +1092,65 @@ class TfidfRowsStage(_SimpleTokenStage):
         texts = batch.column("text").to_pylist()
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         codes, docs, tfs, info = self.analyzer.tokenize_batch(texts, ids)
+        if len(codes) == 0:
+            return _TFIDF_TAGGED_SCHEMA.empty_table()
         vocab = info["vocab"]
-        gk = np.fromiter((crc32(t.encode()) % 64 for t in vocab),
-                         np.int64, len(vocab))
-        terms = np.asarray(vocab, dtype=object)
-        return pa.table({"gkey": int64_col(gk[codes]),
-                         "term": pa.array(terms[codes], pa.string()),
+        # per-UNIQUE-term work (vocabulary-level, not row-level)
+        vidf = np.fromiter((self.idf.get(t, 0.0) for t in vocab),
+                           np.float64, len(vocab))
+        vgk = np.fromiter((crc32(t.encode()) % self.n_groups for t in vocab),
+                          np.int64, len(vocab))
+        idf = vidf[codes]
+        hot = idf != 0.0
+        terms = np.asarray(vocab, dtype=object)[codes]
+        score = np.zeros(len(codes), dtype=np.int64)
+        score[hot] = bp(tfs[hot].astype(np.float64) * idf[hot])
+        k1 = np.where(hot, self.n_groups + (docs % (8 * self.dparts)),
+                      vgk[codes])
+        return pa.table({"k1": int64_col(k1),
+                         "src": int64_col(np.where(hot, 2, 0)),
+                         "term": pa.array(terms, pa.string()),
                          "doc_id": int64_col(docs),
-                         "tf": int64_col(tfs)})
+                         "tf": int64_col(tfs),
+                         "tfidf_bp": int64_col(score)},
+                        schema=_TFIDF_TAGGED_SCHEMA)
 
 
-def _make_tfidf_score_group(n_docs: int, dparts: int = 64):
-    def tfidf_score_group(df: pd.DataFrame) -> pa.Table:
-        """Term co-group: df(term) = rows per term (globally exact —
-        every row of a term lands in this one gkey group); idf via
-        scalar math.log per DISTINCT term (np.log differs from libm by
-        1 ulp on some inputs — the same bit-parity rule bm25.idf
-        documents)."""
+def _make_tfidf_score_cold(n_docs: int, dparts: int):
+    def tfidf_score_cold(df: pd.DataFrame) -> pa.Table:
+        """k1 co-group body. Hot groups (src=2, k1 spread by doc) pass
+        through already scored. Cold groups join src=1 rows — (term,
+        exact global df) from the partial-df aggregate, df carried in
+        the tf column — against src=0 (doc, term, tf) rows of the same
+        gkey. Max group size is bounded: cold terms have df < head_df,
+        so no term contributes more than head_df rows — the
+        stopword-scale concentration the old per-term co-group had is
+        gone. idf via scalar math.log per DISTINCT term (np.log differs
+        from libm by 1 ulp on some inputs — the same bit-parity rule
+        bm25.idf documents)."""
         import math
 
-        idf_map = {t: math.log(n_docs / int(d))
-                   for t, d in df.groupby("term").size().items()}
-        idf = df["term"].map(idf_map).to_numpy(np.float64)
-        score = bp(df["tf"].to_numpy(np.float64) * idf)
-        did = df["doc_id"].to_numpy(np.int64)
+        rows = df[df["src"] == 0]
+        if len(rows):
+            dfe = df[df["src"] == 1]
+            idf_map = {t: math.log(n_docs / int(d))
+                       for t, d in zip(dfe["term"], dfe["tf"])}
+            idf = rows["term"].map(idf_map).to_numpy(np.float64)
+            score = bp(rows["tf"].to_numpy(np.float64) * idf)
+            terms = rows["term"].tolist()
+            did = rows["doc_id"].to_numpy(np.int64)
+        else:                                   # hot pass-through group
+            hot = df[df["src"] == 2]
+            score = hot["tfidf_bp"].to_numpy(np.int64)
+            terms = hot["term"].tolist()
+            did = hot["doc_id"].to_numpy(np.int64)
         return pa.table({"dkey": int64_col(did % dparts),
                          "doc_id": int64_col(did),
-                         "term": pa.array(df["term"].tolist(), pa.string()),
+                         "term": pa.array(terms, pa.string()),
                          "tfidf_bp": int64_col(score)})
 
-    tfidf_score_group.__name__ = "tfidf_score_group"
-    return tfidf_score_group
+    tfidf_score_cold.__name__ = "tfidf_score_cold"
+    return tfidf_score_cold
 
 
 def _make_tfidf_topk_group(k: int):
@@ -1049,20 +1169,68 @@ def _make_tfidf_topk_group(k: int):
     return tfidf_topk_group
 
 
-def tfidf_keywords(sf_dir: str, k: int = 5):
+def tfidf_keywords(sf_dir: str, k: int = 5, head_df: int = 1024,
+                   n_groups: int = 256, dparts: int = 64):
     """(doc_id, rank, term, tfidf_bp) — top-k TF-IDF keywords per doc
     (keyword extraction / doc summarization for training-data curation).
 
-    Two co-group shuffles, both over (doc, term) rows never raw text:
-    a term-bucket groupby computes exact global df inside each group
-    (score = tf * ln(N/df), bp-rounded), then a doc-bucket groupby
-    takes each doc's top-k. N comes from parquet metadata (no scan)."""
+    Skew-safe shape (r4 — replaces the hot-term co-group the r3 review
+    flagged): exact global df comes from a PRE-AGGREGATED partial
+    shuffle (one (term, df_p) row per block — the term_df shape), whose
+    vocabulary-scale result is split at ``head_df``:
+
+    - head terms (df >= head_df, at most rows/head_df of the vocabulary)
+      broadcast as a term->df dict; their rows are scored INLINE in the
+      tokenize stage and spread by doc — a stopword-scale term never
+      co-locates;
+    - cold terms join rows<->df in a gkey co-group whose max group is
+      bounded by rows_cold/n_groups + vocab/n_groups + head_df slack
+      (measured at sf0.1, defaults: max group ~180k rows / ~8 MB vs the
+      old shape's ~1.9M-row hot bucket).
+
+    Then one doc-bucket groupby takes each doc's top-k. score =
+    bp(tf * ln(N/df)) with scalar libm ln per distinct term in every
+    path — bit-identical to the SQL oracle. N from parquet metadata."""
+    import ray
+    from ray.data.aggregate import Sum
+
     ds = read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = ds.count()
-    rows = ds.map_batches(TfidfRowsStage, batch_format="pyarrow",
-                          batch_size=512, concurrency=(1, 4))
-    scored = rows.groupby("gkey").map_groups(
-        _make_tfidf_score_group(n_docs), batch_format="pandas")
+    # pass 1: exact df, pre-aggregated per block; the result is
+    # vocabulary-scale (one row per term) — materializing it is the
+    # documented bounded exception, NOT a corpus materialization
+    dfs = ds.map_batches(TermDFPartial, batch_format="pyarrow",
+                         batch_size=512, concurrency=(1, 4)) \
+            .groupby("term").aggregate(Sum("df_p", alias_name="df")) \
+            .materialize()
+
+    def to_entry(batch: pa.Table) -> pa.Table:
+        from zlib import crc32
+
+        terms = batch.column("term").to_pylist()
+        d = batch.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        cold = d < head_df
+        terms = np.asarray(terms, dtype=object)[cold]
+        gk = np.fromiter((crc32(t.encode()) % n_groups for t in terms),
+                         np.int64, len(terms))
+        z = np.zeros(len(terms), np.int64)
+        return pa.table({"k1": int64_col(gk), "src": int64_col(z + 1),
+                         "term": pa.array(terms, pa.string()),
+                         "doc_id": int64_col(z), "tf": int64_col(d[cold]),
+                         "tfidf_bp": int64_col(z)}, schema=_TFIDF_TAGGED_SCHEMA)
+
+    cold_entries = dfs.map_batches(to_entry, batch_format="pyarrow")
+    head = {r["term"]: int(r["df"])
+            for b in dfs.iter_batches(batch_format="pandas")
+            for r in b[b["df"] >= head_df].to_dict("records")}
+    head_ref = ray.put(head)
+    # pass 2: tokenize once more, score head rows inline, tag cold rows
+    tagged = ds.map_batches(
+        _TfidfScoreOrTag, batch_format="pyarrow", batch_size=512,
+        concurrency=(1, 4),
+        fn_constructor_args=(head_ref, n_docs, dparts, n_groups))
+    scored = cold_entries.union(tagged).groupby("k1").map_groups(
+        _make_tfidf_score_cold(n_docs, dparts), batch_format="pandas")
     return scored.groupby("dkey").map_groups(
         _make_tfidf_topk_group(k), batch_format="pandas")
 

@@ -161,3 +161,52 @@ def test_dedup_survivors_consistency(ray_session):
     g = surv.groupby("component")
     assert (g.doc_id.min() == g.doc_id.min().index).all()
     assert (surv.keep == (surv.doc_id == surv.component).astype(int)).all()
+
+
+def test_dedup_spans_exact_vs_bruteforce(ray_session):
+    """Every reported span must be a REAL shared substring of that exact
+    length, and the longest true shared span (>= k) of a seeded pair
+    must be found exactly."""
+    import duckdb
+
+    from searchengine_ray.pipelines.dedup import _SPAN_K, dedup_spans
+
+    sf = "/root/testdata/sf0.001"
+    out = dedup_spans(sf).to_pandas()
+    assert len(out) and (out.span_len >= _SPAN_K).all()
+    con = duckdb.connect()
+    texts = dict(con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')")
+        .fetchall())
+
+    def true_longest(a, b):
+        ta, tb = texts[a], texts[b]
+        best = 0
+        # O(n^2) DP is fine at ~300 chars
+        prev = [0] * (len(tb) + 1)
+        for i in range(1, len(ta) + 1):
+            cur = [0] * (len(tb) + 1)
+            for j in range(1, len(tb) + 1):
+                if ta[i - 1] == tb[j - 1]:
+                    cur[j] = prev[j - 1] + 1
+                    best = max(best, cur[j])
+            prev = cur
+        return best
+
+    top = out.sort_values("span_len", ascending=False).head(3)
+    for r in top.itertuples():
+        assert true_longest(int(r.doc_a), int(r.doc_b)) == int(r.span_len)
+
+
+def test_dedup_spans_anchor_mod_lower_bound(ray_session):
+    """The 100-TB anchor-sampled path must report a SUBSET of the exact
+    pairs with span estimates that never exceed the exact span."""
+    from searchengine_ray.pipelines.dedup import dedup_spans
+
+    sf = "/root/testdata/sf0.001"
+    exact = dedup_spans(sf).to_pandas()
+    approx = dedup_spans(sf, anchor_mod=4).to_pandas()
+    m = approx.merge(exact, on=["doc_a", "doc_b"], how="left",
+                     suffixes=("_s", "_e"))
+    assert not m.span_len_e.isna().any()          # subset of exact pairs
+    assert (m.span_len_s <= m.span_len_e).all()   # lower-bound estimates

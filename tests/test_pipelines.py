@@ -31,7 +31,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "event_value_quantiles", "order_lineitem_join",
                "hopping_window_counts", "customers_without_orders",
                "top_terms_per_lang", "dataset_split", "sample_per_group",
-               "tfidf_keywords"]
+               "tfidf_keywords", "dedup_spans", "top_terms_sketch_violations"]
 
 
 @pytest.fixture(scope="module")
