@@ -161,12 +161,55 @@ class PartData:
         return out
 
 
+class _DocPos:
+    """doc_id -> row position in the sorted doc-length table.
+
+    For the gapped-dense ``part_bits`` id layout (id = part << bits |
+    rank, ranks dense per part — ``stages/normalize.py``), positions are
+    pure ARITHMETIC: part-base offset + rank, verified with one gather
+    (``dl_ids[pos] == docs``) — ~2 memory ops per posting instead of a
+    ~21-probe binary search over the whole doc table. This lookup runs
+    once per posting during the hot-term precompute, so it dominates
+    spin-up; any mismatch (foreign layout, sparse ranks) falls back to
+    searchsorted, which is always correct."""
+
+    def __init__(self, dl_ids: np.ndarray, meta: dict):
+        self.dl_ids = dl_ids
+        self.bits = 0
+        if (meta.get("id_layout") == "part_bits"
+                and int(meta.get("doc_id_part_bits", 0)) and len(dl_ids)):
+            bits = int(meta["doc_id_part_bits"])
+            parts = (dl_ids >> bits).astype(np.int64)
+            change = np.empty(len(parts), dtype=bool)
+            change[0] = True
+            change[1:] = parts[1:] != parts[:-1]
+            starts = np.flatnonzero(change)
+            pids = parts[starts]
+            base = np.full(int(pids.max()) + 1, -1, dtype=np.int64)
+            mask = (np.int64(1) << bits) - 1
+            base[pids] = starts - (dl_ids[starts] & mask)
+            self.bits, self.mask, self.base = bits, mask, base
+
+    def __call__(self, docs: np.ndarray) -> np.ndarray:
+        if self.bits:
+            p = docs >> self.bits
+            ok = (p >= 0) & (p < len(self.base))
+            b = self.base[np.where(ok, p, 0)]
+            pos = b + (docs & self.mask)
+            ok &= (b >= 0) & (pos >= 0) & (pos < len(self.dl_ids))
+            if ok.all():
+                pos = pos.astype(np.int64, copy=False)
+                if np.array_equal(self.dl_ids[pos], docs):
+                    return pos
+        return np.searchsorted(self.dl_ids, docs)
+
+
 def _precompute_hot_terms(part: PartData, dl_ids: np.ndarray, dl: np.ndarray,
                           N: int, avgdl: float, k1: float, b: float,
-                          postings_budget: int) -> dict:
+                          postings_budget: int, doc_pos=None) -> dict:
     """Decode + score + impact-order this part's heaviest terms, largest
     df first, until ``postings_budget`` postings are spent. Returns
-    hash -> (pos, contrib, ipos, icontrib).
+    hash -> (pos, contrib, iorder).
 
     Hot terms are exactly the ones every query actor would otherwise
     decode cold for itself (hundreds of ms each at millions of
@@ -183,12 +226,20 @@ def _precompute_hot_terms(part: PartData, dl_ids: np.ndarray, dl: np.ndarray,
     -bound work that ANTI-scales with pool size (measured 2.9 s with 1
     actor -> 25 s with 16 actors for the same 40 warm-up queries),
     while this precompute runs once, in parallel over part-load tasks,
-    and scales WITH cpus."""
+    and scales WITH cpus.
+
+    The impact order ships MATERIALIZED as (ipos, icontrib) — shipping
+    only an iorder permutation and gathering per actor was measured to
+    re-create the duplicated memory-bound warm-up this image exists to
+    kill (warm-up 1.5 s -> 58 s at 16 actors), so the extra 12
+    bytes/posting of plasma is the right trade."""
     from searchengine_ray.codec import concat_blocks, decode_blocks
 
     out: dict = {}
     if len(part.hashes) == 0 or postings_budget <= 0:
         return out
+    if doc_pos is None:
+        doc_pos = _DocPos(dl_ids, {})
     change = np.empty(len(part.hashes), dtype=bool)
     change[0] = True
     change[1:] = part.hashes[1:] != part.hashes[:-1]
@@ -202,7 +253,7 @@ def _precompute_hot_terms(part: PartData, dl_ids: np.ndarray, dl: np.ndarray,
         spent += df
         h = int(part.hashes[starts[i]])
         docs, tfs = decode_blocks(concat_blocks(part.blocks_for_hash(h)))
-        pos = np.searchsorted(dl_ids, docs)
+        pos = doc_pos(docs)
         idf_t = float(bm25_idf(N, df))
         contrib = bm25_term_scores(tfs, dl[pos], idf_t=idf_t, avgdl=avgdl,
                                    k1=k1, b=b)
@@ -260,7 +311,8 @@ def load_index_shared(paths: IndexPaths | str, *, precompute_hot: bool = True,
     def _load(f, _dl_ids, _dl):
         pd_ = PartData(pq.read_table(f))
         h = _precompute_hot_terms(pd_, _dl_ids, _dl, N, avgdl, k1, b,
-                                  per_part_budget)
+                                  per_part_budget,
+                                  doc_pos=_DocPos(_dl_ids, meta))
         return int(Path(f).stem.split("-")[1]), pd_, h
 
     return {"meta": meta, "dl_ids_ref": dl_ids_ref, "dl_ref": dl_ref,
@@ -311,11 +363,13 @@ def load_index_data(paths: IndexPaths | str, *, precompute_hot: bool = True,
     hot: dict = {}
     per_part_budget = (hot_postings_budget // max(1, len(part_files))
                        if precompute_hot else 0)
+    dpos = _DocPos(dl_ids, meta)
     for f in part_files:
         pd_ = PartData(pq.read_table(f))
         parts[int(f.stem.split("-")[1])] = pd_
         hot.update(_precompute_hot_terms(pd_, dl_ids, dl, N, avgdl,
-                                         k1, b, per_part_budget))
+                                         k1, b, per_part_budget,
+                                         doc_pos=dpos))
     return {"meta": meta, "dl_ids": dl_ids, "dl": dl, "parts": parts,
             "hot": hot}
 
@@ -346,6 +400,7 @@ class IndexSearcher:
         self.analyzer = Analyzer(self.config)
         self._dl_ids = data["dl_ids"]
         self._dl = data["dl"]
+        self._doc_pos = _DocPos(self._dl_ids, self.meta)
         self._parts = data["parts"]
         self._hot = data.get("hot", {})
         self._decode_cache: dict[str, tuple] = {}
@@ -495,7 +550,7 @@ class IndexSearcher:
             from searchengine_ray.codec import concat_blocks, decode_blocks
 
             docs, tfs = decode_blocks(concat_blocks(slices))
-            pos = np.searchsorted(self._dl_ids, docs)
+            pos = self._doc_pos(docs)
             idf_t = float(bm25_idf(self.N, df))
             contrib = bm25_term_scores(tfs, self._dl[pos], idf_t=idf_t,
                                        avgdl=self.avgdl, k1=self.k1, b=self.b)
@@ -1215,14 +1270,6 @@ class QueryService:
         self.spinup_breakdown: dict[str, float] = {}
         t0 = time.time()
         shared = load_index_shared(root, hot_postings_budget=hot_postings_budget)
-        # "load" = parallel part-load + hot-precompute task wall; the
-        # old driver-heap materialize + multi-GB re-ray.put is gone, so
-        # "put" (kept for bench-key continuity) measures only ref plumbing
-        ray.wait(shared["part_refs"], num_returns=len(shared["part_refs"]),
-                 fetch_local=False)
-        self.spinup_breakdown["load"] = round(time.time() - t0, 3)
-        self.spinup_breakdown["put"] = 0.0
-        t0 = time.time()
         self.k = k
 
         @ray.remote
@@ -1252,8 +1299,19 @@ class QueryService:
                         np.asarray(docs, dtype=np.int64),
                         np.asarray(scores, dtype=np.float64))
 
+        # actor processes spawn WHILE the part-load/precompute tasks run
+        # (each actor's assemble blocks on the part refs inside __init__
+        # anyway): process start-up is hidden behind the load wall.
+        # "load" = parallel part-load + hot-precompute task wall; the
+        # old driver-heap materialize + multi-GB re-ray.put is gone, so
+        # "put" (kept for bench-key continuity) measures only ref plumbing
         self.actors = [_QueryActor.remote(root, config, shared, method)
                        for _ in range(num_actors)]
+        ray.wait(shared["part_refs"], num_returns=len(shared["part_refs"]),
+                 fetch_local=False)
+        self.spinup_breakdown["load"] = round(time.time() - t0, 3)
+        self.spinup_breakdown["put"] = 0.0
+        t0 = time.time()
         ray.get([a.search_batch.remote([], self.k) for a in self.actors])
         self.spinup_breakdown["actors"] = round(time.time() - t0, 3)
 
