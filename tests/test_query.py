@@ -185,3 +185,29 @@ def test_recency_tie_break_timestamp_column(ray_session, tmp_path):
     ranked_ties = [meta[d]["_tie"] for d, _ in want]
     assert ranked_ties == sorted(ranked_ties, reverse=True)
     assert ranked_ties[0] - ranked_ties[2] == 2     # µs-exact ordering
+
+
+def test_doc_pos_direct_and_fallback():
+    """_DocPos: arithmetic fast path for gapped-dense part_bits ids,
+    verified-gather fallback for foreign/sparse layouts."""
+    import numpy as np
+
+    from searchengine_ray.pipelines.query import _DocPos
+
+    bits = 10
+    dl_ids = np.concatenate([
+        (1 << bits) + np.arange(5), (3 << bits) + np.arange(7)]).astype(np.int64)
+    meta = {"id_layout": "part_bits", "doc_id_part_bits": bits}
+    dp = _DocPos(dl_ids, meta)
+    assert dp.bits == bits
+    probe = np.array([dl_ids[0], dl_ids[4], dl_ids[5], dl_ids[-1]])
+    assert np.array_equal(dp(probe), np.searchsorted(dl_ids, probe))
+    # sparse ranks (a hole) -> arithmetic mismatches -> fallback must win
+    sparse = np.concatenate([[1 << bits], (1 << bits) + np.arange(2, 6)]).astype(np.int64)
+    dp2 = _DocPos(sparse, meta)
+    probe2 = sparse.copy()
+    assert np.array_equal(dp2(probe2), np.searchsorted(sparse, probe2))
+    # preassigned layout -> direct path disabled
+    dp3 = _DocPos(dl_ids, {"id_layout": "preassigned"})
+    assert dp3.bits == 0
+    assert np.array_equal(dp3(probe), np.searchsorted(dl_ids, probe))
