@@ -272,6 +272,148 @@ def _precompute_hot_terms(part: PartData, dl_ids: np.ndarray, dl: np.ndarray,
     return out
 
 
+_HOT_CACHE_VERSION = 1
+
+
+def _hot_cache_key(part_file: Path, N: int, avgdl: float, k1: float,
+                   b: float, budget: int) -> str | None:
+    """Content key for a part's persisted hot image.
+
+    Derived from the part's write manifest (build fingerprint + exact
+    content counts/bytes — any rebuild that changes the part's bytes
+    changes the key) plus every scoring input the precompute depends on
+    (N, avgdl, k1, b and the postings budget). ``None`` when the
+    manifest is missing: no safe key means no caching."""
+    mf = part_file.with_name(part_file.stem + ".manifest.json")
+    try:
+        man = json.loads(mf.read_text())
+    except (OSError, ValueError):
+        return None
+    return json.dumps([_HOT_CACHE_VERSION, man.get("fingerprint"),
+                       man.get("rows"), man.get("bytes"),
+                       man.get("n_postings"), man.get("n_terms"),
+                       int(N), float(avgdl), float(k1), float(b),
+                       int(budget)])
+
+
+def _hot_slabs_from_dict(hot: dict) -> tuple:
+    """Flatten a hash -> (pos, contrib, ipos, icontrib) dict into six
+    flat slabs (hashes, offsets, pos, contrib, ipos, icontrib).
+
+    Slabs are the SHIPPING format: one plasma buffer per slab instead
+    of four per term means ~7 object-store buffers per part instead of
+    ~100, so every query actor's zero-copy attach unpickles thousands
+    fewer headers (the measured 'actors' spin-up component)."""
+    items = sorted(hot.items())
+    hashes = np.array([h for h, _ in items], dtype=np.uint64)
+    lens = np.array([len(v[0]) for _, v in items], dtype=np.int64)
+    offs = np.zeros(len(items) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+
+    def cat(idx, empty_dtype):
+        return (np.concatenate([v[idx] for _, v in items]) if items
+                else np.array([], dtype=empty_dtype))
+
+    return (hashes, offs, cat(0, np.int32), cat(1, np.float64),
+            cat(2, np.int32), cat(3, np.float64))
+
+
+def _hot_dict_from_slabs(slabs: tuple) -> dict:
+    """Per-term zero-copy views over the slabs — consumer-side only."""
+    hashes, offs, pos, contrib, ipos, icontrib = slabs
+    out = {}
+    for i in range(len(hashes)):
+        lo, hi = offs[i], offs[i + 1]
+        out[int(hashes[i])] = (pos[lo:hi], contrib[lo:hi],
+                               ipos[lo:hi], icontrib[lo:hi])
+    return out
+
+
+def _hot_cache_read(cache_file: Path, key: str) -> tuple | None:
+    """mmap a persisted hot image into slabs; ``None`` on any
+    mismatch/corruption.
+
+    Arrays are zero-copy views into the memory map (Arrow buffers keep
+    the map alive); they are read-only, exactly like the plasma-shared
+    arrays every consumer already handles."""
+    try:
+        source = pa.memory_map(str(cache_file))
+        t = pa.ipc.open_file(source).read_all()
+        md = t.schema.metadata or {}
+        if md.get(b"hot_cache_key", b"").decode() != key:
+            return None
+        hashes = t.column("hash").to_numpy(zero_copy_only=False)
+        slabs, offs = [], np.zeros(1, dtype=np.int64)
+        for c in ("pos", "contrib", "ipos", "icontrib"):
+            arr = t.column(c).chunk(0)
+            offs = arr.offsets.to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False)
+            slabs.append(arr.values.to_numpy(zero_copy_only=False))
+        return (hashes, offs, *slabs)
+    except (OSError, KeyError, IndexError, pa.ArrowInvalid,
+            pa.ArrowIOError):
+        return None
+
+
+def _hot_cache_write(cache_file: Path, key: str, slabs: tuple) -> None:
+    """Persist a part's hot image atomically (tmp + rename); best-effort
+    — a read-only index directory just means every serve recomputes."""
+    import os
+
+    tmp = None
+    try:
+        hashes, offs, pos, contrib, ipos, icontrib = slabs
+        offs_arr = pa.array(offs, pa.int64())
+
+        def col(vals):
+            return pa.LargeListArray.from_arrays(offs_arr, pa.array(vals))
+
+        t = pa.table({
+            "hash": pa.array(hashes), "pos": col(pos),
+            "contrib": col(contrib), "ipos": col(ipos),
+            "icontrib": col(icontrib),
+        }).replace_schema_metadata({b"hot_cache_key": key.encode()})
+        cache_file.parent.mkdir(parents=True, exist_ok=True)
+        tmp = cache_file.with_name(f"{cache_file.name}.tmp-{os.getpid()}")
+        with pa.OSFile(str(tmp), "wb") as f:
+            with pa.ipc.new_file(f, t.schema) as w:
+                w.write_table(t)
+        tmp.rename(cache_file)
+    except OSError:
+        if tmp is not None and tmp.exists():
+            try:
+                tmp.unlink()
+            except OSError:
+                pass
+
+
+def _hot_slabs_for_part(part_file: Path, pd_: PartData, dl_ids, dl,
+                        meta: dict, N: int, avgdl: float, k1: float,
+                        b: float, budget: int, use_cache: bool = True
+                        ) -> tuple:
+    """Hot-image slabs for one part: persisted-cache hit, else compute
+    + save.
+
+    The precompute is DRAM-bound (decode + gather + argsort: measured
+    47 core-s single-threaded but 184 core-s at 32-way parallelism on
+    the bench index — memory bandwidth, not ALU), so re-serves replace
+    it with a sequential ~24 B/posting read keyed on the part manifest."""
+    if budget <= 0:
+        return _hot_slabs_from_dict({})
+    key = _hot_cache_key(part_file, N, avgdl, k1, b, budget) if use_cache else None
+    cache_file = part_file.parent.parent / "hot_cache" / (part_file.stem + ".arrow")
+    if key is not None:
+        slabs = _hot_cache_read(cache_file, key)
+        if slabs is not None:
+            return slabs
+    slabs = _hot_slabs_from_dict(_precompute_hot_terms(
+        pd_, dl_ids, dl, N, avgdl, k1, b, budget,
+        doc_pos=_DocPos(dl_ids, meta)))
+    if key is not None:
+        _hot_cache_write(cache_file, key, slabs)
+    return slabs
+
+
 def _load_doc_meta(paths: IndexPaths):
     """(meta dict, sorted doc_id array, doc_len array, N, avgdl, k1, b)."""
     meta = json.loads(Path(paths.meta_path).read_text())
@@ -287,7 +429,8 @@ def _load_doc_meta(paths: IndexPaths):
 
 
 def load_index_shared(paths: IndexPaths | str, *, precompute_hot: bool = True,
-                      hot_postings_budget: int = 256_000_000) -> dict:
+                      hot_postings_budget: int = 256_000_000,
+                      hot_cache: bool = True) -> dict:
     """Driver-light parallel index load.
 
     Part tables + hot-term precompute are produced BY Ray tasks and stay
@@ -304,22 +447,34 @@ def load_index_shared(paths: IndexPaths | str, *, precompute_hot: bool = True,
     import ray
 
     paths = paths if isinstance(paths, IndexPaths) else IndexPaths(str(paths))
-    meta, dl_ids, dl, N, avgdl, k1, b = _load_doc_meta(paths)
+    meta = json.loads(Path(paths.meta_path).read_text())
+    c = meta.get("config", {})
+    N, avgdl = int(meta["N"]), float(meta["avgdl"])
+    k1, b = float(c.get("k1", 1.2)), float(c.get("b", 0.75))
     part_files = sorted(Path(paths.postings).glob("part-*.parquet"))
     per_part_budget = (hot_postings_budget // max(1, len(part_files))
                        if precompute_hot else 0)
-    # big arrays go once into the object store and arrive as ARGS
-    # (auto-dereferenced, zero-copy) — capturing them in the task
-    # closure would re-ship them with every task spec
-    dl_ids_ref, dl_ref = ray.put(dl_ids), ray.put(dl)
+    root = paths.root
+
+    # the doc-length table loads in a TASK (sorted-array build over N
+    # rows was the one serial driver step left in spin-up); its two
+    # returns land once in the object store and arrive at the part-load
+    # tasks as ARGS (auto-dereferenced, zero-copy) — capturing arrays
+    # in the task closure would re-ship them with every task spec
+    @ray.remote(num_returns=2)
+    def _load_dl(r):
+        _, dl_ids, dl, *_ = _load_doc_meta(IndexPaths(r))
+        return dl_ids, dl
+
+    dl_ids_ref, dl_ref = _load_dl.remote(str(root))
 
     @ray.remote
     def _load(f, _dl_ids, _dl):
         pd_ = PartData(pq.read_table(f))
-        h = _precompute_hot_terms(pd_, _dl_ids, _dl, N, avgdl, k1, b,
-                                  per_part_budget,
-                                  doc_pos=_DocPos(_dl_ids, meta))
-        return int(Path(f).stem.split("-")[1]), pd_, h
+        slabs = _hot_slabs_for_part(Path(f), pd_, _dl_ids, _dl, meta, N,
+                                    avgdl, k1, b, per_part_budget,
+                                    use_cache=hot_cache)
+        return int(Path(f).stem.split("-")[1]), pd_, slabs
 
     return {"meta": meta, "dl_ids_ref": dl_ids_ref, "dl_ref": dl_ref,
             "part_refs": [_load.remote(str(f), dl_ids_ref, dl_ref)
@@ -334,9 +489,9 @@ def assemble_index_data(shared: dict) -> dict:
 
     parts: dict[int, PartData] = {}
     hot: dict = {}
-    for p, pd_, h in ray.get(shared["part_refs"]):
+    for p, pd_, slabs in ray.get(shared["part_refs"]):
         parts[p] = pd_
-        hot.update(h)
+        hot.update(_hot_dict_from_slabs(slabs))
     return {"meta": shared["meta"], "dl_ids": ray.get(shared["dl_ids_ref"]),
             "dl": ray.get(shared["dl_ref"]), "parts": parts, "hot": hot}
 
@@ -369,13 +524,11 @@ def load_index_data(paths: IndexPaths | str, *, precompute_hot: bool = True,
     hot: dict = {}
     per_part_budget = (hot_postings_budget // max(1, len(part_files))
                        if precompute_hot else 0)
-    dpos = _DocPos(dl_ids, meta)
     for f in part_files:
         pd_ = PartData(pq.read_table(f))
         parts[int(f.stem.split("-")[1])] = pd_
-        hot.update(_precompute_hot_terms(pd_, dl_ids, dl, N, avgdl,
-                                         k1, b, per_part_budget,
-                                         doc_pos=dpos))
+        hot.update(_hot_dict_from_slabs(_hot_slabs_for_part(
+            f, pd_, dl_ids, dl, meta, N, avgdl, k1, b, per_part_budget)))
     return {"meta": meta, "dl_ids": dl_ids, "dl": dl, "parts": parts,
             "hot": hot}
 
