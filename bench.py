@@ -127,6 +127,16 @@ def run_bench() -> dict:
     svc.shutdown()
     assert len(res) > 0
 
+    # re-serve spin-up: the first QueryService above computed + persisted
+    # the hot-term image (<index>/hot_cache); serving the SAME index again
+    # — the production restart/redeploy path — must hit that cache instead
+    # of redoing the bandwidth-bound precompute
+    t0 = time.time()
+    svc = QueryService(paths, cfg, num_actors=n_actors, k=10, method="impact")
+    svc.warmup(corpus_queries(n=8))
+    extra["spinup_reserve_sec"] = round(time.time() - t0, 3)
+    svc.shutdown()
+
     # ---- sf_dir pipelines (documents/embeddings/lineitem tables) ----
     def timed(name, fn):
         t0 = time.time()
@@ -237,8 +247,9 @@ def query_calibration(n: int) -> float:
     return round(time.time() - t0, 3)
 
 
-def run_scaling(repeats: int = 3) -> dict:
-    """Same job, fresh processes, num_cpus=8 vs 32 -> scaling efficiency.
+def run_scaling(repeats: int = 3, levels: tuple[int, int] = (8, 32)) -> dict:
+    """Same job, fresh processes, ``levels[0]`` vs ``levels[1]`` cpus ->
+    scaling efficiency (the brief's "N and 4N CPUs" evidence).
 
     Each level runs ``repeats`` times INTERLEAVED (8,32,8,32,...) and
     keeps the fastest core (build+queries) run per level — the sandbox
@@ -248,16 +259,24 @@ def run_scaling(repeats: int = 3) -> dict:
     alternating levels decorrelates it. A no-Ray multiprocessing ALU
     calibration (``host_calibration``) runs beside each sample pair: it
     measures the host's OWN ceiling for embarrassingly-parallel compute
-    at 8 vs 32 workers, so job efficiency can be read against what the
+    at the two widths, so job efficiency can be read against what the
     hardware actually offers (32 advertised cpus on this box do NOT
-    deliver 4x the sustained throughput of 8)."""
+    deliver 4x the sustained throughput of 8; see
+    ``host_parallel_ceiling`` in the output). Besides the best-of
+    summary, ``per_rep`` records every interleaved pair's raw
+    efficiencies so a single invocation documents run-to-run spread."""
+    lo, hi = levels
+    ratio = hi / lo
     results: dict[int, tuple] = {}
-    failures = {8: 0, 32: 0}
-    loads: dict[int, list] = {8: [], 32: []}
-    calib: dict[int, list] = {8: [], 32: []}
-    qcalib: dict[int, list] = {8: [], 32: []}
+    failures = {lo: 0, hi: 0}
+    loads: dict[int, list] = {lo: [], hi: []}
+    calib: dict[int, list] = {lo: [], hi: []}
+    qcalib: dict[int, list] = {lo: [], hi: []}
+    per_rep: list[dict] = []
+    rep_samples: dict[int, dict] = {}
     for rep in range(repeats):
-        for n in (8, 32):
+        rep_samples = {}
+        for n in (lo, hi):
             calib[n].append(host_calibration(n))
             qcalib[n].append(query_calibration(n))
             loads[n].append(round(os.getloadavg()[0], 2))
@@ -274,20 +293,40 @@ def run_scaling(repeats: int = 3) -> dict:
                 continue
             r = json.loads(out.stdout.strip().splitlines()[-1])
             core = r["queries"]["index_build"] + r["queries"]["bm25_queries"]
+            rep_samples[n] = r
             if n not in results or core < results[n][0]:
                 results[n] = (core, r)
-    for n in (8, 32):
+        if lo in rep_samples and hi in rep_samples:
+            rl, rh = rep_samples[lo], rep_samples[hi]
+
+            def _e(tl, th):
+                return round((tl / th) / ratio, 3) if th else None
+
+            per_rep.append({
+                "rep": rep,
+                "build_eff": _e(rl.get("build_phase2_postings_sec", 0.0),
+                                rh.get("build_phase2_postings_sec", 0.0)),
+                "queries_eff": _e(rl["queries"]["bm25_queries"],
+                                  rh["queries"]["bm25_queries"]),
+                "overall_eff": _e(
+                    rl["queries"]["index_build"] + rl["queries"]["bm25_queries"],
+                    rh["queries"]["index_build"] + rh["queries"]["bm25_queries"]),
+                "alu_ceiling": round((calib[lo][-1] / calib[hi][-1]) / ratio, 3),
+            })
+    for n in (lo, hi):
         if n not in results:
             raise RuntimeError(f"all scaling samples failed at num_cpus={n}")
         results[n] = results[n][1]
         results[n]["failed_samples"] = failures[n]
     def eff(name, getter):
-        t8, t32 = getter(results[8]), getter(results[32])
-        return {f"{name}_sec_8": round(t8, 3), f"{name}_sec_32": round(t32, 3),
-                f"{name}_efficiency": round((t8 / t32) / (32 / 8), 3)}
+        tl, th = getter(results[lo]), getter(results[hi])
+        return {f"{name}_sec_{lo}": round(tl, 3), f"{name}_sec_{hi}": round(th, 3),
+                f"{name}_efficiency": round((tl / th) / ratio, 3)}
 
     out = {
-        "metric": "scaling efficiency (8 -> 32 cpus, fresh processes, same input+config)",
+        "metric": f"scaling efficiency ({lo} -> {hi} cpus, fresh processes, "
+                  "same input+config)",
+        "levels": [lo, hi],
         **eff("overall", lambda r: r["queries"]["index_build"]
               + r["queries"]["bm25_queries"]),
         # the compute-bound phases (ingest/normalize is single-disk-I/O
@@ -301,26 +340,28 @@ def run_scaling(repeats: int = 3) -> dict:
         **eff("postings_reduce", lambda r: r.get("build_phase2_reduce_wall_sec", 0.0)
               or r.get("build_phase2_postings_sec", 0.0)),
         **eff("queries", lambda r: r["queries"]["bm25_queries"]),
-        "docs_per_sec_8": results[8]["docs_per_sec"],
-        "docs_per_sec_32": results[32]["docs_per_sec"],
-        "queries_per_sec_8": results[8]["queries_per_sec"],
-        "queries_per_sec_32": results[32]["queries_per_sec"],
+        f"docs_per_sec_{lo}": results[lo]["docs_per_sec"],
+        f"docs_per_sec_{hi}": results[hi]["docs_per_sec"],
+        f"queries_per_sec_{lo}": results[lo]["queries_per_sec"],
+        f"queries_per_sec_{hi}": results[hi]["queries_per_sec"],
         "load_avg_before_runs": loads,
-        "full_8": results[8], "full_32": results[32],
+        "per_rep": per_rep,
+        f"full_{lo}": results[lo], f"full_{hi}": results[hi],
     }
     # host ceiling: how a zero-shared-state ALU pool scales on this box
-    # right now (1.0 = the hardware really has 4x the throughput at 32)
-    c8, c32 = min(calib[8]), min(calib[32])
-    out["host_calib_sec_8"] = c8
-    out["host_calib_sec_32"] = c32
-    out["host_parallel_ceiling"] = round((c8 / c32) / (32 / 8), 3)
+    # right now (1.0 = the hardware really has `ratio`x the throughput
+    # at the wide level)
+    c8, c32 = min(calib[lo]), min(calib[hi])
+    out[f"host_calib_sec_{lo}"] = c8
+    out[f"host_calib_sec_{hi}"] = c32
+    out["host_parallel_ceiling"] = round((c8 / c32) / ratio, 3)
     # query-phase ceiling: gather-bound work over ONE shared read-only
     # array — what the hardware offers the query pool's access pattern
     # (distinct from the ALU ceiling; see _query_calib_task)
-    q8, q32 = min(qcalib[8]), min(qcalib[32])
-    out["query_calib_sec_8"] = q8
-    out["query_calib_sec_32"] = q32
-    out["query_host_ceiling"] = round((q8 / q32) / (32 / 8), 3)
+    q8, q32 = min(qcalib[lo]), min(qcalib[hi])
+    out[f"query_calib_sec_{lo}"] = q8
+    out[f"query_calib_sec_{hi}"] = q32
+    out["query_host_ceiling"] = round((q8 / q32) / ratio, 3)
     out["queries_efficiency_vs_ceiling"] = round(
         out["queries_efficiency"] / out["query_host_ceiling"], 3)
     out["scaling_efficiency"] = out["overall_efficiency"]
@@ -331,7 +372,11 @@ def run_scaling(repeats: int = 3) -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        levels = (8, 32)
+        if "--levels" in sys.argv:
+            a, b = sys.argv[sys.argv.index("--levels") + 1].split(",")
+            levels = (int(a), int(b))
+        print(json.dumps(run_scaling(levels=levels)))
     else:
         out = run_bench()
         import ray
