@@ -145,14 +145,18 @@ def run_bench() -> dict:
             r = r.to_pandas()
         timings[name] = time.time() - t0
 
-    timed("term_df", ts.term_df)
-    timed("doc_token_stats", ts.doc_token_stats)
-    timed("dedup_exact", dedup.dedup_exact)
-    timed("minhash_lsh", dedup.minhash_lsh_dedup)
-    timed("ann_topk", ann.ann_topk)
-    timed("pricing_summary", rel.pricing_summary)
-    timed("events_daily", rel.events_daily)
-    timed("bm25_docs_table", docsearch.bm25_topk)
+    # the scaling harness measures only the build + query phases; the
+    # sf-side pipeline sweep adds minutes per sample at narrow widths
+    # without feeding any scaling metric
+    if not os.environ.get("GRAFT_BENCH_SCALING_ONLY"):
+        timed("term_df", ts.term_df)
+        timed("doc_token_stats", ts.doc_token_stats)
+        timed("dedup_exact", dedup.dedup_exact)
+        timed("minhash_lsh", dedup.minhash_lsh_dedup)
+        timed("ann_topk", ann.ann_topk)
+        timed("pricing_summary", rel.pricing_summary)
+        timed("events_daily", rel.events_daily)
+        timed("bm25_docs_table", docsearch.bm25_topk)
 
     total = sum(timings.values())
     return {
