@@ -238,7 +238,18 @@ def _precompute_hot_terms(part: PartData, dl_ids: np.ndarray, dl: np.ndarray,
     only an iorder permutation and gathering per actor was measured to
     re-create the duplicated memory-bound warm-up this image exists to
     kill (warm-up 1.5 s -> 58 s at 16 actors), so the extra 12
-    bytes/posting of plasma is the right trade."""
+    bytes/posting of plasma is the right trade.
+
+    Budget semantics at scale: the loop stops AFTER the term that
+    crosses the budget, so each part overshoots by at most one term —
+    and when single head terms exceed the per-part budget, the head
+    drives the image size, not the knob (measured at sf1/20M docs: a
+    256M-posting budget yields a ~740M-posting / 17.8 GB image because
+    per-part budget is 2.7M postings while head terms hold 5-10M).
+    That is intentional: the head terms are precisely the ones whose
+    per-actor cold decode anti-scales; the budget bounds the TAIL.
+    Size the budget to the node's plasma store, and expect
+    ~24 B x max(budget, sum of per-part heaviest-term dfs) of image."""
     from searchengine_ray.codec import concat_blocks, decode_blocks
 
     out: dict = {}
