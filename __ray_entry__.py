@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivors": dedup.dedup_survivors,
         "dedup_apply": dedup.dedup_apply,
         "dedup_spans": dedup.dedup_spans,
+        "decontaminate": dedup.decontaminate,
         "clean_text": ts.clean_text,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
@@ -145,6 +146,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "dedup_survivors": dedup.dedup_survivors_sql(),
         "dedup_apply": dedup.dedup_apply_sql(),
         "dedup_spans": dedup.dedup_spans_sql(),
+        "decontaminate": dedup.decontaminate_sql(),
         "top_terms_sketch_violations": ts.top_terms_sketch_violations_sql(),
         "clean_text": ts.clean_text_sql(),
         "embedding_near_dups": dedup.embedding_near_dups_sql(),

@@ -330,20 +330,19 @@ toks AS (
 )"""
 
 
-def minhash_lsh_dedup_sql(threshold_bp: int = 5000) -> str:
-    """Exact DuckDB replay of the WHOLE MinHash-LSH pipeline — token
-    md5 hashes (``md5_number_lower`` == the Python side's low-64-le
-    md5), wraparound shingle polynomial, the 64 (a,b) permutation
-    hashes mod the Mersenne prime, band folds, the bucket-cap/star pair
-    policy, pair dedup, and exact-Jaccard verification over the hashed
-    shingle sets. All integer arithmetic is UHUGEINT mod 2^64, so every
-    value is bit-identical to numpy's uint64 wraparound."""
+def _minhash_sig_ctes() -> str:
+    """Shared CTE chain of the MinHash SQL replay — tokens -> shingle
+    hashes -> 64 permutation minhashes -> band folds (through ``bh``),
+    plus the per-doc shingle sets (``shl``) the Jaccard verify reads.
+    All integer arithmetic is UHUGEINT mod 2^64, so every value is
+    bit-identical to numpy's uint64 wraparound. Used by both the dedup
+    (``minhash_lsh_dedup_sql``) and decontamination
+    (``decontaminate_sql``) oracles."""
     a, b = _minhash_params()
     params = ",".join(f"({i},{int(a[i])}::UHUGEINT,{int(b[i])}::UHUGEINT)"
                       for i in range(_N_HASH))
     c = f"{_SHINGLE_C}::UHUGEINT"
-    return f"""
-WITH {_sql_tokens_cte()},
+    return f"""{_sql_tokens_cte()},
 th AS (
   SELECT doc_id, pos, CAST(md5_number_lower(tok) AS UHUGEINT) AS h FROM toks
 ),
@@ -376,6 +375,38 @@ bh AS (
                      (x, y) -> (x * {c} + y) % {_SQL_W64}) // 8 AS band_hash
   FROM sig, unnest(generate_series(0, {_BANDS - 1})) AS u(bnd)
 ),
+shl AS (SELECT doc_id, list(s) AS ss FROM sh GROUP BY doc_id)"""
+
+
+def _sql_jaccard_verify(threshold_bp: int, a_alias: str = "doc_a",
+                        b_alias: str = "doc_b") -> str:
+    """Exact-Jaccard verification tail over a ``pairs(doc_a, doc_b)``
+    CTE and the ``shl`` shingle sets — shared by both MinHash oracles."""
+    return f"""
+jac AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(floor(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                    / greatest(len(sa.ss) + len(sb.ss)
+                               - len(list_intersect(sa.ss, sb.ss)), 1)
+                    * 10000 + 0.5) AS BIGINT) AS jaccard_bp
+  FROM pairs p
+  LEFT JOIN shl sa ON sa.doc_id = p.doc_a
+  LEFT JOIN shl sb ON sb.doc_id = p.doc_b
+)
+SELECT doc_a AS {a_alias}, doc_b AS {b_alias}, jaccard_bp
+FROM jac WHERE jaccard_bp >= {threshold_bp}
+"""
+
+
+def minhash_lsh_dedup_sql(threshold_bp: int = 5000) -> str:
+    """Exact DuckDB replay of the WHOLE MinHash-LSH pipeline — token
+    md5 hashes (``md5_number_lower`` == the Python side's low-64-le
+    md5), wraparound shingle polynomial, the 64 (a,b) permutation
+    hashes mod the Mersenne prime, band folds, the bucket-cap/star pair
+    policy, pair dedup, and exact-Jaccard verification over the hashed
+    shingle sets."""
+    return f"""
+WITH {_minhash_sig_ctes()},
 sized AS (
   SELECT doc_id, bnd, band_hash,
          count(*) OVER (PARTITION BY bnd, band_hash) AS m,
@@ -390,20 +421,7 @@ pairs AS (
   UNION
   SELECT DISTINCT mn AS doc_a, doc_id AS doc_b
   FROM sized WHERE m > {_BUCKET_CAP} AND doc_id > mn
-),
-shl AS (SELECT doc_id, list(s) AS ss FROM sh GROUP BY doc_id),
-jac AS (
-  SELECT p.doc_a, p.doc_b,
-         CAST(floor(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
-                    / greatest(len(sa.ss) + len(sb.ss)
-                               - len(list_intersect(sa.ss, sb.ss)), 1)
-                    * 10000 + 0.5) AS BIGINT) AS jaccard_bp
-  FROM pairs p
-  LEFT JOIN shl sa ON sa.doc_id = p.doc_a
-  LEFT JOIN shl sb ON sb.doc_id = p.doc_b
-)
-SELECT doc_a, doc_b, jaccard_bp FROM jac WHERE jaccard_bp >= {threshold_bp}
-"""
+),{_sql_jaccard_verify(threshold_bp)}"""
 
 
 # ---------------- SimHash ----------------
@@ -1271,3 +1289,128 @@ SELECT doc_a, doc_b, CAST(max(span) AS BIGINT) AS span_len,
 FROM spans GROUP BY doc_a, doc_b
 HAVING max(span) >= {min_span}
 """
+
+
+# ---------------- train/eval decontamination ----------------
+
+_EVAL_MOD = 5   # eval side = doc_id % 5 == 0 — a deterministic 20%
+                # "held-out benchmark" slice of the documents table. In
+                # production the eval side is its own (small) table; the
+                # pipeline below only needs a per-row side predicate, so
+                # swapping the modulus test for a membership column or a
+                # second read() is a one-line change.
+
+
+def _make_cross_pairs(keys: list[str], cap: int):
+    """Cross-side variant of ``_make_grouped_pairs`` for contamination
+    checks: emits only (train_doc, eval_doc) candidate pairs.
+
+    Small buckets (<= ``cap`` members) emit the full train x eval
+    product. Hot buckets emit each EVAL member against the bucket's MIN
+    TRAIN member only: decontamination needs every eval doc *checked*,
+    not every pair enumerated, and a >cap MinHash bucket is a
+    near-identical cluster whose min train member is as good a witness
+    as any — O(m) edges instead of m^2, same bound as the star policy.
+    Same gkey-bucketed ``map_groups`` shape as ``_make_grouped_pairs``
+    (all rows of a real bucket land in one group, so in-group counts
+    are global).
+    """
+
+    def cross_pairs(df: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64())})
+        df = df.drop_duplicates(keys + ["doc_id"])
+        if len(df) < 2:
+            return empty
+        sizes = df.groupby(keys)["doc_id"].transform("size")
+        out_a, out_b = [], []
+        small = df[sizes <= cap]
+        if len(small):
+            ie = (small["doc_id"] % _EVAL_MOD) == 0
+            tr, ev = small[~ie], small[ie]
+            if len(tr) and len(ev):
+                m = tr.merge(ev, on=keys)
+                out_a.append(m["doc_id_x"].to_numpy(np.int64))
+                out_b.append(m["doc_id_y"].to_numpy(np.int64))
+        big = df[sizes > cap]
+        if len(big):
+            ie = (big["doc_id"] % _EVAL_MOD) == 0
+            tr, ev = big[~ie], big[ie]
+            if len(tr) and len(ev):
+                mins = tr.groupby(keys, as_index=False)["doc_id"].min()
+                m = mins.merge(ev, on=keys)
+                out_a.append(m["doc_id_x"].to_numpy(np.int64))
+                out_b.append(m["doc_id_y"].to_numpy(np.int64))
+        if not out_a:
+            return empty
+        return pa.table({"doc_a": int64_col(np.concatenate(out_a)),
+                         "doc_b": int64_col(np.concatenate(out_b))})
+
+    cross_pairs.__name__ = "cross_pairs"
+    return cross_pairs
+
+
+def decontaminate(sf_dir: str, threshold_bp: int = 5000):
+    """Train/eval contamination pairs (train_doc, eval_doc, jaccard_bp)
+    — the cross-corpus MinHash check a training-data pipeline runs
+    before every release (is any eval/benchmark document near-duplicated
+    in the training set?).
+
+    Same fully-distributed LSH shape as ``minhash_lsh_dedup`` (and
+    reuses its band stage, pair-dedup groupby, and Jaccard verifier
+    verbatim): the shuffle moves only (band, band_hash, doc_id) rows;
+    candidates are CROSS-SIDE only; hot buckets use the eval-star policy
+    (see ``_make_cross_pairs``); verification routes each pair to a hash
+    partition that reads only the texts its pairs reference."""
+    from searchengine_ray.pipelines.common import table_path
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    bands = ds.map_batches(MinHashStage, batch_format="pyarrow", batch_size=512,
+                           concurrency=(1, 4))
+    pairs = bands.map_batches(_add_gkey, batch_format="pyarrow").groupby(
+        "gkey").map_groups(
+        _make_cross_pairs(["band", "band_hash"], _BUCKET_CAP),
+        batch_format="pandas")
+    uniq = _distinct_pairs(pairs)
+
+    def add_vpart(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        return batch.append_column("vpart", int64_col(a % _N_VERIFY_PARTS))
+
+    routed = uniq.map_batches(add_vpart, batch_format="pyarrow")
+    verify = JaccardVerifyGroup(table_path(sf_dir, "documents"), threshold_bp)
+    out = routed.groupby("vpart").map_groups(verify, batch_format="pyarrow")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"train_doc": batch.column("doc_a"),
+                         "eval_doc": batch.column("doc_b"),
+                         "jaccard_bp": batch.column("jaccard_bp")})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def decontaminate_sql(threshold_bp: int = 5000) -> str:
+    """Exact DuckDB replay of ``decontaminate``: the shared MinHash CTE
+    chain, cross-side-only candidates with the eval-star hot-bucket
+    policy, and the shared exact-Jaccard verification tail."""
+    return f"""
+WITH {_minhash_sig_ctes()},
+sized AS (
+  SELECT doc_id, bnd, band_hash,
+         count(*) OVER (PARTITION BY bnd, band_hash) AS m,
+         min(doc_id) FILTER (WHERE doc_id % {_EVAL_MOD} <> 0)
+             OVER (PARTITION BY bnd, band_hash) AS mn_train
+  FROM bh
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM sized x JOIN sized y
+    ON x.bnd = y.bnd AND x.band_hash = y.band_hash
+   AND x.doc_id % {_EVAL_MOD} <> 0 AND y.doc_id % {_EVAL_MOD} = 0
+   AND x.m <= {_BUCKET_CAP}
+  UNION
+  SELECT DISTINCT mn_train AS doc_a, doc_id AS doc_b
+  FROM sized
+  WHERE m > {_BUCKET_CAP} AND doc_id % {_EVAL_MOD} = 0
+    AND mn_train IS NOT NULL
+),{_sql_jaccard_verify(threshold_bp, "train_doc", "eval_doc")}"""

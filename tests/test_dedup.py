@@ -210,3 +210,58 @@ def test_dedup_spans_anchor_mod_lower_bound(ray_session):
                      suffixes=("_s", "_e"))
     assert not m.span_len_e.isna().any()          # subset of exact pairs
     assert (m.span_len_s <= m.span_len_e).all()   # lower-bound estimates
+
+
+def test_decontaminate_matches_oracle(ray_session):
+    """Cross-corpus contamination pairs: the Ray LSH pipeline must equal
+    the full DuckDB replay exactly, every pair must be cross-side
+    (train % 5 != 0, eval % 5 == 0), and each jaccard_bp must equal the
+    brute-force shingle Jaccard."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.dedup import (_shingles, decontaminate,
+                                                  decontaminate_sql)
+
+    got = decontaminate(SF_DIR).to_pandas()
+    got = got.sort_values(["train_doc", "eval_doc"]).reset_index(drop=True)
+    assert len(got) > 0
+    assert (got.train_doc % 5 != 0).all()
+    assert (got.eval_doc % 5 == 0).all()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    want = con.execute(decontaminate_sql()).df()
+    want = want.sort_values(["train_doc", "eval_doc"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+    texts = dict(zip(*[
+        pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"]).column(c).to_pylist()
+        for c in ("doc_id", "text")]))
+    for _, r in got.iterrows():
+        sa = set(_shingles(texts[r.train_doc]).tolist())
+        sb = set(_shingles(texts[r.eval_doc]).tolist())
+        want_bp = int(np.floor(len(sa & sb) / (len(sa | sb) or 1) * 10000 + 0.5))
+        assert int(r.jaccard_bp) == want_bp >= 5000
+
+
+def test_cross_pairs_hot_bucket_policy():
+    """Eval-star policy: a bucket above cap pairs every eval member with
+    the bucket's min TRAIN member only; small buckets emit the full
+    cross product; single-side buckets emit nothing."""
+    from searchengine_ray.pipelines.dedup import _make_cross_pairs
+
+    fn = _make_cross_pairs(["k"], cap=3)
+    # small bucket: train {1,2}, eval {5,10} -> full cross product
+    small = pd.DataFrame({"k": ["a"] * 3, "doc_id": [1, 2, 5]})
+    out = fn(small).to_pandas()
+    assert sorted(zip(out.doc_a, out.doc_b)) == [(1, 5), (2, 5)]
+    # hot bucket (6 > cap): evals {5, 10} pair with min train 2 only
+    hot = pd.DataFrame({"k": ["b"] * 6, "doc_id": [2, 3, 4, 5, 10, 6]})
+    out = fn(hot).to_pandas()
+    assert sorted(zip(out.doc_a, out.doc_b)) == [(2, 5), (2, 10)]
+    # all-train bucket -> nothing
+    out = fn(pd.DataFrame({"k": ["c"] * 2, "doc_id": [1, 2]})).to_pandas()
+    assert len(out) == 0
