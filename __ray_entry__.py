@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_apply": dedup.dedup_apply,
         "dedup_spans": dedup.dedup_spans,
         "decontaminate": dedup.decontaminate,
+        "decontaminate_apply": dedup.decontaminate_apply,
         "clean_text": ts.clean_text,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
@@ -147,6 +148,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "dedup_apply": dedup.dedup_apply_sql(),
         "dedup_spans": dedup.dedup_spans_sql(),
         "decontaminate": dedup.decontaminate_sql(),
+        "decontaminate_apply": dedup.decontaminate_apply_sql(),
         "top_terms_sketch_violations": ts.top_terms_sketch_violations_sql(),
         "clean_text": ts.clean_text_sql(),
         "embedding_near_dups": dedup.embedding_near_dups_sql(),

@@ -1414,3 +1414,57 @@ pairs AS (
   WHERE m > {_BUCKET_CAP} AND doc_id % {_EVAL_MOD} = 0
     AND mn_train IS NOT NULL
 ),{_sql_jaccard_verify(threshold_bp, "train_doc", "eval_doc")}"""
+
+
+def decontaminate_apply(sf_dir: str, threshold_bp: int = 5000):
+    """(doc_id, lang, n_chars) of TRAIN documents surviving
+    decontamination — the terminal consumer of ``decontaminate``:
+    train docs with any verified eval near-dup become a drop-list that
+    anti-joins the train slice of the documents table. Same
+    one-co-located-``groupby(jpart)`` anti-join shape as
+    ``dedup_apply`` (neither side broadcasts; only metadata columns
+    ride the shuffle, never text)."""
+    pairs = decontaminate(sf_dir, threshold_bp)
+    n_jparts = 64
+
+    def drop_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("train_doc").to_numpy(zero_copy_only=False)
+        return pa.table({"jpart": int64_col(ids % n_jparts),
+                         "doc_id": int64_col(ids),
+                         "lang": pa.array([""] * len(ids), pa.string()),
+                         "n_chars": int64_col(np.zeros(len(ids), np.int64)),
+                         "side": int64_col(np.ones(len(ids), np.int64))})
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        tr = (ids % _EVAL_MOD) != 0
+        batch = batch.filter(pa.array(tr))
+        ids = ids[tr]
+        return pa.table({"jpart": int64_col(ids % n_jparts),
+                         "doc_id": int64_col(ids),
+                         "lang": batch.column("lang"),
+                         "n_chars": batch.column("n_chars").cast(pa.int64()),
+                         "side": int64_col(np.zeros(len(ids), np.int64))})
+
+    def anti(df: pd.DataFrame) -> pa.Table:
+        docs = df[df["side"] == 0]
+        dead = set(df.loc[df["side"] == 1, "doc_id"].to_numpy())
+        live = docs[~docs["doc_id"].isin(dead)]
+        return pa.table({"doc_id": int64_col(live["doc_id"].to_numpy(np.int64)),
+                         "lang": pa.array(live["lang"].tolist(), pa.string()),
+                         "n_chars": int64_col(live["n_chars"].to_numpy(np.int64))})
+
+    drops = pairs.map_batches(drop_side, batch_format="pyarrow")
+    docs = read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+        doc_side, batch_format="pyarrow", batch_size=65536)
+    return docs.union(drops).groupby("jpart").map_groups(
+        anti, batch_format="pandas")
+
+
+def decontaminate_apply_sql(threshold_bp: int = 5000) -> str:
+    return f"""
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id % {_EVAL_MOD} <> 0 AND d.doc_id NOT IN (
+  SELECT train_doc FROM ({decontaminate_sql(threshold_bp)}) p)
+"""

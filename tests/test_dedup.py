@@ -265,3 +265,28 @@ def test_cross_pairs_hot_bucket_policy():
     # all-train bucket -> nothing
     out = fn(pd.DataFrame({"k": ["c"] * 2, "doc_id": [1, 2]})).to_pandas()
     assert len(out) == 0
+
+
+def test_decontaminate_apply_matches_oracle(ray_session):
+    """Clean-train-set anti-join: equals the SQL replay, contains only
+    train-side docs, and drops exactly the contaminated train docs."""
+    import duckdb
+
+    from searchengine_ray.pipelines.dedup import (decontaminate,
+                                                  decontaminate_apply,
+                                                  decontaminate_apply_sql)
+
+    got = decontaminate_apply(SF_DIR).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert len(got) > 0
+    assert (got.doc_id % 5 != 0).all()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    want = con.execute(decontaminate_apply_sql()).df()
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+    contaminated = set(decontaminate(SF_DIR).to_pandas().train_doc)
+    assert contaminated and not (set(got.doc_id) & contaminated)
