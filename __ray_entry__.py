@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": dedup.decontaminate,
         "decontaminate_apply": dedup.decontaminate_apply,
         "clean_text": ts.clean_text,
+        "pii_scrub": ts.pii_scrub,
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
@@ -151,6 +152,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "decontaminate_apply": dedup.decontaminate_apply_sql(),
         "top_terms_sketch_violations": ts.top_terms_sketch_violations_sql(),
         "clean_text": ts.clean_text_sql(),
+        "pii_scrub": ts.pii_scrub_sql(),
         "embedding_near_dups": dedup.embedding_near_dups_sql(),
         "lang_id": ts.lang_id_sql(),
         "doc_fingerprint": ts.doc_fingerprint_sql(),

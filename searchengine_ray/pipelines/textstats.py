@@ -987,6 +987,126 @@ FROM c
 """
 
 
+# ---------------- PII redaction (training-data scrubbing) ----------
+
+# Explicit ASCII classes only, no alternation whose branches could pick
+# different winners under python re (leftmost-first backtracking) vs
+# DuckDB RE2 (leftmost-longest) — greedy character-class repetitions
+# agree byte-for-byte between the two engines.
+_PII_PATTERNS = (
+    ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("<PHONE>", r"\+1 [0-9]{3}-[0-9]{3}-[0-9]{4}"),
+    ("<IP>", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"),
+)
+
+
+class PiiScrubStage:
+    """map_batches: (doc_id, text) -> (doc_id, text_redacted, n_emails,
+    n_phones, n_ipv4). Redacts emails, ``+1`` phone numbers and IPv4
+    addresses with typed placeholders and counts each per document.
+    Counts come from the ORIGINAL text; replacements run in the fixed
+    order email -> phone -> ip (placeholders contain no digits or dots,
+    so later passes never re-match earlier redactions). Pure per-row
+    C-regex work — no shuffle, embarrassingly parallel at any scale."""
+
+    def __init__(self):
+        import re
+
+        self.pats = [(rep, re.compile(pat)) for rep, pat in _PII_PATTERNS]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        counts = np.zeros((len(self.pats), n), dtype=np.int64)
+        red = []
+        for i, t in enumerate(texts):
+            for j, (rep, pat) in enumerate(self.pats):
+                t, counts[j, i] = pat.subn(rep, t)
+            red.append(t)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text_redacted": pa.array(red, pa.string()),
+            "n_emails": int64_col(counts[0]),
+            "n_phones": int64_col(counts[1]),
+            "n_ipv4": int64_col(counts[2]),
+        })
+
+
+class _PiiAugmentStage:
+    """TEST-HARNESS pre-stage: the synthetic corpus contains no PII, so
+    the registry row appends deterministic doc_id-derived PII (email on
+    doc_id%3==0, phone on %5==0, IPv4 on %7==0) before scrubbing —
+    exactly mirrored in the oracle SQL, the same seeded-literal trick
+    the ANN oracles use. Production callers run PiiScrubStage directly
+    on their own text column; this stage exists so the driver compare
+    actually exercises the detection regexes."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out = []
+        for i, t in zip(ids.astype(np.int64), texts):
+            i = int(i)
+            if i % 3 == 0:
+                tld = "com" if i % 2 == 0 else "org"
+                t += f" contact user{i}@example.{tld}"
+            if i % 5 == 0:
+                t += (f" call +1 {200 + i % 700}-{100 + i % 900}"
+                      f"-{1000 + i % 9000}")
+            if i % 7 == 0:
+                t += (f" host {10 + i % 90}.{i % 256}"
+                      f".{i * 7 % 256}.{i * 13 % 256}")
+            out.append(t)  # always emitted, so row count is stable
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(out, pa.string())})
+
+
+def pii_scrub(sf_dir: str):
+    """Per-document PII redaction + detection counts over the documents
+    table (with deterministic synthetic PII injected — see
+    ``_PiiAugmentStage``)."""
+    return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _PiiAugmentStage, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 4)).map_batches(
+        PiiScrubStage, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 4))
+
+
+def pii_scrub_sql() -> str:
+    """DuckDB replay: identical augmentation arithmetic, identical
+    regexes (RE2 and python re agree on these — see _PII_PATTERNS),
+    identical email -> phone -> ip replace order; counts via
+    regexp_extract_all on the pre-scrub text."""
+    email, phone, ip = (p for _, p in _PII_PATTERNS)
+    return rf"""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id
+         || '@example.' || CASE WHEN doc_id % 2 = 0 THEN 'com'
+                                ELSE 'org' END
+       ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' call +1 '
+         || (200 + doc_id % 700) || '-' || (100 + doc_id % 900)
+         || '-' || (1000 + doc_id % 9000)
+       ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' host '
+         || (10 + doc_id % 90) || '.' || (doc_id % 256)
+         || '.' || (doc_id * 7 % 256) || '.' || (doc_id * 13 % 256)
+       ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '{email}', '<EMAIL>', 'g'),
+      '{phone}', '<PHONE>', 'g'),
+      '{ip}', '<IP>', 'g') AS text_redacted,
+  CAST(length(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
+  CAST(length(regexp_extract_all(text, '{phone}')) AS BIGINT) AS n_phones,
+  CAST(length(regexp_extract_all(text, '{ip}')) AS BIGINT) AS n_ipv4
+FROM aug
+"""
+
+
 # ---------------- deterministic per-group sampling ----------------
 
 

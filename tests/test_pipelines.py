@@ -26,7 +26,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "phrase_search", "proximity_search", "lang_id", "doc_fingerprint",
                "numeric_literals", "token_count_bpe", "ngram_jaccard_dedup",
                "minhash_lsh_dedup", "simhash_near_dups", "dedup_survivors",
-               "dedup_apply", "clean_text",
+               "dedup_apply", "clean_text", "pii_scrub",
                "sessionize_events", "event_asof_join", "event_range_join",
                "event_value_quantiles", "order_lineitem_join",
                "hopping_window_counts", "customers_without_orders",
@@ -65,6 +65,34 @@ def test_query_matches_oracle(ray_session, duck, name):
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pii_scrub_stage_edge_cases():
+    """Direct-callable unit test: multiple PII per doc, adjacent
+    matches, order independence of counts, and digit-bearing text that
+    must NOT match (no false positives on bare numbers)."""
+    import pyarrow as pa
+
+    from searchengine_ray.pipelines.textstats import PiiScrubStage
+
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "a@b.com c.d-e@sub.domain.org tail",          # two emails
+            "+1 212-555-0147 then 10.0.0.1 and +1 999-888-7777",
+            "no pii here, just 12345 and 1.5 and v2.0.1",  # no match
+            "x@y.io 8.8.8.8",
+        ]})
+    out = PiiScrubStage()(t).to_pandas()
+    assert out.text_redacted.tolist() == [
+        "<EMAIL> <EMAIL> tail",
+        "<PHONE> then <IP> and <PHONE>",
+        "no pii here, just 12345 and 1.5 and v2.0.1",
+        "<EMAIL> <IP>",
+    ]
+    assert out.n_emails.tolist() == [2, 0, 0, 1]
+    assert out.n_phones.tolist() == [0, 2, 0, 0]
+    assert out.n_ipv4.tolist() == [0, 1, 0, 1]
 
 
 def test_rows_only_entries_run(ray_session):
