@@ -94,6 +94,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": rel.customers_without_orders,
         "top_terms_per_lang": ts.top_terms_per_lang,
         "dataset_split": ts.dataset_split,
+        "dataset_mixture": ts.dataset_mixture,
+        "pack_sequences": ts.pack_sequences,
+        "shard_shuffle": ts.shard_shuffle,
         "sample_per_group": ts.sample_per_group,
         "tfidf_keywords": ts.tfidf_keywords,
         "top_parts": rel.top_parts,
@@ -173,6 +176,9 @@ def _oracle_sql_static() -> dict[str, str]:
         "customers_without_orders": rel.customers_without_orders_sql(),
         "top_terms_per_lang": ts.top_terms_per_lang_sql(),
         "dataset_split": ts.dataset_split_sql(),
+        "dataset_mixture": ts.dataset_mixture_sql(),
+        "pack_sequences": ts.pack_sequences_sql(),
+        "shard_shuffle": ts.shard_shuffle_sql(),
         "sample_per_group": ts.sample_per_group_sql(),
         "tfidf_keywords": ts.tfidf_keywords_sql(),
         "top_parts": rel.top_parts_sql(),

@@ -1376,3 +1376,221 @@ ranked AS (
 SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, tfidf_bp
 FROM ranked WHERE rnk <= {k}
 """
+
+
+# ---------------- training-mixture sampling / packing / sharding ----
+#
+# The three output-side ops of a training-data pipeline: weight the
+# mixture, pack documents into context windows, and lay the result out
+# as deterministically shuffled shards. All three key on md5 of the
+# stable doc_id (never row order), so every assignment is reproducible
+# on any cluster shape and exactly replayable in SQL.
+
+
+def _md5mod(ids: np.ndarray, salt: str, mod: int) -> np.ndarray:
+    """md5('<salt><decimal id>') first-8-hex as int64 % mod — the
+    shared SQL-replayable uniform hash (matches DuckDB
+    ``CAST(('0x' || substr(md5('<salt>' || CAST(doc_id AS VARCHAR)),
+    1, 8)) AS BIGINT) % mod``)."""
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(f"{salt}{int(i)}".encode()).hexdigest()[:8], 16)
+         % mod for i in ids), dtype=np.int64, count=len(ids))
+
+
+class _MixtureFilter:
+    """map_batches filter: keep doc iff md5('mix:'||doc_id)%1000 <
+    threshold(source), threshold = 200 + md5('w:'||source)%601 — a
+    per-source keep-rate in [20%, 80%) derived from the source NAME, so
+    the mixture recipe needs no side table and no shuffle. Pure
+    per-row arithmetic: the op is embarrassingly parallel at any corpus
+    size (the 100-TB-safe way to downweight a dominant source is a
+    hash threshold, not a count-then-sample pass). Per-source
+    thresholds are memoized per actor."""
+
+    def __init__(self):
+        self._thresh: dict[str, int] = {}
+
+    def _t(self, source: str) -> int:
+        import hashlib
+
+        t = self._thresh.get(source)
+        if t is None:
+            t = 200 + int(hashlib.md5(
+                f"w:{source}".encode()).hexdigest()[:8], 16) % 601
+            self._thresh[source] = t
+        return t
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = batch.column("source").to_pylist()
+        h = _md5mod(ids, "mix:", 1000)
+        th = np.fromiter((self._t(s) for s in src), dtype=np.int64,
+                         count=len(src))
+        return batch.filter(pa.array(h < th))
+
+
+def dataset_mixture(sf_dir: str):
+    """(doc_id, source, lang) — the documents kept by a deterministic
+    per-source mixture weighting (hash-threshold subsampling)."""
+    return read(sf_dir, "documents", ["doc_id", "source", "lang"]).map_batches(
+        _MixtureFilter, batch_format="pyarrow", batch_size=65536,
+        concurrency=(1, 4))
+
+
+def dataset_mixture_sql() -> str:
+    return """
+SELECT doc_id, source, lang FROM documents
+WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 1000
+    < 200 + CAST(('0x' || substr(md5('w:' || source), 1, 8))
+                 AS BIGINT) % 601
+"""
+
+
+class _PackTokenCount:
+    """map_batches: (doc_id, part, n_tokens) — whitespace token budget
+    plus the md5 pack-partition key. Text is dropped HERE, so the one
+    shuffle that follows carries three int64s per document, never the
+    corpus."""
+
+    def __init__(self, nparts: int):
+        import re
+
+        self.ws = re.compile(r"\S+")
+        self.nparts = nparts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = [len(self.ws.findall(t))
+             for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": int64_col(ids),
+                         "part": int64_col(_md5mod(ids, "pack:", self.nparts)),
+                         "n_tokens": int64_col(n)})
+
+
+def _make_pack_group(seq_len: int):
+    def pack_group(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values("doc_id")
+        n = df["n_tokens"].to_numpy(np.int64)
+        off = np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pa.table({
+            "doc_id": int64_col(df["doc_id"].to_numpy(np.int64)),
+            "part": int64_col(df["part"].to_numpy(np.int64)),
+            "n_tokens": int64_col(n),
+            "tok_offset": int64_col(off),
+            "seq_start": int64_col(off // seq_len),
+            "seq_end": int64_col((off + np.maximum(n, 1) - 1) // seq_len),
+        })
+
+    pack_group.__name__ = "pack_group"
+    return pack_group
+
+
+def pack_sequences(sf_dir: str, seq_len: int = 2048, nparts: int = 64):
+    """Context-window packing plan: concatenate each pack-partition's
+    documents in doc_id order and split the token stream every
+    ``seq_len`` tokens (the GPT-style pack-then-chunk layout). Output
+    per doc: its partition, token offset in the partition stream, and
+    the first/last training sequence it lands in.
+
+    Shape: one metadata-only hash shuffle (three int64s per doc — the
+    text NEVER moves), then a vectorized cumsum per partition. A
+    partition holds corpus/nparts rows of 24-byte metadata; size
+    ``nparts`` so that stays in one task's heap (at 100 TB / ~1e11
+    docs, nparts=4096 puts ~600 MB of metadata per group — raise it
+    with corpus size; the cumsum itself is O(rows))."""
+    counted = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _PackTokenCount, fn_constructor_args=(nparts,),
+        batch_format="pyarrow", batch_size=8192, concurrency=(1, 4))
+    return counted.groupby("part").map_groups(
+        _make_pack_group(seq_len), batch_format="pandas")
+
+
+def pack_sequences_sql(seq_len: int = 2048, nparts: int = 64) -> str:
+    return f"""
+WITH counted AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % {nparts} AS part,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents),
+packed AS (
+  SELECT doc_id, part, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY part ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tok_offset
+  FROM counted)
+SELECT doc_id, part, n_tokens, tok_offset,
+       tok_offset // {seq_len} AS seq_start,
+       (tok_offset + greatest(n_tokens, 1) - 1) // {seq_len} AS seq_end
+FROM packed
+"""
+
+
+class _ShardAssign:
+    """map_batches: (doc_id, shard, h) — 60-bit md5 prefix as the
+    shuffle order key (int64-safe in both numpy and DuckDB's
+    hex-literal cast; ties broken by doc_id so collisions stay
+    deterministic)."""
+
+    def __init__(self, nshards: int):
+        self.nshards = nshards
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        h = np.fromiter(
+            (int(hashlib.md5(f"shuf:{int(i)}".encode()).hexdigest()[:15], 16)
+             for i in ids), dtype=np.int64, count=len(ids))
+        return pa.table({"doc_id": int64_col(ids),
+                         "shard": int64_col(h % self.nshards),
+                         "h": int64_col(h)})
+
+
+def _shard_rank_group(df: pd.DataFrame) -> pa.Table:
+    df = df.sort_values(["h", "doc_id"])
+    return pa.table({
+        "doc_id": int64_col(df["doc_id"].to_numpy(np.int64)),
+        "shard": int64_col(df["shard"].to_numpy(np.int64)),
+        "pos": int64_col(np.arange(1, len(df) + 1)),
+    })
+
+
+def shard_shuffle(sf_dir: str, nshards: int = 32):
+    """(doc_id, shard, pos) — the deterministic global-shuffle layout
+    for training output: every document gets a shard (md5 % nshards)
+    and a position within the shard (rank by the md5 order key), so a
+    writer can emit shuffled, evenly-sized training shards without a
+    random_shuffle of the corpus.
+
+    Shape: one metadata-only shuffle of (doc_id, shard, h) int64
+    triples — text never moves; the actual payload write joins this
+    plan back by doc_id (or runs the write inside the same map_groups).
+    Per-shard rank needs the shard's rows co-located: one group =
+    corpus/nshards 24-byte rows, so scale nshards with the corpus the
+    same way pack_sequences scales nparts."""
+    assigned = read(sf_dir, "documents", ["doc_id"]).map_batches(
+        _ShardAssign, fn_constructor_args=(nshards,),
+        batch_format="pyarrow", batch_size=65536, concurrency=(1, 4))
+    return assigned.groupby("shard").map_groups(
+        _shard_rank_group, batch_format="pandas")
+
+
+def shard_shuffle_sql(nshards: int = 32) -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM documents)
+SELECT doc_id, CAST(h % {nshards} AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % {nshards}
+                               ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM h
+"""

@@ -27,6 +27,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "numeric_literals", "token_count_bpe", "ngram_jaccard_dedup",
                "minhash_lsh_dedup", "simhash_near_dups", "dedup_survivors",
                "dedup_apply", "clean_text", "pii_scrub",
+               "dataset_mixture", "pack_sequences", "shard_shuffle",
                "sessionize_events", "event_asof_join", "event_range_join",
                "event_value_quantiles", "order_lineitem_join",
                "hopping_window_counts", "customers_without_orders",
@@ -65,6 +66,41 @@ def test_query_matches_oracle(ray_session, duck, name):
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pack_group_boundary_semantics():
+    """Direct-callable unit test of the pack-then-chunk math: exact
+    seq_len fit, straddling docs, and zero-token docs (which occupy a
+    sequence slot index but no tokens)."""
+    import pyarrow as pa
+
+    from searchengine_ray.pipelines.textstats import _make_pack_group
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "part": [0] * 5,
+        # seq_len=10: offsets 0,10,25,25,32
+        "n_tokens": [10, 15, 0, 7, 4],
+    })
+    out = _make_pack_group(10)(df).to_pandas()
+    assert out.tok_offset.tolist() == [0, 10, 25, 25, 32]
+    assert out.seq_start.tolist() == [0, 1, 2, 2, 3]
+    # doc1 fills seq 0 exactly; doc2 straddles seqs 1-2; doc3 is empty
+    # (start == end at its offset's seq); doc5 straddles 3 into 3 (32+4-1=35)
+    assert out.seq_end.tolist() == [0, 2, 2, 3, 3]
+
+
+def test_shard_shuffle_balance(ray_session):
+    """Shards are near-even and positions are dense 1..n per shard."""
+    from searchengine_ray.pipelines.textstats import shard_shuffle
+
+    df = shard_shuffle(SF_DIR, nshards=8).to_pandas()
+    sizes = df.groupby("shard").size()
+    assert len(sizes) == 8
+    # binomial noise at n=500 is real; just reject gross imbalance
+    assert sizes.max() < 2 * sizes.mean() and sizes.min() > 0.5 * sizes.mean()
+    for _, g in df.groupby("shard"):
+        assert sorted(g.pos.tolist()) == list(range(1, len(g) + 1))
 
 
 def test_pii_scrub_stage_edge_cases():
