@@ -544,16 +544,71 @@ def load_index_data(paths: IndexPaths | str, *, precompute_hot: bool = True,
             "hot": hot}
 
 
+class _SharedDecodeCache:
+    """Pool-shared registry of decoded COLD term postings.
+
+    The plasma-shared hot image (``_precompute_hot_terms``) covers each
+    part's heaviest terms; the tier just below it (df in the ~1e5..1e7
+    range at 20 M docs) is still hundreds of ms of decode+argsort per
+    term — and without sharing, every actor in the pool repeats that
+    work on first touch. Measured at sf1/20 M docs, 32 actors: that
+    duplicated, memory-bandwidth-bound warm-up is ~200 s of wall and
+    ~2.3 GB of duplicated heap per actor.
+
+    This actor stores only {term_hash: ([ObjectRef], n_postings)} — the
+    decoded arrays themselves live in plasma (one copy, published with
+    ``ray.put`` by whichever query actor decodes first; refs are
+    wrapped in a list so Ray never inlines the payload through this
+    registry). LRU-evicted on a postings budget so the shared tail
+    stays bounded. Run it ``num_cpus=0``: get/put are dict ops.
+
+    Races are benign: simultaneous first-touch decodes waste one
+    duplicate decode per racer (the registry keeps the first ref and
+    tells later publishers no); ``QueryService.warmup`` avoids even
+    that by pre-passing the warm-up batch through ONE actor first."""
+
+    def __init__(self, postings_budget: int = 256_000_000):
+        self._entries: dict[int, tuple[list, int]] = {}
+        self._budget = int(postings_budget)
+        self._spent = 0
+
+    def get(self, h: int):
+        e = self._entries.pop(h, None)
+        if e is None:
+            return None
+        self._entries[h] = e               # re-insert: dict order is LRU
+        return e[0]
+
+    def put(self, h: int, wrapped: list, n_postings: int) -> bool:
+        if h in self._entries:
+            return False                   # first publisher wins
+        self._entries[h] = (wrapped, int(n_postings))
+        self._spent += int(n_postings)
+        while self._spent > self._budget and len(self._entries) > 1:
+            old = next(iter(self._entries))
+            _, n = self._entries.pop(old)
+            self._spent -= n
+        return True
+
+    def stats(self) -> dict:
+        return {"terms": len(self._entries), "postings": self._spent}
+
+
 class IndexSearcher:
     """Answers BM25 top-k over an index built by ``build_index``.
 
     ``data``: optionally pass a preloaded/shared ``load_index_data``
     result (or a ``ray.ObjectRef`` to one) — used by the actor pool so
     the index is materialized once per node, not once per actor.
+
+    ``pool_cache``: optional ``_SharedDecodeCache`` actor handle — cold
+    terms with df >= ``pool_cache_min_df`` are decoded once per pool
+    and shared through plasma instead of once per actor.
     """
 
     def __init__(self, index: IndexPaths | str, config: IndexConfig | None = None,
-                 preload: bool = False, data: dict | None = None):
+                 preload: bool = False, data: dict | None = None,
+                 pool_cache=None, pool_cache_min_df: int = 65536):
         self.paths = index if isinstance(index, IndexPaths) else IndexPaths(str(index))
         if data is None:
             data = load_index_data(self.paths)
@@ -575,6 +630,9 @@ class IndexSearcher:
         self._hot = data.get("hot", {})
         self._decode_cache: dict[str, tuple] = {}
         self._decode_cache_cap = 1024
+        self._pool_cache = pool_cache
+        self._pool_min_df = int(pool_cache_min_df)
+        self._pool_local: dict[str, tuple] = {}
         self._term_info_cache: dict[str, tuple[int, int]] = {}
         self._score_buf: np.ndarray | None = None
         self._mark_buf: np.ndarray | None = None
@@ -714,25 +772,71 @@ class IndexSearcher:
             shared = self._hot.get(h)
             if shared is not None:             # plasma-shared precompute
                 return (shared[0], None, shared[1])
-            slices = self.postings_for(term)
-            if not slices:
+            pooled = self._pool_cached(term, h, df)
+            if pooled is not None:             # pool-shared cold decode
+                return (pooled[0], pooled[1], pooled[2])
+            got = self._decode_cold(term, df)
+            if got is None:
                 return None
-            from searchengine_ray.codec import concat_blocks, decode_blocks
-
-            docs, tfs = decode_blocks(concat_blocks(slices))
-            pos = self._doc_pos(docs)
-            idf_t = float(bm25_idf(self.N, df))
-            contrib = bm25_term_scores(tfs, self._dl[pos], idf_t=idf_t,
-                                       avgdl=self.avgdl, k1=self.k1, b=self.b)
-            if len(self._dl_ids) < 2**31:
-                # same int32 positions as the shared hot arrays: mixed
-                # dtypes would make every _full_scores searchsorted
-                # promote-and-copy the big array per query
-                pos = pos.astype(np.int32)
-            got = (pos, tfs, contrib)
             if len(self._decode_cache) >= self._decode_cache_cap:
                 self._decode_cache.pop(next(iter(self._decode_cache)))
             self._decode_cache[term] = got
+        return got
+
+    def _decode_cold(self, term: str, df: int) -> tuple | None:
+        """Local decode + score of one term's postings (no caching)."""
+        slices = self.postings_for(term)
+        if not slices:
+            return None
+        from searchengine_ray.codec import concat_blocks, decode_blocks
+
+        docs, tfs = decode_blocks(concat_blocks(slices))
+        pos = self._doc_pos(docs)
+        idf_t = float(bm25_idf(self.N, df))
+        contrib = bm25_term_scores(tfs, self._dl[pos], idf_t=idf_t,
+                                   avgdl=self.avgdl, k1=self.k1, b=self.b)
+        if len(self._dl_ids) < 2**31:
+            # same int32 positions as the shared hot arrays: mixed
+            # dtypes would make every _full_scores searchsorted
+            # promote-and-copy the big array per query
+            pos = pos.astype(np.int32)
+        return (pos, tfs, contrib)
+
+    def _pool_cached(self, term: str, h: int, df: int) -> tuple | None:
+        """(pos, tfs, contrib, ipos, icontrib) via the pool-shared cold
+        cache — zero-copy plasma views; first toucher decodes, computes
+        the impact order, publishes, everyone else attaches. ``None``
+        when no pool cache is attached or the term is below the df
+        threshold (small terms aren't worth the registry round-trip)."""
+        if self._pool_cache is None or df < self._pool_min_df:
+            return None
+        got = self._pool_local.get(term)
+        if got is None:
+            import ray
+
+            try:
+                wrapped = ray.get(self._pool_cache.get.remote(int(h)))
+                got = ray.get(wrapped[0]) if wrapped is not None else None
+            except Exception:
+                # registry actor or publisher gone: serve locally from
+                # here on rather than paying a failing RPC per term
+                self._pool_cache = None
+                return None
+            if got is None:
+                base = self._decode_cold(term, df)
+                if base is None:
+                    return None
+                pos, tfs, contrib = base
+                order = np.argsort(-contrib, kind="stable")
+                got = (pos, tfs, contrib, pos[order], contrib[order])
+                try:
+                    self._pool_cache.put.remote(
+                        int(h), [ray.put(got)], int(len(pos)))
+                except Exception:
+                    self._pool_cache = None
+            if len(self._pool_local) >= self._decode_cache_cap:
+                self._pool_local.pop(next(iter(self._pool_local)))
+            self._pool_local[term] = got
         return got
 
     def _search_vectorized(self, qterms: list[tuple[str, int]], k: int
@@ -793,6 +897,9 @@ class IndexSearcher:
             shared = self._hot.get(h) if df else None
             if shared is not None:
                 return (shared[2], shared[3])
+            pooled = self._pool_cached(term, h, df) if df else None
+            if pooled is not None:
+                return (pooled[3], pooled[4])
             base = self._decoded(term)
             if base is None:
                 return None
@@ -1413,7 +1520,8 @@ class QueryService:
 
     def __init__(self, index_root: str | IndexPaths, config: IndexConfig | None = None,
                  num_actors: int = 4, k: int = 10, method: str = "vectorized",
-                 hot_postings_budget: int = 256_000_000):
+                 hot_postings_budget: int = 256_000_000,
+                 pool_cache_min_df: int = 65536):
         # budget sizing: ~24 B/posting of shared image (6 GiB at the
         # default) — size to the node's plasma store, NOT to the query
         # volume: per-actor cold decoding of head terms is duplicated
@@ -1433,11 +1541,14 @@ class QueryService:
 
         @ray.remote
         class _QueryActor:
-            def __init__(self, root, config, shared, method):
+            def __init__(self, root, config, shared, method, pool_cache,
+                         pool_min_df):
                 # nested refs inside the dict are NOT auto-resolved;
                 # every actor attaches to the one plasma copy per part
                 self.searcher = IndexSearcher(root, config,
-                                              data=assemble_index_data(shared))
+                                              data=assemble_index_data(shared),
+                                              pool_cache=pool_cache,
+                                              pool_cache_min_df=pool_min_df)
                 self.method = method
 
             def search_batch(self, queries, k):
@@ -1464,7 +1575,14 @@ class QueryService:
         # "load" = parallel part-load + hot-precompute task wall; the
         # old driver-heap materialize + multi-GB re-ray.put is gone, so
         # "put" (kept for bench-key continuity) measures only ref plumbing
-        self.actors = [_QueryActor.remote(root, config, shared, method)
+        # pool-shared cold-decode registry: one decode per POOL for the
+        # df>=65536 tier the hot image doesn't cover (num_cpus=0 — the
+        # registry only does dict ops; payloads live in plasma)
+        self._pool_cache = (ray.remote(_SharedDecodeCache)
+                            .options(num_cpus=0).remote()
+                            if num_actors > 1 else None)
+        self.actors = [_QueryActor.remote(root, config, shared, method,
+                                          self._pool_cache, pool_cache_min_df)
                        for _ in range(num_actors)]
         ray.wait(shared["part_refs"], num_returns=len(shared["part_refs"]),
                  fetch_local=False)
@@ -1480,6 +1598,13 @@ class QueryService:
         import ray
 
         t0 = time.time()
+        if self._pool_cache is not None and len(self.actors) > 1:
+            # pre-pass through ONE actor: it decodes + publishes every
+            # cold warm-up term once, so the pool-wide pass below
+            # attaches to plasma instead of 32 actors racing the same
+            # memory-bandwidth-bound decodes (the anti-scaling measured
+            # at sf1: ~200 s of duplicated warm-up work)
+            ray.get(self.actors[0].search_batch.remote(queries, self.k))
         ray.get([a.search_batch.remote(queries, self.k) for a in self.actors])
         self.spinup_breakdown["warmup"] = round(time.time() - t0, 3)
 
@@ -1528,3 +1653,6 @@ class QueryService:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+        if self._pool_cache is not None:
+            ray.kill(self._pool_cache)
+            self._pool_cache = None

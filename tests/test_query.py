@@ -211,3 +211,49 @@ def test_doc_pos_direct_and_fallback():
     dp3 = _DocPos(dl_ids, {"id_layout": "preassigned"})
     assert dp3.bits == 0
     assert np.array_equal(dp3(probe), np.searchsorted(dl_ids, probe))
+
+
+def test_query_service_pool_cache_parity(ray_session, t1_index, t1_oracle,
+                                         small_config):
+    """The pool-shared cold-decode path (one decode per pool, plasma
+    refs through the _SharedDecodeCache registry) returns EXACTLY the
+    single-searcher results — same docs, same float scores — and the
+    registry actually gets populated (min_df=1 forces every cold term
+    through it)."""
+    import ray
+
+    from searchengine_ray.pipelines.query import QueryService
+
+    svc = QueryService(t1_index, small_config, num_actors=3, k=10,
+                       method="impact", pool_cache_min_df=1)
+    try:
+        qs = corpus_queries(n=25)
+        svc.warmup(qs)
+        out = svc.search_batch(qs)
+        stats = ray.get(svc._pool_cache.stats.remote())
+        assert stats["terms"] > 0 and stats["postings"] > 0
+        for qid, text in qs:
+            want = t1_oracle.search(text, 10)
+            sub = out[out.query_id == qid].sort_values("rank")
+            assert list(sub.doc_id) == [d for d, _ in want]
+            assert np.allclose(sub.score.to_numpy(),
+                               [s for _, s in want], rtol=0, atol=0)
+    finally:
+        svc.shutdown()
+
+
+def test_query_service_pool_cache_eviction():
+    """LRU eviction keeps the registry's postings budget; first
+    publisher wins on double put."""
+    from searchengine_ray.pipelines.query import _SharedDecodeCache
+
+    c = _SharedDecodeCache(postings_budget=100)
+    assert c.put(1, ["r1"], 60)
+    assert c.put(2, ["r2"], 60)          # over budget: evicts h=1
+    assert c.get(1) is None
+    assert c.get(2) == ["r2"]
+    assert not c.put(2, ["r2b"], 60)     # first publisher wins
+    assert c.put(3, ["r3"], 60)          # evicts h=2 (LRU)
+    assert c.get(2) is None
+    assert c.get(3) == ["r3"]
+    assert c.stats()["postings"] <= 120
