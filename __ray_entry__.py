@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_mixture": ts.dataset_mixture,
         "pack_sequences": ts.pack_sequences,
         "shard_shuffle": ts.shard_shuffle,
+        "unigram_logprob": ts.unigram_logprob,
         "sample_per_group": ts.sample_per_group,
         "tfidf_keywords": ts.tfidf_keywords,
         "top_parts": rel.top_parts,
@@ -179,6 +180,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "dataset_mixture": ts.dataset_mixture_sql(),
         "pack_sequences": ts.pack_sequences_sql(),
         "shard_shuffle": ts.shard_shuffle_sql(),
+        "unigram_logprob": ts.unigram_logprob_sql(),
         "sample_per_group": ts.sample_per_group_sql(),
         "tfidf_keywords": ts.tfidf_keywords_sql(),
         "top_parts": rel.top_parts_sql(),

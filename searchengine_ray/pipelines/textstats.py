@@ -1594,3 +1594,224 @@ SELECT doc_id, CAST(h % {nshards} AS BIGINT) AS shard,
                                ORDER BY h, doc_id) AS BIGINT) AS pos
 FROM h
 """
+
+
+# ---------------- unigram-LM log-probability scoring ----------------
+#
+# Perplexity-style quality scoring: score each document by the mean
+# log-probability of its tokens under the corpus's own unigram language
+# model (p(t) = total_tf(t) / T). Low scorers are the "surprising"
+# documents — gibberish, boilerplate-free noise, wrong-language
+# fragments — the score modern training-data pipelines threshold on.
+
+
+_ULP_TAGGED_SCHEMA = pa.schema([
+    ("k1", pa.int64()), ("src", pa.int64()), ("term", pa.string()),
+    ("doc_id", pa.int64()), ("tf", pa.int64()), ("lp_bp", pa.int64()),
+])
+
+
+class _UnigramScoreOrTag(_SimpleTokenStage):
+    """Tokenize + score WITHOUT co-locating a hot term's rows.
+
+    Same skew-safe split as ``_TfidfScoreOrTag``, but leaner: because
+    the final per-doc reduction is an associative integer SUM (not a
+    top-k), head-term contributions (ttf >= head_tf, looked up in the
+    broadcast term->logp dict) are pre-summed per DOC inside this very
+    stage — one (doc, tf_sum, lp_bp_sum) row per doc per batch reaches
+    the shuffle for the entire hot mass, which by Zipf is most of the
+    token volume. Only cold rows (src=0) carry terms into the bounded
+    gkey co-group. NaN is the cold sentinel (0.0 is a legal logp when
+    one term IS the corpus)."""
+
+    def __init__(self, head_ref, total_tokens: int, dparts: int,
+                 n_groups: int):
+        super().__init__()
+        import math
+
+        import ray
+
+        head = ray.get(head_ref) if not isinstance(head_ref, dict) else head_ref
+        T = float(total_tokens)
+        self.logp = {t: math.log(int(c) / T) for t, c in head.items()}
+        self.dparts = dparts
+        self.n_groups = n_groups
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from zlib import crc32
+
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, docs, tfs, info = self.analyzer.tokenize_batch(texts, ids)
+        if len(codes) == 0:
+            return _ULP_TAGGED_SCHEMA.empty_table()
+        vocab = info["vocab"]
+        vlp = np.fromiter((self.logp.get(t, np.nan) for t in vocab),
+                          np.float64, len(vocab))
+        vgk = np.fromiter((crc32(t.encode()) % self.n_groups for t in vocab),
+                          np.int64, len(vocab))
+        lp = vlp[codes]
+        hot = ~np.isnan(lp)
+        did = docs.astype(np.int64)        # tokenize_batch maps to real ids
+        out = {"k1": [], "src": [], "term": [], "doc_id": [], "tf": [],
+               "lp_bp": []}
+        if hot.any():
+            # pre-sum the hot mass per doc: bp per (doc,term) row FIRST
+            # (the int contract), then exact integer sums
+            hb = bp(tfs[hot].astype(np.float64) * lp[hot])
+            hd = did[hot]
+            uniq, inv = np.unique(hd, return_inverse=True)
+            tf_sum = np.bincount(inv, weights=tfs[hot]).astype(np.int64)
+            bp_sum = np.bincount(inv, weights=hb).astype(np.int64)
+            out["k1"].append(self.n_groups + uniq % (8 * self.dparts))
+            out["src"].append(np.full(len(uniq), 2, np.int64))
+            out["term"].append(np.full(len(uniq), "", object))
+            out["doc_id"].append(uniq)
+            out["tf"].append(tf_sum)
+            out["lp_bp"].append(bp_sum)
+        cold = ~hot
+        if cold.any():
+            terms = np.asarray(vocab, dtype=object)[codes[cold]]
+            out["k1"].append(vgk[codes[cold]])
+            out["src"].append(np.zeros(cold.sum(), np.int64))
+            out["term"].append(terms)
+            out["doc_id"].append(did[cold])
+            out["tf"].append(tfs[cold].astype(np.int64))
+            out["lp_bp"].append(np.zeros(cold.sum(), np.int64))
+        return pa.table(
+            {"k1": int64_col(np.concatenate(out["k1"])),
+             "src": int64_col(np.concatenate(out["src"])),
+             "term": pa.array(np.concatenate(out["term"]), pa.string()),
+             "doc_id": int64_col(np.concatenate(out["doc_id"])),
+             "tf": int64_col(np.concatenate(out["tf"])),
+             "lp_bp": int64_col(np.concatenate(out["lp_bp"]))},
+            schema=_ULP_TAGGED_SCHEMA)
+
+
+def _make_ulp_score_cold(total_tokens: int):
+    def ulp_score_cold(df: pd.DataFrame) -> pa.Table:
+        """k1 co-group body: join cold rows against (term, ttf) entries
+        of the same gkey, score, pre-sum per doc. Hot groups (src=2)
+        pass through already summed. Max cold group is bounded: every
+        cold term has ttf < head_tf, so no term contributes more than
+        head_tf rows. math.log per DISTINCT term (libm bit-parity rule,
+        see bm25.idf)."""
+        import math
+
+        T = float(total_tokens)
+        rows = df[df["src"] == 0]
+        if len(rows):
+            ent = df[df["src"] == 1]
+            lp_map = {t: math.log(int(c) / T)
+                      for t, c in zip(ent["term"], ent["tf"])}
+            lp = rows["term"].map(lp_map).to_numpy(np.float64)
+            lb = bp(rows["tf"].to_numpy(np.float64) * lp)
+            g = pd.DataFrame({"doc_id": rows["doc_id"].to_numpy(np.int64),
+                              "tf": rows["tf"].to_numpy(np.int64),
+                              "lp_bp": lb}).groupby("doc_id", as_index=False).sum()
+            return pa.table({"doc_id": int64_col(g["doc_id"].to_numpy()),
+                             "tf": int64_col(g["tf"].to_numpy()),
+                             "lp_bp": int64_col(g["lp_bp"].to_numpy())})
+        hot = df[df["src"] == 2]
+        return pa.table({"doc_id": int64_col(hot["doc_id"].to_numpy(np.int64)),
+                         "tf": int64_col(hot["tf"].to_numpy(np.int64)),
+                         "lp_bp": int64_col(hot["lp_bp"].to_numpy(np.int64))})
+
+    ulp_score_cold.__name__ = "ulp_score_cold"
+    return ulp_score_cold
+
+
+def _ulp_add_avg(batch: pa.Table) -> pa.Table:
+    lp = batch.column("logprob_bp").to_numpy(zero_copy_only=False).astype(np.float64)
+    n = batch.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.float64)
+    avg = np.floor(lp / n + 0.5).astype(np.int64)
+    return batch.append_column("avg_logprob_bp", int64_col(avg))
+
+
+def unigram_logprob(sf_dir: str, head_tf: int = 4096, n_groups: int = 256,
+                    dparts: int = 64):
+    """(doc_id, n_tokens, logprob_bp, avg_logprob_bp) — each document
+    scored by its tokens' log-probability under the corpus unigram LM
+    (CCNet/Gopher-style perplexity filtering, reduced to the unigram
+    model so the score is exactly SQL-replayable).
+
+    logprob_bp = sum over (doc,term) of floor(tf*ln(ttf/T)*1e4 + 0.5)
+    — bp'd per row BEFORE summing, so the distributed sum is exact
+    integer arithmetic, order-independent on any cluster shape.
+
+    Scale shape (the de-skewed tfidf_keywords pattern, leaner because
+    the final reduce is a SUM): pass 1 pre-aggregated (term, ttf)
+    partials; head terms (ttf >= head_tf — at most T/head_tf of the
+    vocabulary, but most of the token MASS) broadcast as term->logp and
+    scored inline with per-doc pre-summing, so the shuffle sees ONE row
+    per doc per batch for the hot mass; cold terms co-group under a
+    gkey whose max group is bounded by rows_cold/n_groups + head_tf
+    slack. Final per-doc Sum is an Arrow aggregate over int64 partials."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    tt = ds.map_batches(TermDFPartial, batch_format="pyarrow",
+                        batch_size=512, concurrency=(1, 4)) \
+           .groupby("term").aggregate(Sum("tf_p", alias_name="ttf")) \
+           .materialize()                 # vocabulary-scale, bounded
+
+    head: dict[str, int] = {}
+    total_tokens = 0
+    for b in tt.iter_batches(batch_format="pandas"):
+        total_tokens += int(b["ttf"].sum())
+        hb = b[b["ttf"] >= head_tf]
+        head.update(zip(hb["term"], hb["ttf"].astype(int)))
+    head_ref = ray.put(head)
+
+    def to_entry(batch: pa.Table) -> pa.Table:
+        from zlib import crc32
+
+        terms = batch.column("term").to_pylist()
+        c = batch.column("ttf").to_numpy(zero_copy_only=False).astype(np.int64)
+        coldm = c < head_tf
+        terms = np.asarray(terms, dtype=object)[coldm]
+        gk = np.fromiter((crc32(t.encode()) % n_groups for t in terms),
+                         np.int64, len(terms))
+        z = np.zeros(len(terms), np.int64)
+        return pa.table({"k1": int64_col(gk), "src": int64_col(z + 1),
+                         "term": pa.array(terms, pa.string()),
+                         "doc_id": int64_col(z), "tf": int64_col(c[coldm]),
+                         "lp_bp": int64_col(z)}, schema=_ULP_TAGGED_SCHEMA)
+
+    cold_entries = tt.map_batches(to_entry, batch_format="pyarrow")
+    tagged = ds.map_batches(
+        _UnigramScoreOrTag, batch_format="pyarrow", batch_size=512,
+        concurrency=(1, 4),
+        fn_constructor_args=(head_ref, total_tokens, dparts, n_groups))
+    summed = cold_entries.union(tagged).groupby("k1").map_groups(
+        _make_ulp_score_cold(total_tokens), batch_format="pandas")
+    out = summed.groupby("doc_id").aggregate(
+        Sum("tf", alias_name="n_tokens"),
+        Sum("lp_bp", alias_name="logprob_bp"))
+    return out.map_batches(_ulp_add_avg, batch_format="pyarrow")
+
+
+def unigram_logprob_sql() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+       GROUP BY doc_id, term),
+ttf AS (SELECT term, sum(tf) AS ttf FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(ttf) AS DOUBLE) AS T FROM ttf),
+sc AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(floor(tf.tf * ln(ttf.ttf / tot.T) * 10000 + 0.5) AS BIGINT)
+           AS lp_bp
+  FROM tf JOIN ttf ON ttf.term = tf.term CROSS JOIN tot),
+agg AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         CAST(sum(lp_bp) AS BIGINT) AS logprob_bp
+  FROM sc GROUP BY doc_id)
+SELECT doc_id, n_tokens, logprob_bp,
+       CAST(floor(CAST(logprob_bp AS DOUBLE) / n_tokens + 0.5) AS BIGINT)
+         AS avg_logprob_bp
+FROM agg
+"""

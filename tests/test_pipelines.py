@@ -28,6 +28,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "minhash_lsh_dedup", "simhash_near_dups", "dedup_survivors",
                "dedup_apply", "clean_text", "pii_scrub",
                "dataset_mixture", "pack_sequences", "shard_shuffle",
+               "unigram_logprob",
                "sessionize_events", "event_asof_join", "event_range_join",
                "event_value_quantiles", "order_lineitem_join",
                "hopping_window_counts", "customers_without_orders",
@@ -251,3 +252,20 @@ def test_top_terms_sketch_bound(ray_session, duck):
         true = int(exact.get(r["term"], 0))
         assert r["est_tf"] <= true <= r["est_tf"] + err
     assert exact.idxmax() in set(got["term"])
+
+
+def test_unigram_logprob_hot_cold_invariance(ray_session):
+    """The broadcast-hot inline path and the cold co-group path compute
+    the same integer sums: forcing EVERY term hot (head_tf=1) and every
+    term cold (head_tf=2**62) must give identical outputs — the bp-per-
+    row-then-integer-sum contract makes the split purely a routing
+    choice."""
+    from searchengine_ray.pipelines.textstats import unigram_logprob
+
+    key = ["doc_id"]
+    all_hot = unigram_logprob(SF_DIR, head_tf=1).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    all_cold = unigram_logprob(SF_DIR, head_tf=2**62).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(all_hot, all_cold)
+    assert (all_hot["logprob_bp"] < 0).all()
