@@ -98,6 +98,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": ts.pack_sequences,
         "shard_shuffle": ts.shard_shuffle,
         "unigram_logprob": ts.unigram_logprob,
+        "quality_filter": ts.quality_filter,
+        "event_props_stats": events.event_props_stats,
+        "label_centroids": ann.label_centroids,
+        "top_bigrams": ts.top_bigrams,
         "sample_per_group": ts.sample_per_group,
         "tfidf_keywords": ts.tfidf_keywords,
         "top_parts": rel.top_parts,
@@ -181,6 +185,10 @@ def _oracle_sql_static() -> dict[str, str]:
         "pack_sequences": ts.pack_sequences_sql(),
         "shard_shuffle": ts.shard_shuffle_sql(),
         "unigram_logprob": ts.unigram_logprob_sql(),
+        "quality_filter": ts.quality_filter_sql(),
+        "event_props_stats": events.event_props_stats_sql(),
+        "label_centroids": ann.label_centroids_sql(),
+        "top_bigrams": ts.top_bigrams_sql(),
         "sample_per_group": ts.sample_per_group_sql(),
         "tfidf_keywords": ts.tfidf_keywords_sql(),
         "top_parts": rel.top_parts_sql(),

@@ -496,3 +496,75 @@ ranked AS (
 SELECT query_vec_id, CAST(rnk AS BIGINT) AS rank, vec_id, cosine_bp
 FROM ranked WHERE rnk <= {k}
 """
+
+
+# ---- per-label centroid statistics ----
+
+
+def _centroid_partial(batch: pa.Table) -> pa.Table:
+    """One (label, dim) partial row per batch: element values are
+    quantized to integer MICRO-units (floor(v*1e6+0.5)) BEFORE summing,
+    so the distributed sum is exact integer arithmetic — order- and
+    cluster-shape-independent, per the common.py parity contract (float
+    partial sums would drift in the low bits between shuffle orders).
+    float32 -> float64 cast is exact, so both sides quantize the same
+    doubles."""
+    mat = emb_matrix(batch.column("embedding"))
+    labels = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    micro = np.floor(mat * 1_000_000 + 0.5).astype(np.int64)
+    uniq, inv = np.unique(labels, return_inverse=True)
+    d = mat.shape[1]
+    sums = np.zeros((len(uniq), d), np.int64)
+    np.add.at(sums, inv, micro)
+    counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+    return pa.table({
+        "label": int64_col(np.repeat(uniq, d)),
+        "dim": int64_col(np.tile(np.arange(1, d + 1, dtype=np.int64), len(uniq))),
+        "n_p": int64_col(np.repeat(counts, d)),
+        "sum_micro_p": int64_col(sums.reshape(-1))})
+
+
+def _centroid_finalize(batch: pa.Table) -> pa.Table:
+    s = batch.column("sum_micro").to_numpy(zero_copy_only=False).astype(np.float64)
+    n = batch.column("n_vecs").to_numpy(zero_copy_only=False).astype(np.float64)
+    return batch.append_column(
+        "mean_micro", int64_col(np.floor(s / n + 0.5).astype(np.int64)))
+
+
+def label_centroids(sf_dir: str):
+    """(label, dim, n_vecs, sum_micro, mean_micro) — the per-class mean
+    embedding (class-balance audit, centroid init for clustering,
+    nearest-class-mean classification), one row per (label, dimension).
+
+    Shape: vectorized per-batch partials (labels x d int64 rows — tiny
+    vs the vector data), then a labels x d groupby of partials; the
+    embeddings themselves never shuffle. At 100 TB this is the
+    canonical mergeable-aggregate layout: every block contributes a
+    fixed-size summary regardless of row count."""
+    from ray.data.aggregate import Sum
+
+    partial = read(sf_dir, "embeddings", ["embedding", "label"]).map_batches(
+        _centroid_partial, batch_format="pyarrow", batch_size=4096)
+    out = partial.groupby(["label", "dim"]).aggregate(
+        Sum("n_p", alias_name="n_vecs"),
+        Sum("sum_micro_p", alias_name="sum_micro"))
+    return out.map_batches(_centroid_finalize, batch_format="pyarrow")
+
+
+def label_centroids_sql() -> str:
+    return """
+WITH u AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS micro
+  FROM embeddings),
+agg AS (
+  SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(micro) AS BIGINT) AS sum_micro
+  FROM u GROUP BY label, dim)
+SELECT label, dim, n_vecs, sum_micro,
+       CAST(floor(CAST(sum_micro AS DOUBLE) / n_vecs + 0.5) AS BIGINT)
+         AS mean_micro
+FROM agg
+"""

@@ -377,3 +377,87 @@ SELECT window_start_us, event_type,
        CAST(sum(vc) AS BIGINT) AS sum_value_cents
 FROM x GROUP BY window_start_us, event_type
 """
+
+
+# ---- semi-structured props extraction ----
+
+
+def _props_extract_partial(batch: pa.Table) -> pa.Table:
+    """Vectorized JSON-field extraction + per-batch pre-aggregation:
+    pull the integer ``k`` field out of the ``props`` JSON string with
+    one C-kernel regex (no per-row json.loads loop — the schema-on-read
+    path a 100-TB event log needs), then collapse the batch to one row
+    per (event_type, parse outcome) so the shuffle carries partials,
+    never events."""
+    et = pd.Series(batch.column("event_type").to_pylist())
+    props = pd.Series(batch.column("props").to_pylist())
+    k = props.str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+    ok = k.notna()
+    kv = pd.to_numeric(k, errors="coerce").fillna(0).astype(np.int64)
+    g = (pd.DataFrame({"event_type": et, "ok": ok.astype(np.int64),
+                       "k": kv.where(ok, 0), "k2": (kv * kv).where(ok, 0)})
+         .groupby("event_type", as_index=False)
+         .agg(n_events=("ok", "size"), n_with_k=("ok", "sum"),
+              sum_k=("k", "sum"), sum_k2=("k2", "sum")))
+    return pa.table({
+        "event_type": pa.array(g["event_type"].tolist(), pa.string()),
+        "n_events": int64_col(g["n_events"].to_numpy()),
+        "n_with_k": int64_col(g["n_with_k"].to_numpy()),
+        "sum_k": int64_col(g["sum_k"].to_numpy()),
+        "sum_k2": int64_col(g["sum_k2"].to_numpy())})
+
+
+def _props_finalize(batch: pa.Table) -> pa.Table:
+    from searchengine_ray.pipelines.common import bp
+
+    nk = batch.column("n_with_k").to_numpy(zero_copy_only=False).astype(np.float64)
+    sk = batch.column("sum_k").to_numpy(zero_copy_only=False).astype(np.float64)
+    avg = bp(sk / np.maximum(nk, 1.0))
+    return batch.append_column("avg_k_bp", int64_col(avg))
+
+
+def event_props_stats(sf_dir: str):
+    """(event_type, n_events, n_with_k, sum_k, sum_k2, avg_k_bp) —
+    schema-on-read aggregation over the semi-structured ``props`` JSON
+    column: extract the integer ``k`` per event, aggregate exact integer
+    sums (+ sum of squares, for a downstream variance) per event_type.
+
+    Shape: per-batch vectorized extract + pre-aggregation, then a tiny
+    groupby over (event_type, batches) partial rows — the wide shuffle
+    never sees event-level rows. The regex extraction is the contract
+    on BOTH sides (SQL replays the same pattern), so malformed props
+    degrade identically: unparsable rows count in n_events only."""
+    from ray.data.aggregate import Sum
+
+    partial = read(sf_dir, "events", ["event_type", "props"]).map_batches(
+        _props_extract_partial, batch_format="pyarrow", batch_size=65536)
+    out = partial.groupby("event_type").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("n_with_k", alias_name="n_with_k"),
+        Sum("sum_k", alias_name="sum_k"),
+        Sum("sum_k2", alias_name="sum_k2"))
+    return out.map_batches(_props_finalize, batch_format="pyarrow")
+
+
+def event_props_stats_sql() -> str:
+    return """
+WITH x AS (
+  SELECT event_type,
+         regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1) AS ks
+  FROM events),
+t AS (
+  SELECT event_type,
+         CASE WHEN ks <> '' THEN 1 ELSE 0 END AS ok,
+         CASE WHEN ks <> '' THEN CAST(ks AS BIGINT) ELSE 0 END AS k
+  FROM x),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(ok) AS BIGINT) AS n_with_k,
+         CAST(sum(k) AS BIGINT) AS sum_k,
+         CAST(sum(k * k) AS BIGINT) AS sum_k2
+  FROM t GROUP BY event_type)
+SELECT event_type, n_events, n_with_k, sum_k, sum_k2,
+       CAST(floor(CAST(sum_k AS DOUBLE) / greatest(n_with_k, 1) * 10000 + 0.5)
+            AS BIGINT) AS avg_k_bp
+FROM agg
+"""

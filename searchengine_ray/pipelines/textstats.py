@@ -1815,3 +1815,181 @@ SELECT doc_id, n_tokens, logprob_bp,
          AS avg_logprob_bp
 FROM agg
 """
+
+
+# ---------------- composed quality filter ----------------
+
+
+QF_TOO_SHORT = 1        # n_chars < min_chars
+QF_LOW_ALPHA = 2        # alpha ratio below threshold
+QF_HIGH_DIGIT = 4       # digit-heavy (tables / logs / minified data)
+QF_LOW_WS = 8           # too few separators (one giant token)
+QF_DUP_LINES = 16       # Gopher duplicate-line fraction
+QF_TOP_LINE = 32        # one line dominates (boilerplate), multi-line only
+
+
+def _quality_filter_batch(batch: pa.Table) -> pa.Table:
+    q = _quality_batch(batch)
+    r = _repetition_batch(batch)
+    n = q.column("n_chars").to_numpy(zero_copy_only=False)
+    alpha = q.column("alpha_bp").to_numpy(zero_copy_only=False)
+    digit = q.column("digit_bp").to_numpy(zero_copy_only=False)
+    ws = q.column("ws_bp").to_numpy(zero_copy_only=False)
+    n_lines = r.column("n_lines").to_numpy(zero_copy_only=False)
+    dup = r.column("dup_line_bp").to_numpy(zero_copy_only=False)
+    top = r.column("top_line_bp").to_numpy(zero_copy_only=False)
+    mask = (np.where(n < 100, QF_TOO_SHORT, 0)
+            | np.where(alpha < 8100, QF_LOW_ALPHA, 0)
+            | np.where(digit > 2000, QF_HIGH_DIGIT, 0)
+            | np.where(ws < 1700, QF_LOW_WS, 0)
+            | np.where(dup > 3000, QF_DUP_LINES, 0)
+            | np.where((n_lines >= 5) & (top > 5000), QF_TOP_LINE, 0))
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "n_chars": int64_col(n),
+                     "reject_mask": int64_col(mask),
+                     "keep": int64_col((mask == 0).astype(np.int64))})
+
+
+def quality_filter(sf_dir: str):
+    """(doc_id, n_chars, reject_mask, keep) — the composed training-data
+    quality gate: every heuristic family this module computes (length,
+    char-class ratios, Gopher line-repetition), folded into one keep
+    decision with a reject-reason BITMASK so downstream curation can
+    report per-filter drop rates from the same pass.
+
+    Shape: a single vectorized map_batches over the corpus — zero
+    shuffles, embarrassingly parallel at any scale; production callers
+    chain ``.filter(keep == 1)`` (or feed ``reject_mask`` to a stats
+    sink) without re-reading the text."""
+    return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _quality_filter_batch, batch_format="pyarrow", batch_size=2048)
+
+
+def quality_filter_sql() -> str:
+    def ratio(cls: str) -> str:
+        return (f"CAST(floor((CAST(length(regexp_replace(text, '[^{cls}]', '', 'g')) AS DOUBLE)"
+                f" / CAST(greatest(length(text), 1) AS DOUBLE)) * 10000 + 0.5) AS BIGINT)")
+    return f"""
+WITH q AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         {ratio('A-Za-z')} AS alpha_bp,
+         {ratio('0-9')} AS digit_bp,
+         {ratio(chr(92) + 's')} AS ws_bp
+  FROM documents),
+lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+per_line AS (
+  SELECT doc_id, line, count(*) AS c FROM lines WHERE line <> ''
+  GROUP BY doc_id, line),
+rep AS (
+  SELECT doc_id, sum(c) AS n_lines,
+         CAST(floor((sum(c) - count(*)) / CAST(sum(c) AS DOUBLE) * 10000 + 0.5)
+              AS BIGINT) AS dup_line_bp,
+         CAST(floor(max(c) / CAST(sum(c) AS DOUBLE) * 10000 + 0.5)
+              AS BIGINT) AS top_line_bp
+  FROM per_line GROUP BY doc_id),
+m AS (
+  SELECT q.doc_id, q.n_chars,
+         (CASE WHEN q.n_chars < 100 THEN {QF_TOO_SHORT} ELSE 0 END
+          | CASE WHEN q.alpha_bp < 8100 THEN {QF_LOW_ALPHA} ELSE 0 END
+          | CASE WHEN q.digit_bp > 2000 THEN {QF_HIGH_DIGIT} ELSE 0 END
+          | CASE WHEN q.ws_bp < 1700 THEN {QF_LOW_WS} ELSE 0 END
+          | CASE WHEN coalesce(r.dup_line_bp, 0) > 3000
+                 THEN {QF_DUP_LINES} ELSE 0 END
+          | CASE WHEN coalesce(r.n_lines, 0) >= 5
+                      AND coalesce(r.top_line_bp, 0) > 5000
+                 THEN {QF_TOP_LINE} ELSE 0 END) AS reject_mask
+  FROM q LEFT JOIN rep r USING (doc_id))
+SELECT doc_id, n_chars, CAST(reject_mask AS BIGINT) AS reject_mask,
+       CAST(CASE WHEN reject_mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM m
+"""
+
+
+# ---------------- n-gram (bigram) statistics ----------------
+
+
+class _BigramPartial:
+    """Per-batch partial bigram counts: ordered tokens via one compiled
+    findall per doc (the documents-table simple tokenization), adjacent
+    pairs counted with a C-speed Counter update. One (bigram, c_p) row
+    per distinct bigram per batch reaches the shuffle — and because the
+    partials are already unique per batch, no group downstream can
+    exceed n_batches rows even for 'of the'-scale hot bigrams."""
+
+    def __init__(self):
+        import re
+
+        self.tok = re.compile(r"[a-z0-9_]+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            toks = self.tok.findall(text.lower())
+            c.update(map(" ".join, zip(toks, toks[1:])))
+        if not c:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "c_p": pa.array([], pa.int64())})
+        items = list(c.items())
+        return pa.table({"bigram": pa.array([i[0] for i in items], pa.string()),
+                         "c_p": int64_col([i[1] for i in items])})
+
+
+def _make_bigram_topk(k: int):
+    def bigram_topk(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["count", "bigram"],
+                            ascending=[False, True]).head(k)
+        return pa.table({
+            "rank": int64_col(np.arange(1, len(df) + 1)),
+            "bigram": pa.array(df["bigram"].tolist(), pa.string()),
+            "count": int64_col(df["count"].to_numpy(np.int64))})
+
+    bigram_topk.__name__ = "bigram_topk"
+    return bigram_topk
+
+
+def top_bigrams(sf_dir: str, k: int = 100):
+    """(rank, bigram, count) — the corpus's k most frequent bigrams
+    (collocation mining / n-gram-LM vocabulary selection), ties broken
+    (count desc, bigram asc) so the cut is deterministic.
+
+    Shape: per-batch partial counts -> bigram groupby Sum (each group
+    holds at most n_batches partial rows) -> per-block LOCAL top-k
+    (exact, since after the Sum every bigram is a single row) -> one
+    bounded k x n_blocks final merge. The bigram-vocabulary-scale table
+    is never collected; only k-sized prefixes move."""
+    from ray.data.aggregate import Sum
+
+    partial = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _BigramPartial, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, 4))
+    summed = partial.groupby("bigram").aggregate(Sum("c_p", alias_name="count"))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(["count", "bigram"],
+                                       ascending=[False, True]).head(k)
+        return pa.table({"g": int64_col(np.zeros(len(df), np.int64)),
+                         "bigram": pa.array(df["bigram"].tolist(), pa.string()),
+                         "count": int64_col(df["count"].to_numpy(np.int64))})
+
+    pruned = summed.map_batches(local_topk, batch_format="pyarrow")
+    return pruned.groupby("g").map_groups(
+        lambda df: _make_bigram_topk(k)(df), batch_format="pandas") \
+        .select_columns(["rank", "bigram", "count"])
+
+
+def top_bigrams_sql(k: int = 100) -> str:
+    return f"""
+WITH s AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+b AS (
+  SELECT unnest([t[i] || ' ' || t[i + 1]
+                 for i in generate_series(1, len(t) - 1)]) AS bigram
+  FROM s),
+c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS count FROM b GROUP BY bigram),
+r AS (SELECT *, row_number() OVER (ORDER BY count DESC, bigram ASC) AS rnk
+      FROM c)
+SELECT CAST(rnk AS BIGINT) AS rank, bigram, count FROM r WHERE rnk <= {k}
+"""

@@ -28,7 +28,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "minhash_lsh_dedup", "simhash_near_dups", "dedup_survivors",
                "dedup_apply", "clean_text", "pii_scrub",
                "dataset_mixture", "pack_sequences", "shard_shuffle",
-               "unigram_logprob",
+               "unigram_logprob", "quality_filter", "event_props_stats", "label_centroids",
+               "top_bigrams",
                "sessionize_events", "event_asof_join", "event_range_join",
                "event_value_quantiles", "order_lineitem_join",
                "hopping_window_counts", "customers_without_orders",
@@ -269,3 +270,79 @@ def test_unigram_logprob_hot_cold_invariance(ray_session):
         .sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(all_hot, all_cold)
     assert (all_hot["logprob_bp"] < 0).all()
+
+
+def test_quality_filter_mask_semantics():
+    """Direct-callable bit checks: each reject reason sets its own bit;
+    a clean doc keeps; multiple reasons OR together."""
+    import pyarrow as pa
+
+    from searchengine_ray.pipelines.textstats import (
+        QF_DUP_LINES, QF_LOW_ALPHA, QF_LOW_WS, QF_TOO_SHORT,
+        _quality_filter_batch)
+
+    # avg word ~4.7 chars: alpha 0.824 (>0.81) AND ws 0.176 (>0.17),
+    # the band the corpus itself sits in (alpha~0.818 / ws~0.182)
+    good = "delta quake fox zebra epoch mango " * 5
+    docs = {
+        1: good,                                  # keep
+        2: "tiny",                                # short + low ws
+        3: "!!!! ???? %%%% " * 20,                # low alpha
+        4: ("same line\n" * 10) + good,           # duplicate lines
+    }
+    out = _quality_filter_batch(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string())})).to_pandas()
+    m = dict(zip(out.doc_id, out.reject_mask))
+    assert m[1] == 0 and out[out.doc_id == 1].keep.item() == 1
+    assert m[2] & QF_TOO_SHORT and m[2] & QF_LOW_WS
+    assert m[3] & QF_LOW_ALPHA
+    assert m[4] & QF_DUP_LINES
+    assert (out[out.doc_id != 1].keep == 0).all()
+
+
+def test_event_props_partial_edges():
+    """The regex extraction contract: negative k, whitespace variants,
+    malformed JSON counts in n_events only."""
+    import pyarrow as pa
+
+    from searchengine_ray.pipelines.events import _props_extract_partial
+
+    out = _props_extract_partial(pa.table({
+        "event_type": pa.array(["a", "a", "a", "b"], pa.string()),
+        "props": pa.array(['{"k": 7}', '{ "k" :-3}', 'not json', '{"j": 1}'],
+                          pa.string())})).to_pandas().set_index("event_type")
+    assert out.loc["a", "n_events"] == 3 and out.loc["a", "n_with_k"] == 2
+    assert out.loc["a", "sum_k"] == 4 and out.loc["a", "sum_k2"] == 58
+    assert out.loc["b", "n_with_k"] == 0 and out.loc["b", "sum_k"] == 0
+
+
+def test_label_centroid_partial_exactness():
+    """Micro-unit quantization is per element BEFORE the sum, and the
+    partial sums split across two batches equal the one-batch sums."""
+    import pyarrow as pa
+
+    from searchengine_ray.pipelines.ann import _centroid_partial
+
+    def tbl(rows):
+        return pa.table({
+            "embedding": pa.array([r[0] for r in rows],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([r[1] for r in rows], pa.int32())})
+
+    rows = [([0.15, -0.25], 1), ([0.05, 0.449999], 1), ([1.0, 2.0], 2)]
+    whole = _centroid_partial(tbl(rows)).to_pandas()
+    parts = pd.concat([_centroid_partial(tbl(rows[:1])).to_pandas(),
+                       _centroid_partial(tbl(rows[1:])).to_pandas()])
+    merged = parts.groupby(["label", "dim"], as_index=False)[
+        ["n_p", "sum_micro_p"]].sum()
+    pd.testing.assert_frame_equal(
+        whole.sort_values(["label", "dim"]).reset_index(drop=True),
+        merged.sort_values(["label", "dim"]).reset_index(drop=True),
+        check_dtype=False)
+    one = whole.set_index(["label", "dim"])["sum_micro_p"]
+    # float32(0.449999) rounds as its exact double value
+    import numpy as np
+    f = np.float32(0.449999)
+    assert one[(1, 2)] == int(np.floor(-0.25 * 1e6 + 0.5)) + int(
+        np.floor(float(f) * 1e6 + 0.5))
