@@ -565,7 +565,9 @@ class _SharedDecodeCache:
     Races are benign: simultaneous first-touch decodes waste one
     duplicate decode per racer (the registry keeps the first ref and
     tells later publishers no); ``QueryService.warmup`` avoids even
-    that by pre-passing the warm-up batch through ONE actor first."""
+    that with a term-OWNERSHIP pre-pass (``warm_publish``: each actor
+    decodes + publishes only the warm-up terms it owns by hash, in
+    parallel across the pool)."""
 
     def __init__(self, postings_budget: int = 256_000_000):
         self._entries: dict[int, tuple[list, int]] = {}
@@ -838,6 +840,50 @@ class IndexSearcher:
                 self._pool_local.pop(next(iter(self._pool_local)))
             self._pool_local[term] = got
         return got
+
+    def warm_publish(self, queries: list[tuple[int, str]], rank: int,
+                     n: int) -> int:
+        """Pool warm-up pre-pass: decode + publish to the pool cache
+        ONLY the cold terms this rank OWNS (crc32(term) % n == rank).
+        Run on every actor of an n-actor pool, the pre-pass covers each
+        warm-up term's decode exactly ONCE across the pool — no serial
+        single-actor bottleneck, and no race on the stop-word-scale
+        terms every warm-up query shares (scattering whole QUERIES
+        still races those: disjoint query sets overlap in terms).
+        Query parsing is repeated per actor, but that is string work —
+        the decode+argsort it guards is the DRAM-bound cost. Returns
+        the number of terms published."""
+        from zlib import crc32
+
+        if self._pool_cache is None:
+            return 0
+        done = 0
+        seen: set[str] = set()
+        for _, text in queries:
+            for term, _qtf in self._query_terms(text):
+                if term in seen:
+                    continue
+                seen.add(term)
+                if crc32(term.encode()) % n != rank:
+                    continue
+                h, df = self._term_info(term)
+                if df < self._pool_min_df or self._hot.get(h) is not None:
+                    continue
+                if self._pool_cached(term, h, df) is not None:
+                    done += 1
+        if done and self._pool_cache is not None:
+            # barrier: actor-task order is FIFO per (caller, callee)
+            # pair, so one awaited registry call after the fire-and-
+            # forget put.remote()s guarantees THIS actor's publishes
+            # are applied before the driver starts the pool-wide pass
+            # (otherwise that pass can miss and re-decode).
+            import ray
+
+            try:
+                ray.get(self._pool_cache.get.remote(0))
+            except Exception:
+                pass
+        return done
 
     def _search_vectorized(self, qterms: list[tuple[str, int]], k: int
                            ) -> list[tuple[int, float]]:
@@ -1551,6 +1597,9 @@ class QueryService:
                                               pool_cache_min_df=pool_min_df)
                 self.method = method
 
+            def warm_publish(self, queries, rank, n):
+                return self.searcher.warm_publish(queries, rank, n)
+
             def search_batch(self, queries, k):
                 # columnar return: four numpy arrays serialize as flat
                 # buffers — per-row Python tuples cost a pickle op per
@@ -1599,12 +1648,16 @@ class QueryService:
 
         t0 = time.time()
         if self._pool_cache is not None and len(self.actors) > 1:
-            # pre-pass through ONE actor: it decodes + publishes every
-            # cold warm-up term once, so the pool-wide pass below
-            # attaches to plasma instead of 32 actors racing the same
-            # memory-bandwidth-bound decodes (the anti-scaling measured
-            # at sf1: ~200 s of duplicated warm-up work)
-            ray.get(self.actors[0].search_batch.remote(queries, self.k))
+            # term-OWNERSHIP pre-pass: every actor parses all warm-up
+            # queries but decodes + publishes only the cold terms it
+            # owns by hash (warm_publish), so each term's DRAM-bound
+            # decode happens exactly once across the pool, in parallel —
+            # no serial single-actor bottleneck (36 s of the 52 s sf1
+            # re-serve), and no race on the shared stop-word-scale
+            # terms that scattering whole queries would still duplicate.
+            n = len(self.actors)
+            ray.get([self.actors[i].warm_publish.remote(queries, i, n)
+                     for i in range(n)])
         ray.get([a.search_batch.remote(queries, self.k) for a in self.actors])
         self.spinup_breakdown["warmup"] = round(time.time() - t0, 3)
 
