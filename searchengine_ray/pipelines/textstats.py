@@ -1519,14 +1519,17 @@ WITH counted AS (
   FROM documents),
 packed AS (
   SELECT doc_id, part, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (
+         -- window SUM over BIGINT yields HUGEINT, which fetchdf()
+         -- floats; cast back so the compare sees int64 on both sides
+         CAST(COALESCE(SUM(n_tokens) OVER (
              PARTITION BY part ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS tok_offset
+           AS BIGINT) AS tok_offset
   FROM counted)
 SELECT doc_id, part, n_tokens, tok_offset,
-       tok_offset // {seq_len} AS seq_start,
-       (tok_offset + greatest(n_tokens, 1) - 1) // {seq_len} AS seq_end
+       CAST(tok_offset // {seq_len} AS BIGINT) AS seq_start,
+       CAST((tok_offset + greatest(n_tokens, 1) - 1) // {seq_len} AS BIGINT)
+         AS seq_end
 FROM packed
 """
 

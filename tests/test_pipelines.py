@@ -67,6 +67,12 @@ def test_query_matches_oracle(ray_session, duck, name):
     want = _canon(duck.sql(e.oracle_sql()[name]).df())
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want)
+    # dtype KINDS must agree: a stringifying value-hash compare (the
+    # driver's) sees int 0 vs float 0.0 as a mismatch — the DuckDB
+    # HUGEINT->float64 fetchdf trap (uncast SUM over BIGINT) lands here
+    for c in got.columns:
+        assert got[c].dtype.kind == want[c].dtype.kind, \
+            f"{name}.{c}: {got[c].dtype} vs oracle {want[c].dtype}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
