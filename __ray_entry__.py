@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": ts.quality_filter,
         "event_props_stats": events.event_props_stats,
         "label_centroids": ann.label_centroids,
+        "kmeans_embeddings": ann.kmeans_embeddings,
         "top_bigrams": ts.top_bigrams,
         "sample_per_group": ts.sample_per_group,
         "tfidf_keywords": ts.tfidf_keywords,
@@ -188,6 +189,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "quality_filter": ts.quality_filter_sql(),
         "event_props_stats": events.event_props_stats_sql(),
         "label_centroids": ann.label_centroids_sql(),
+        "kmeans_embeddings": ann.kmeans_embeddings_sql(),
         "top_bigrams": ts.top_bigrams_sql(),
         "sample_per_group": ts.sample_per_group_sql(),
         "tfidf_keywords": ts.tfidf_keywords_sql(),

@@ -568,3 +568,153 @@ SELECT label, dim, n_vecs, sum_micro,
          AS mean_micro
 FROM agg
 """
+
+
+# ---- distributed k-means (Lloyd's iterations) ----
+
+
+def _kmeans_assign(micro: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Nearest centroid per row by EXACT integer squared distance
+    (d2 = x.x - 2 x.c + c.c, all int64 — no float accumulation, so
+    assignment is bit-identical on any cluster shape); ties resolve to
+    the lowest cluster index (np.argmin first-min == the SQL oracle's
+    ORDER BY d2, cluster). Magnitudes: |micro| <= ~2e6 per element, so
+    per-pair d2 <= 4e12 * d — far inside int64 at any realistic dim."""
+    x2 = np.einsum("ij,ij->i", micro, micro)            # (b,)
+    c2 = np.einsum("ij,ij->i", cent, cent)              # (k,)
+    cross = micro @ cent.T                              # (b, k) int64
+    d2 = x2[:, None] - 2 * cross + c2[None, :]
+    return np.argmin(d2, axis=1)
+
+
+class _KMeansPartial:
+    """map_batches stage of one Lloyd iteration: assign each vector to
+    its nearest broadcast centroid, emit a FIXED k x d partial summary
+    (cluster, dim, n_p, sum_p) per batch — the embeddings themselves
+    never shuffle; only k*d int64 rows per batch reach the groupby.
+    Centroids arrive once per actor via ray.put (zero re-ship per
+    batch)."""
+
+    def __init__(self, cent_ref):
+        import ray
+
+        self.cent = ray.get(cent_ref)                   # (k, d) int64 micro
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = emb_matrix(batch.column("embedding"))
+        micro = np.floor(mat * 1_000_000 + 0.5).astype(np.int64)
+        assign = _kmeans_assign(micro, self.cent)
+        k, d = self.cent.shape
+        sums = np.zeros((k, d), np.int64)
+        np.add.at(sums, assign, micro)
+        counts = np.bincount(assign, minlength=k).astype(np.int64)
+        return pa.table({
+            "cluster": int64_col(np.repeat(np.arange(k, dtype=np.int64), d)),
+            "dim": int64_col(np.tile(np.arange(1, d + 1, dtype=np.int64), k)),
+            "n_p": int64_col(np.repeat(counts, d)),
+            "sum_p": int64_col(sums.reshape(-1))})
+
+
+def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 2):
+    """(cluster, dim, centroid_micro, n_members) — ``iters`` full
+    Lloyd's iterations of k-means over the embeddings table (semantic
+    clustering for curation/SemDeDup-style dedup, IVF coarse quantizer
+    training at full-corpus fidelity).
+
+    Iterative-algorithm shape on Ray Data: per iteration, ONE broadcast
+    of the k x d centroid matrix (``ray.put``, read once per actor), one
+    ``map_batches`` pass emitting fixed-size integer partials, one
+    (cluster, dim) groupby of those partials, and a driver ``take_all``
+    bounded at k*d rows (512 here — never corpus-scale). Exactness: all
+    arithmetic is integer micro-units; the mean uses the same
+    floor(s/n + 0.5) double op on both sides (label_centroids contract),
+    so the unrolled-CTE DuckDB oracle reproduces every iteration
+    bit-for-bit. Empty clusters keep their previous centroid (mirrored
+    by the oracle's LEFT JOIN + CASE).
+
+    Init: centroid j = the vector with vec_id == j (the synthetic
+    table's ids are dense from 0; production would point this at any k
+    deterministic rows). The init read is predicate-pruned, not a scan.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    init = read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .filter(expr=f"vec_id < {k}").take_all()
+    assert len(init) == k, f"init expects dense vec_ids 0..{k-1}"
+    init.sort(key=lambda r: r["vec_id"])
+    cent = np.floor(np.asarray([r["embedding"] for r in init], np.float64)
+                    * 1_000_000 + 0.5).astype(np.int64)    # (k, d)
+    d = cent.shape[1]
+
+    counts = None
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+        partial = read(sf_dir, "embeddings", ["embedding"]).map_batches(
+            _KMeansPartial, fn_constructor_args=(cent_ref,),
+            batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+        agg = partial.groupby(["cluster", "dim"]).aggregate(
+            Sum("n_p", alias_name="n"), Sum("sum_p", alias_name="s"))
+        rows = agg.take_all()                       # bounded: k*d rows
+        new = cent.copy()
+        counts = np.zeros(k, np.int64)
+        for r in rows:
+            c, dd = int(r["cluster"]), int(r["dim"]) - 1
+            n = int(r["n"])
+            if n > 0:
+                new[c, dd] = np.int64(np.floor(float(r["s"]) / n + 0.5))
+                counts[c] = n
+        cent = new
+
+    return pa.table({
+        "cluster": int64_col(np.repeat(np.arange(k, dtype=np.int64), d)),
+        "dim": int64_col(np.tile(np.arange(1, d + 1, dtype=np.int64), k)),
+        "centroid_micro": int64_col(cent.reshape(-1)),
+        "n_members": int64_col(np.repeat(counts, d))})
+
+
+def kmeans_embeddings_sql(k: int = 8, iters: int = 2) -> str:
+    """Unrolled-CTE replay: c0 = init centroids, then per iteration
+    (a_i distances -> s_i argmin assignment -> g_i integer group sums
+    -> c_i updated centroids with empty-cluster carry). d2 stays in
+    DuckDB's HUGEINT only for ORDER BY — never fetched, so the
+    HUGEINT->float64 fetchdf trap can't bite."""
+    ctes = [f"""u AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS x
+  FROM embeddings)""", f"""c0 AS (
+  SELECT vec_id AS cluster, dim, x AS c FROM u WHERE vec_id < {k})"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(f"""a{i} AS (
+  SELECT u.vec_id, c{p}.cluster,
+         SUM((u.x - c{p}.c) * (u.x - c{p}.c)) AS d2
+  FROM u JOIN c{p} USING (dim)
+  GROUP BY u.vec_id, c{p}.cluster)""")
+        ctes.append(f"""s{i} AS (
+  SELECT vec_id, cluster FROM a{i}
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2, cluster) = 1)""")
+        ctes.append(f"""g{i} AS (
+  SELECT s{i}.cluster, u.dim, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(u.x) AS BIGINT) AS s
+  FROM u JOIN s{i} USING (vec_id)
+  GROUP BY s{i}.cluster, u.dim)""")
+        ctes.append(f"""c{i} AS (
+  SELECT c{p}.cluster, c{p}.dim,
+         CASE WHEN g{i}.n IS NULL THEN c{p}.c
+              ELSE CAST(floor(CAST(g{i}.s AS DOUBLE) / g{i}.n + 0.5)
+                        AS BIGINT) END AS c
+  FROM c{p} LEFT JOIN g{i}
+    ON c{p}.cluster = g{i}.cluster AND c{p}.dim = g{i}.dim)""")
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT c{iters}.cluster, c{iters}.dim, c{iters}.c AS centroid_micro,
+       CAST(COALESCE(m.n_members, 0) AS BIGINT) AS n_members
+FROM c{iters} LEFT JOIN (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+  FROM s{iters} GROUP BY cluster) m USING (cluster)
+"""

@@ -29,7 +29,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "dedup_apply", "clean_text", "pii_scrub",
                "dataset_mixture", "pack_sequences", "shard_shuffle",
                "unigram_logprob", "quality_filter", "event_props_stats", "label_centroids",
-               "top_bigrams",
+               "kmeans_embeddings", "top_bigrams",
                "sessionize_events", "event_asof_join", "event_range_join",
                "event_value_quantiles", "order_lineitem_join",
                "hopping_window_counts", "customers_without_orders",
@@ -190,6 +190,63 @@ def test_ann_ivf_recall_vs_exact(ray_session):
         full.sort_values(["query_vec_id", "rank"]).reset_index(drop=True),
         exact.sort_values(["query_vec_id", "rank"]).reset_index(drop=True),
         check_dtype=False)
+
+
+def test_kmeans_assign_tie_break():
+    """Exact-integer assignment; equidistant centroids resolve to the
+    LOWEST cluster index (the oracle's ORDER BY d2, cluster)."""
+    import numpy as np
+
+    from searchengine_ray.pipelines.ann import _kmeans_assign
+
+    cent = np.array([[0, 0], [4, 0], [0, 0]], np.int64)   # 0 and 2 identical
+    x = np.array([[0, 1], [2, 0], [4, 1]], np.int64)      # [2,0] ties 0 vs 1
+    assert _kmeans_assign(x, cent).tolist() == [0, 0, 1]
+
+
+def test_kmeans_inertia_improves(ray_session):
+    """Lloyd's property: two iterations land strictly better centroids
+    than the raw init (local exact-integer replay over the full test
+    table), members sum to the corpus, and every row is int64."""
+    import numpy as np
+
+    from searchengine_ray.pipelines.ann import _kmeans_assign, kmeans_embeddings
+
+    out = kmeans_embeddings(SF_DIR, k=8, iters=2).to_pandas()
+    assert len(out) == 8 * 64
+    assert all(out[c].dtype.kind == "i" for c in out.columns)
+    assert out.drop_duplicates("cluster").n_members.sum() == 500
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    micro = np.floor(np.stack(emb.embedding.to_numpy()).astype(np.float64)
+                     * 1_000_000 + 0.5).astype(np.int64)
+    ids = emb.vec_id.to_numpy()
+    init = micro[np.argsort(ids)][:8]
+    final = out.sort_values(["cluster", "dim"]).centroid_micro \
+        .to_numpy().reshape(8, 64)
+
+    def inertia(cent):
+        x2 = np.einsum("ij,ij->i", micro, micro)
+        c2 = np.einsum("ij,ij->i", cent, cent)
+        d2 = x2[:, None] - 2 * (micro @ cent.T) + c2[None, :]
+        return int(d2.min(axis=1).sum())
+
+    assert inertia(final) < inertia(init)
+    # reported membership must equal a fresh exact assignment under the
+    # PREVIOUS iteration's centroids (members are counted at the last
+    # assignment, before the final centroid update) — recompute iter-1
+    # centroids locally and compare
+    a1 = _kmeans_assign(micro, init)
+    c1 = init.copy()
+    for c in range(8):
+        m = a1 == c
+        if m.any():
+            c1[c] = np.floor(micro[m].sum(0) / m.sum() + 0.5).astype(np.int64)
+    a2 = _kmeans_assign(micro, c1)
+    want = np.bincount(a2, minlength=8)
+    got = out.drop_duplicates("cluster").sort_values("cluster") \
+        .n_members.to_numpy()
+    assert np.array_equal(got, want)
 
 
 def test_entry_smoke(ray_session):
