@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_props_stats": events.event_props_stats,
         "label_centroids": ann.label_centroids,
         "kmeans_embeddings": ann.kmeans_embeddings,
+        "semdedup": dedup.semdedup,
         "top_bigrams": ts.top_bigrams,
         "sample_per_group": ts.sample_per_group,
         "tfidf_keywords": ts.tfidf_keywords,
@@ -190,6 +191,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "event_props_stats": events.event_props_stats_sql(),
         "label_centroids": ann.label_centroids_sql(),
         "kmeans_embeddings": ann.kmeans_embeddings_sql(),
+        "semdedup": dedup.semdedup_sql(),
         "top_bigrams": ts.top_bigrams_sql(),
         "sample_per_group": ts.sample_per_group_sql(),
         "tfidf_keywords": ts.tfidf_keywords_sql(),

@@ -615,6 +615,42 @@ class _KMeansPartial:
             "sum_p": int64_col(sums.reshape(-1))})
 
 
+def _kmeans_centroids(sf_dir: str, k: int, iters: int
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Run ``iters`` Lloyd's iterations; returns (centroids int64 micro
+    (k, d), last-assignment member counts (k,)). Shared by
+    ``kmeans_embeddings`` and ``dedup.semdedup``."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    init = read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .filter(expr=f"vec_id < {k}").take_all()
+    assert len(init) == k, f"init expects dense vec_ids 0..{k-1}"
+    init.sort(key=lambda r: r["vec_id"])
+    cent = np.floor(np.asarray([r["embedding"] for r in init], np.float64)
+                    * 1_000_000 + 0.5).astype(np.int64)    # (k, d)
+
+    counts = np.zeros(k, np.int64)
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+        partial = read(sf_dir, "embeddings", ["embedding"]).map_batches(
+            _KMeansPartial, fn_constructor_args=(cent_ref,),
+            batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+        agg = partial.groupby(["cluster", "dim"]).aggregate(
+            Sum("n_p", alias_name="n"), Sum("sum_p", alias_name="s"))
+        rows = agg.take_all()                       # bounded: k*d rows
+        new = cent.copy()
+        counts = np.zeros(k, np.int64)
+        for r in rows:
+            c, dd = int(r["cluster"]), int(r["dim"]) - 1
+            n = int(r["n"])
+            if n > 0:
+                new[c, dd] = np.int64(np.floor(float(r["s"]) / n + 0.5))
+                counts[c] = n
+        cent = new
+    return cent, counts
+
+
 def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 2):
     """(cluster, dim, centroid_micro, n_members) — ``iters`` full
     Lloyd's iterations of k-means over the embeddings table (semantic
@@ -636,36 +672,8 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 2):
     table's ids are dense from 0; production would point this at any k
     deterministic rows). The init read is predicate-pruned, not a scan.
     """
-    import ray
-    from ray.data.aggregate import Sum
-
-    init = read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
-        .filter(expr=f"vec_id < {k}").take_all()
-    assert len(init) == k, f"init expects dense vec_ids 0..{k-1}"
-    init.sort(key=lambda r: r["vec_id"])
-    cent = np.floor(np.asarray([r["embedding"] for r in init], np.float64)
-                    * 1_000_000 + 0.5).astype(np.int64)    # (k, d)
+    cent, counts = _kmeans_centroids(sf_dir, k, iters)
     d = cent.shape[1]
-
-    counts = None
-    for _ in range(iters):
-        cent_ref = ray.put(cent)
-        partial = read(sf_dir, "embeddings", ["embedding"]).map_batches(
-            _KMeansPartial, fn_constructor_args=(cent_ref,),
-            batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
-        agg = partial.groupby(["cluster", "dim"]).aggregate(
-            Sum("n_p", alias_name="n"), Sum("sum_p", alias_name="s"))
-        rows = agg.take_all()                       # bounded: k*d rows
-        new = cent.copy()
-        counts = np.zeros(k, np.int64)
-        for r in rows:
-            c, dd = int(r["cluster"]), int(r["dim"]) - 1
-            n = int(r["n"])
-            if n > 0:
-                new[c, dd] = np.int64(np.floor(float(r["s"]) / n + 0.5))
-                counts[c] = n
-        cent = new
-
     return pa.table({
         "cluster": int64_col(np.repeat(np.arange(k, dtype=np.int64), d)),
         "dim": int64_col(np.tile(np.arange(1, d + 1, dtype=np.int64), k)),
@@ -673,12 +681,16 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 2):
         "n_members": int64_col(np.repeat(counts, d))})
 
 
-def kmeans_embeddings_sql(k: int = 8, iters: int = 2) -> str:
-    """Unrolled-CTE replay: c0 = init centroids, then per iteration
-    (a_i distances -> s_i argmin assignment -> g_i integer group sums
-    -> c_i updated centroids with empty-cluster carry). d2 stays in
+def _kmeans_ctes(k: int, iters: int, final_assign: bool = False
+                 ) -> list[str]:
+    """The unrolled Lloyd CTE chain: c0 = init centroids, then per
+    iteration (a_i distances -> s_i argmin assignment -> g_i integer
+    group sums -> c_i updated centroids with empty-cluster carry).
+    With ``final_assign``, appends one more a/s pair — the assignment
+    under the FINAL centroids (what semdedup clusters by). d2 stays in
     DuckDB's HUGEINT only for ORDER BY — never fetched, so the
-    HUGEINT->float64 fetchdf trap can't bite."""
+    HUGEINT->float64 fetchdf trap can't bite. Shared by the kmeans
+    and semdedup oracles."""
     ctes = [f"""u AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
          CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
@@ -686,7 +698,8 @@ def kmeans_embeddings_sql(k: int = 8, iters: int = 2) -> str:
               AS BIGINT) AS x
   FROM embeddings)""", f"""c0 AS (
   SELECT vec_id AS cluster, dim, x AS c FROM u WHERE vec_id < {k})"""]
-    for i in range(1, iters + 1):
+    last = iters + 1 if final_assign else iters
+    for i in range(1, last + 1):
         p = i - 1
         ctes.append(f"""a{i} AS (
   SELECT u.vec_id, c{p}.cluster,
@@ -697,6 +710,8 @@ def kmeans_embeddings_sql(k: int = 8, iters: int = 2) -> str:
   SELECT vec_id, cluster FROM a{i}
   QUALIFY row_number() OVER (PARTITION BY vec_id
                              ORDER BY d2, cluster) = 1)""")
+        if i > iters:
+            break                     # final assignment only: no update
         ctes.append(f"""g{i} AS (
   SELECT s{i}.cluster, u.dim, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(u.x) AS BIGINT) AS s
@@ -709,7 +724,11 @@ def kmeans_embeddings_sql(k: int = 8, iters: int = 2) -> str:
                         AS BIGINT) END AS c
   FROM c{p} LEFT JOIN g{i}
     ON c{p}.cluster = g{i}.cluster AND c{p}.dim = g{i}.dim)""")
-    joined = ",\n".join(ctes)
+    return ctes
+
+
+def kmeans_embeddings_sql(k: int = 8, iters: int = 2) -> str:
+    joined = ",\n".join(_kmeans_ctes(k, iters))
     return f"""
 WITH {joined}
 SELECT c{iters}.cluster, c{iters}.dim, c{iters}.c AS centroid_micro,

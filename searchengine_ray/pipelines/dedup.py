@@ -1468,3 +1468,91 @@ FROM documents d
 WHERE d.doc_id % {_EVAL_MOD} <> 0 AND d.doc_id NOT IN (
   SELECT train_doc FROM ({decontaminate_sql(threshold_bp)}) p)
 """
+
+
+# ---------------- SemDeDup (within-kmeans-cluster near-dups) ---------
+
+
+class _SemAssign:
+    """map_batches: append the nearest-final-centroid cluster id to
+    each (vec_id, embedding) row — exact int64 distance against the
+    ray.put-broadcast centroid matrix (one fetch per actor)."""
+
+    def __init__(self, cent_ref):
+        import ray
+
+        self.cent = ray.get(cent_ref)               # (k, d) int64 micro
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from searchengine_ray.pipelines.ann import _kmeans_assign
+
+        micro = np.floor(emb_matrix(batch.column("embedding"))
+                         * 1_000_000 + 0.5).astype(np.int64)
+        return batch.append_column(
+            "cluster", int64_col(_kmeans_assign(micro, self.cent)))
+
+
+class _ClusterPairsCosine(_BucketPairsCosine):
+    """Within-CLUSTER exact cosine pairs, cluster id carried through
+    (same chunked-matmul body as the LSH bucket stage)."""
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        cluster = (int(group.column("cluster")[0].as_py())
+                   if len(group) else 0)
+        out = super().__call__(group)
+        return pa.table({
+            "cluster": int64_col(np.full(len(out), cluster, np.int64)),
+            "vec_a": out.column("vec_a"), "vec_b": out.column("vec_b"),
+            "cosine_bp": out.column("cosine_bp")})
+
+
+def semdedup(sf_dir: str, k: int = 8, iters: int = 2,
+             threshold_bp: int = 4000):
+    """(cluster, vec_a, vec_b, cosine_bp) — semantic near-dup pairs
+    WITHIN k-means clusters (SemDeDup, Abbas et al. 2023 "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space, then run exact
+    cosine only within each cluster, so the quadratic work is bounded
+    by cluster size (~n/k per task), never N².
+
+    Shape: ``ann._kmeans_centroids`` (iters broadcast+partial-sum
+    passes) -> one assignment ``map_batches`` under the FINAL
+    centroids -> ONE groupby(cluster) whose map_groups does a chunked
+    matmul per cluster. At 100 TB, k scales with the corpus so n/k
+    stays a task-sized block; survivors follow via the existing
+    ``connected_components`` + anti-join apply. Pairs emit once
+    (vec_a < vec_b) with the shared bp float->int contract, so the
+    oracle (kmeans CTE chain + final assignment + within-cluster
+    self-join on list_cosine_similarity) replays it exactly."""
+    import ray
+
+    from searchengine_ray.pipelines.ann import _kmeans_centroids
+
+    cent, _ = _kmeans_centroids(sf_dir, k, iters)
+    cent_ref = ray.put(cent)
+    assigned = read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(_SemAssign, fn_constructor_args=(cent_ref,),
+                     batch_format="pyarrow", batch_size=4096,
+                     concurrency=(1, 4))
+    return assigned.groupby("cluster").map_groups(
+        _ClusterPairsCosine(threshold_bp), batch_format="pyarrow")
+
+
+def semdedup_sql(k: int = 8, iters: int = 2,
+                 threshold_bp: int = 4000) -> str:
+    from searchengine_ray.pipelines.ann import _kmeans_ctes
+
+    joined = ",\n".join(_kmeans_ctes(k, iters, final_assign=True))
+    f = iters + 1
+    return f"""
+WITH {joined}
+SELECT sa.cluster, ea.vec_id AS vec_a, eb.vec_id AS vec_b,
+       CAST(floor(list_cosine_similarity(ea.embedding, eb.embedding)
+                  * 10000 + 0.5) AS BIGINT) AS cosine_bp
+FROM s{f} sa
+JOIN s{f} sb ON sa.cluster = sb.cluster AND sa.vec_id < sb.vec_id
+JOIN embeddings ea ON ea.vec_id = sa.vec_id
+JOIN embeddings eb ON eb.vec_id = sb.vec_id
+WHERE floor(list_cosine_similarity(ea.embedding, eb.embedding)
+            * 10000 + 0.5) >= {threshold_bp}
+"""

@@ -29,7 +29,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "dedup_apply", "clean_text", "pii_scrub",
                "dataset_mixture", "pack_sequences", "shard_shuffle",
                "unigram_logprob", "quality_filter", "event_props_stats", "label_centroids",
-               "kmeans_embeddings", "top_bigrams",
+               "kmeans_embeddings", "semdedup", "top_bigrams",
                "sessionize_events", "event_asof_join", "event_range_join",
                "event_value_quantiles", "order_lineitem_join",
                "hopping_window_counts", "customers_without_orders",
@@ -247,6 +247,23 @@ def test_kmeans_inertia_improves(ray_session):
     got = out.drop_duplicates("cluster").sort_values("cluster") \
         .n_members.to_numpy()
     assert np.array_equal(got, want)
+
+
+def test_semdedup_subset_of_brute(ray_session):
+    """Every SemDeDup pair is a true near-dup (subset of the brute
+    N^2 pairs at the same threshold, identical scores), and the method
+    finds a non-trivial share of them — within-cluster search trades
+    recall for the bounded quadratic, it must not trade correctness."""
+    from searchengine_ray.pipelines.dedup import embedding_near_dups, semdedup
+
+    sem = _to_pandas(semdedup(SF_DIR, threshold_bp=4000))
+    brute = _to_pandas(embedding_near_dups(SF_DIR, threshold_bp=4000))
+    assert len(sem) > 0
+    bmap = {(a, b): s for a, b, s in
+            zip(brute.vec_a, brute.vec_b, brute.cosine_bp)}
+    for a, b, s in zip(sem.vec_a, sem.vec_b, sem.cosine_bp):
+        assert bmap.get((a, b)) == s, (a, b, s)
+    assert len(sem) >= 0.2 * len(brute)   # loose recall floor
 
 
 def test_entry_smoke(ray_session):
