@@ -1494,12 +1494,38 @@ class _SemAssign:
 
 class _ClusterPairsCosine(_BucketPairsCosine):
     """Within-CLUSTER exact cosine pairs, cluster id carried through
-    (same chunked-matmul body as the LSH bucket stage)."""
+    (same chunked-matmul body as the LSH bucket stage). Clusters above
+    ``star_cap`` members switch to the STAR policy the LSH dedup uses
+    on hot buckets: each member pairs with the cluster's min vec_id
+    only — O(m) edges instead of O(m²), connectivity for survivor
+    selection preserved — so a degenerate cluster (an all-near-same
+    corpus collapsing into one centroid) cannot make one group task
+    emit quadratic rows."""
+
+    def __init__(self, threshold_bp: int, star_cap: int):
+        super().__init__(threshold_bp)
+        self.__name__ = "cluster_pairs_cosine"
+        self.star_cap = star_cap
 
     def __call__(self, group: pa.Table) -> pa.Table:
         cluster = (int(group.column("cluster")[0].as_py())
                    if len(group) else 0)
-        out = super().__call__(group)
+        if len(group) > self.star_cap:
+            ids = group.column("vec_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            emb = emb_matrix(group.column("embedding"))
+            emb = emb / np.maximum(
+                np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+            mn = int(ids.argmin())
+            sims_bp = bp(emb[mn] @ emb.T)               # (m,)
+            keep = (sims_bp >= self.threshold_bp) & (ids != ids[mn])
+            out = pa.table({
+                "vec_a": int64_col(np.full(int(keep.sum()), ids[mn],
+                                           np.int64)),
+                "vec_b": int64_col(ids[keep]),
+                "cosine_bp": int64_col(sims_bp[keep])})
+        else:
+            out = super().__call__(group)
         return pa.table({
             "cluster": int64_col(np.full(len(out), cluster, np.int64)),
             "vec_a": out.column("vec_a"), "vec_b": out.column("vec_b"),
@@ -1507,7 +1533,7 @@ class _ClusterPairsCosine(_BucketPairsCosine):
 
 
 def semdedup(sf_dir: str, k: int = 8, iters: int = 2,
-             threshold_bp: int = 4000):
+             threshold_bp: int = 4000, star_cap: int = 256):
     """(cluster, vec_a, vec_b, cosine_bp) — semantic near-dup pairs
     WITHIN k-means clusters (SemDeDup, Abbas et al. 2023 "SemDeDup:
     Data-efficient learning at web-scale through semantic
@@ -1519,11 +1545,15 @@ def semdedup(sf_dir: str, k: int = 8, iters: int = 2,
     passes) -> one assignment ``map_batches`` under the FINAL
     centroids -> ONE groupby(cluster) whose map_groups does a chunked
     matmul per cluster. At 100 TB, k scales with the corpus so n/k
-    stays a task-sized block; survivors follow via the existing
-    ``connected_components`` + anti-join apply. Pairs emit once
-    (vec_a < vec_b) with the shared bp float->int contract, so the
-    oracle (kmeans CTE chain + final assignment + within-cluster
-    self-join on list_cosine_similarity) replays it exactly."""
+    stays a task-sized block, and clusters above ``star_cap`` fall
+    back to star pairs (min-id vs rest — O(m) edges, the LSH hot-
+    bucket policy) so no group task is ever quadratic; survivors
+    follow via the existing ``connected_components`` + anti-join
+    apply. Pairs emit once (vec_a < vec_b) with the shared bp
+    float->int contract, so the oracle (kmeans CTE chain + final
+    assignment + within-cluster self-join on list_cosine_similarity,
+    star policy mirrored via a per-cluster size CTE) replays it
+    exactly."""
     import ray
 
     from searchengine_ray.pipelines.ann import _kmeans_centroids
@@ -1535,24 +1565,31 @@ def semdedup(sf_dir: str, k: int = 8, iters: int = 2,
                      batch_format="pyarrow", batch_size=4096,
                      concurrency=(1, 4))
     return assigned.groupby("cluster").map_groups(
-        _ClusterPairsCosine(threshold_bp), batch_format="pyarrow")
+        _ClusterPairsCosine(threshold_bp, star_cap),
+        batch_format="pyarrow")
 
 
 def semdedup_sql(k: int = 8, iters: int = 2,
-                 threshold_bp: int = 4000) -> str:
+                 threshold_bp: int = 4000, star_cap: int = 256) -> str:
     from searchengine_ray.pipelines.ann import _kmeans_ctes
 
     joined = ",\n".join(_kmeans_ctes(k, iters, final_assign=True))
     f = iters + 1
     return f"""
-WITH {joined}
+WITH {joined},
+z AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+         CAST(min(vec_id) AS BIGINT) AS mn
+  FROM s{f} GROUP BY cluster)
 SELECT sa.cluster, ea.vec_id AS vec_a, eb.vec_id AS vec_b,
        CAST(floor(list_cosine_similarity(ea.embedding, eb.embedding)
                   * 10000 + 0.5) AS BIGINT) AS cosine_bp
 FROM s{f} sa
 JOIN s{f} sb ON sa.cluster = sb.cluster AND sa.vec_id < sb.vec_id
+JOIN z ON z.cluster = sa.cluster
 JOIN embeddings ea ON ea.vec_id = sa.vec_id
 JOIN embeddings eb ON eb.vec_id = sb.vec_id
-WHERE floor(list_cosine_similarity(ea.embedding, eb.embedding)
+WHERE (z.n <= {star_cap} OR sa.vec_id = z.mn)
+  AND floor(list_cosine_similarity(ea.embedding, eb.embedding)
             * 10000 + 0.5) >= {threshold_bp}
 """

@@ -266,6 +266,20 @@ def test_semdedup_subset_of_brute(ray_session):
     assert len(sem) >= 0.2 * len(brute)   # loose recall floor
 
 
+def test_semdedup_star_policy_parity(ray_session, duck):
+    """k=1 collapses everything into one 500-member cluster, over the
+    star_cap — the hot-cluster star policy (min-id vs rest, O(m)
+    edges) must kick in on BOTH sides and stay hash-identical."""
+    from searchengine_ray.pipelines.dedup import semdedup, semdedup_sql
+
+    got = _canon(_to_pandas(semdedup(SF_DIR, k=1, threshold_bp=500)))
+    want = _canon(duck.sql(semdedup_sql(k=1, threshold_bp=500)).df())
+    assert len(got) == len(want)
+    assert len(got) > 0 and len(got) < 499   # star edges, thresholded
+    assert (got.vec_a == got.vec_a.min()).all()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_entry_smoke(ray_session):
     import __ray_entry__ as e
 
