@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": ann.kmeans_embeddings,
         "semdedup": dedup.semdedup,
         "top_bigrams": ts.top_bigrams,
+        "bpe_pair_counts": ts.bpe_pair_counts,
         "sample_per_group": ts.sample_per_group,
         "tfidf_keywords": ts.tfidf_keywords,
         "top_parts": rel.top_parts,
@@ -193,6 +194,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "kmeans_embeddings": ann.kmeans_embeddings_sql(),
         "semdedup": dedup.semdedup_sql(),
         "top_bigrams": ts.top_bigrams_sql(),
+        "bpe_pair_counts": ts.bpe_pair_counts_sql(),
         "sample_per_group": ts.sample_per_group_sql(),
         "tfidf_keywords": ts.tfidf_keywords_sql(),
         "top_parts": rel.top_parts_sql(),

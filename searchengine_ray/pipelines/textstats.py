@@ -1996,3 +1996,92 @@ r AS (SELECT *, row_number() OVER (ORDER BY count DESC, bigram ASC) AS rnk
       FROM c)
 SELECT CAST(rnk AS BIGINT) AS rank, bigram, count FROM r WHERE rnk <= {k}
 """
+
+
+# ---- BPE merge-round pair counts (tokenizer training primitive) -----
+
+
+class _BpePairPartial:
+    """Per-batch partial adjacent-character-pair counts over word
+    OCCURRENCES — the counting step of one BPE merge round (Sennrich
+    et al. 2016 "Neural Machine Translation of Rare Words with Subword
+    Units"): the argmax pair is the next merge. Fully vectorized: the
+    batch's words join into one ascii byte buffer on a separator,
+    adjacent byte pairs become one int vector (hi*256+lo), np.unique
+    counts them with separator-adjacent positions masked — no per-word
+    Python loop. The [a-z0-9_] alphabet bounds DISTINCT pairs at ~1.4k,
+    so every batch emits a tiny fixed-vocabulary partial and the
+    downstream groupby is trivially skew-free at any corpus size."""
+
+    def __init__(self):
+        import re
+
+        self.tok = re.compile(r"[a-z0-9_]+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        words: list[str] = []
+        for text in batch.column("text").to_pylist():
+            words.extend(self.tok.findall(text.lower()))
+        if not words:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "c_p": pa.array([], pa.int64())})
+        buf = np.frombuffer("\n".join(words).encode("ascii"), np.uint8)
+        a = buf[:-1].astype(np.int32)
+        b = buf[1:].astype(np.int32)
+        mask = (a != 10) & (b != 10)                # 10 = \n separator
+        codes = a[mask] * 256 + b[mask]
+        uniq, counts = np.unique(codes, return_counts=True)
+        pairs = [chr(u >> 8) + chr(u & 255) for u in uniq.tolist()]
+        return pa.table({"pair": pa.array(pairs, pa.string()),
+                         "c_p": int64_col(counts.astype(np.int64))})
+
+
+def bpe_pair_counts(sf_dir: str, k: int = 50):
+    """(rank, pair, count) — the corpus's k most frequent adjacent
+    character pairs inside words: one BPE merge-round count (rank 1 is
+    the merge a BPE trainer would perform next). Ties (count desc,
+    pair asc) are deterministic.
+
+    Shape: vectorized per-batch partials (bounded at ~1.4k distinct
+    pairs by the ascii alphabet) -> one tiny pair groupby -> one
+    single-group rank task over <=1.4k rows. Nothing here scales with
+    corpus size except the embarrassingly-parallel counting pass."""
+    from ray.data.aggregate import Sum
+
+    partial = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _BpePairPartial, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, 4))
+    summed = partial.groupby("pair").aggregate(Sum("c_p", alias_name="count"))
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("g", int64_col(np.zeros(len(b), np.int64)))
+
+    def rank_group(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["count", "pair"],
+                            ascending=[False, True]).head(k)
+        return pa.table({
+            "rank": int64_col(np.arange(1, len(df) + 1)),
+            "pair": pa.array(df["pair"].tolist(), pa.string()),
+            "count": int64_col(df["count"].to_numpy(np.int64))})
+
+    rank_group.__name__ = "bpe_rank_group"
+    return summed.map_batches(tag, batch_format="pyarrow") \
+        .groupby("g").map_groups(rank_group, batch_format="pandas") \
+        .select_columns(["rank", "pair", "count"])
+
+
+def bpe_pair_counts_sql(k: int = 50) -> str:
+    return f"""
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word
+  FROM documents),
+p AS (
+  SELECT unnest([substr(word, i, 2)
+                 for i in generate_series(1, length(word) - 1)]) AS pair
+  FROM w),
+c AS (SELECT pair, CAST(count(*) AS BIGINT) AS count FROM p GROUP BY pair)
+SELECT CAST(row_number() OVER (ORDER BY count DESC, pair) AS BIGINT)
+         AS rank, pair, count
+FROM c
+QUALIFY rank <= {k}
+"""

@@ -30,6 +30,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "dataset_mixture", "pack_sequences", "shard_shuffle",
                "unigram_logprob", "quality_filter", "event_props_stats", "label_centroids",
                "kmeans_embeddings", "semdedup", "top_bigrams",
+               "bpe_pair_counts",
                "sessionize_events", "event_asof_join", "event_range_join",
                "event_value_quantiles", "order_lineitem_join",
                "hopping_window_counts", "customers_without_orders",
@@ -278,6 +279,30 @@ def test_semdedup_star_policy_parity(ray_session, duck):
     assert len(got) > 0 and len(got) < 499   # star edges, thresholded
     assert (got.vec_a == got.vec_a.min()).all()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bpe_pair_kernel_vs_naive():
+    """The vectorized byte-buffer pair counter equals a naive per-word
+    Python count, incl. 1-char words, empty docs, and word boundaries
+    (no cross-word pairs)."""
+    import collections
+    import re
+
+    import pyarrow as pa
+
+    from searchengine_ray.pipelines.textstats import _BpePairPartial
+
+    texts = ["Hello world_2 a", "x", "", "aa bb_cc aa", "a1a1 zz"]
+    got = _BpePairPartial()(pa.table({"doc_id": list(range(5)),
+                                      "text": texts}))
+    naive: collections.Counter = collections.Counter()
+    for t in texts:
+        for w in re.findall(r"[a-z0-9_]+", t.lower()):
+            for i in range(len(w) - 1):
+                naive[w[i:i + 2]] += 1
+    have = dict(zip(got.column("pair").to_pylist(),
+                    got.column("c_p").to_pylist()))
+    assert have == dict(naive)
 
 
 def test_entry_smoke(ray_session):
