@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": ann.label_centroids,
         "kmeans_embeddings": ann.kmeans_embeddings,
         "semdedup": dedup.semdedup,
+        "semdedup_prune": dedup.semdedup_prune,
         "top_bigrams": ts.top_bigrams,
         "bpe_pair_counts": ts.bpe_pair_counts,
         "sample_per_group": ts.sample_per_group,
@@ -193,6 +194,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "label_centroids": ann.label_centroids_sql(),
         "kmeans_embeddings": ann.kmeans_embeddings_sql(),
         "semdedup": dedup.semdedup_sql(),
+        "semdedup_prune": dedup.semdedup_prune_sql(),
         "top_bigrams": ts.top_bigrams_sql(),
         "bpe_pair_counts": ts.bpe_pair_counts_sql(),
         "sample_per_group": ts.sample_per_group_sql(),

@@ -1593,3 +1593,49 @@ WHERE (z.n <= {star_cap} OR sa.vec_id = z.mn)
   AND floor(list_cosine_similarity(ea.embedding, eb.embedding)
             * 10000 + 0.5) >= {threshold_bp}
 """
+
+
+def semdedup_prune(sf_dir: str, k: int = 8, iters: int = 2,
+                   threshold_bp: int = 4000, star_cap: int = 256):
+    """(vec_id, component, keep) — SemDeDup survivor selection: the
+    within-cluster pair stream through the generic Hash-to-Min
+    ``connected_components``; keep=1 iff the vector IS its component's
+    min-id representative (the same min-wins policy as
+    ``dedup_survivors``). Drop-list form: vectors absent from this
+    table are trivially survivors, so downstream consumes it as an
+    anti-join and the result stays pair-scale, never corpus-scale."""
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": b.column("vec_a"),
+                         "doc_b": b.column("vec_b")})
+
+    def to_vec_cols(b: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": b.column("doc_id"),
+                         "component": b.column("component"),
+                         "keep": b.column("keep")})
+
+    pairs = semdedup(sf_dir, k, iters, threshold_bp, star_cap)
+    labels = connected_components(
+        pairs.map_batches(to_edges, batch_format="pyarrow"))
+    return labels.map_batches(to_vec_cols, batch_format="pyarrow")
+
+
+def semdedup_prune_sql(k: int = 8, iters: int = 2,
+                       threshold_bp: int = 4000,
+                       star_cap: int = 256) -> str:
+    return f"""
+WITH RECURSIVE
+p AS (SELECT vec_a, vec_b
+      FROM ({semdedup_sql(k, iters, threshold_bp, star_cap)}) sp),
+e AS (SELECT vec_a AS a, vec_b AS b FROM p
+      UNION SELECT vec_b AS a, vec_a AS b FROM p),
+n AS (SELECT DISTINCT a AS node FROM e),
+walk(node, front) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN e ON e.a = w.front
+)
+SELECT node AS vec_id, min(front) AS component,
+       CAST(node = min(front) AS BIGINT) AS keep
+FROM walk GROUP BY node
+"""

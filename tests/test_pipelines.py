@@ -29,8 +29,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "dedup_apply", "clean_text", "pii_scrub",
                "dataset_mixture", "pack_sequences", "shard_shuffle",
                "unigram_logprob", "quality_filter", "event_props_stats", "label_centroids",
-               "kmeans_embeddings", "semdedup", "top_bigrams",
-               "bpe_pair_counts",
+               "kmeans_embeddings", "semdedup", "semdedup_prune",
+               "top_bigrams", "bpe_pair_counts",
                "sessionize_events", "event_asof_join", "event_range_join",
                "event_value_quantiles", "order_lineitem_join",
                "hopping_window_counts", "customers_without_orders",
