@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_prune": dedup.semdedup_prune,
         "top_bigrams": ts.top_bigrams,
         "bpe_pair_counts": ts.bpe_pair_counts,
+        "curation_pipeline": ts.curation_pipeline,
         "sample_per_group": ts.sample_per_group,
         "tfidf_keywords": ts.tfidf_keywords,
         "top_parts": rel.top_parts,
@@ -197,6 +198,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "semdedup_prune": dedup.semdedup_prune_sql(),
         "top_bigrams": ts.top_bigrams_sql(),
         "bpe_pair_counts": ts.bpe_pair_counts_sql(),
+        "curation_pipeline": ts.curation_pipeline_sql(),
         "sample_per_group": ts.sample_per_group_sql(),
         "tfidf_keywords": ts.tfidf_keywords_sql(),
         "top_parts": rel.top_parts_sql(),

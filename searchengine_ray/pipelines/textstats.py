@@ -2085,3 +2085,141 @@ SELECT CAST(row_number() OVER (ORDER BY count DESC, pair) AS BIGINT)
 FROM c
 QUALIFY rank <= {k}
 """
+
+
+# ---- composed curation pipeline (flagship end-to-end flow) ----------
+
+
+class _CurationScan:
+    """THE single text pass of the composed curation flow: quality
+    bitmask + mixture hash-threshold + whitespace token budget + pack
+    partition, all computed in one ``map_batches`` over (doc_id,
+    source, text) — text is dropped HERE, so everything downstream
+    (anti-join, packing) shuffles three int64s + a source string per
+    surviving doc, never the corpus."""
+
+    def __init__(self, nparts: int, n_jparts: int):
+        import re
+
+        self.ws = re.compile(r"\S+")
+        self.nparts = nparts
+        self.n_jparts = n_jparts
+        self._thresh: dict[str, int] = {}
+
+    def _t(self, source: str) -> int:
+        import hashlib
+
+        t = self._thresh.get(source)
+        if t is None:
+            t = 200 + int(hashlib.md5(
+                f"w:{source}".encode()).hexdigest()[:8], 16) % 601
+            self._thresh[source] = t
+        return t
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = _quality_filter_batch(batch)
+        keep_q = q.column("keep").to_numpy(zero_copy_only=False) == 1
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        src = batch.column("source").to_pylist()
+        th = np.fromiter((self._t(s) for s in src), dtype=np.int64,
+                         count=len(src))
+        keep_m = _md5mod(ids, "mix:", 1000) < th
+        keep = keep_q & keep_m
+        texts = batch.column("text").to_pylist()
+        n_tok = np.fromiter(
+            (len(self.ws.findall(t)) for t in texts), dtype=np.int64,
+            count=len(texts))
+        return pa.table({
+            "jpart": int64_col(ids[keep] % self.n_jparts),
+            "doc_id": int64_col(ids[keep]),
+            "part": int64_col(_md5mod(ids[keep], "pack:", self.nparts)),
+            "n_tokens": int64_col(n_tok[keep]),
+            "side": int64_col(np.zeros(int(keep.sum()), np.int64))})
+
+
+def curation_pipeline(sf_dir: str, seq_len: int = 2048,
+                      nparts: int = 64, dedup_threshold_bp: int = 5000):
+    """(doc_id, part, n_tokens, tok_offset, seq_start, seq_end) — the
+    composed end-to-end curation flow a training-data pipeline runs
+    before tokenization, as ONE streaming Ray Data job:
+
+      quality gate AND mixture weighting AND token budget
+        (one text pass, ``_CurationScan`` — text dropped at the scan)
+      -> MinHash-LSH near-dup survivor anti-join
+        (the ``dedup_apply`` co-located groupby(jpart) shape;
+         drop-list is pair-scale, shuffle is metadata-only)
+      -> GPT-style pack-then-chunk layout
+        (one part groupby, vectorized cumsum per partition)
+
+    This row exists to prove the operators COMPOSE as one lazy
+    streaming flow — no intermediate materialization, one text scan
+    for three filters, every exchange metadata-sized. The oracle
+    nests the exact same generator SQL (quality keep, recursive-CTE
+    survivors, mixture threshold) around the pack window."""
+    from searchengine_ray.pipelines.dedup import dedup_survivors
+
+    n_jparts = 64
+    scanned = read(sf_dir, "documents", ["doc_id", "source", "text"]) \
+        .map_batches(_CurationScan, fn_constructor_args=(nparts, n_jparts),
+                     batch_format="pyarrow", batch_size=2048,
+                     concurrency=(1, 8))
+
+    def drop_side(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch.column("keep"), 0))
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        z = np.zeros(len(ids), np.int64)
+        return pa.table({"jpart": int64_col(ids % n_jparts),
+                         "doc_id": int64_col(ids), "part": int64_col(z),
+                         "n_tokens": int64_col(z),
+                         "side": int64_col(np.ones(len(ids), np.int64))})
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        docs = df[df["side"] == 0]
+        dead = set(df.loc[df["side"] == 1, "doc_id"].to_numpy())
+        return docs[~docs["doc_id"].isin(dead)]
+
+    drops = dedup_survivors(sf_dir, dedup_threshold_bp).map_batches(
+        drop_side, batch_format="pyarrow")
+    live = scanned.union(drops).groupby("jpart").map_groups(
+        anti, batch_format="pandas")
+    return live.groupby("part").map_groups(
+        _make_pack_group(seq_len), batch_format="pandas")
+
+
+def curation_pipeline_sql(seq_len: int = 2048, nparts: int = 64,
+                          dedup_threshold_bp: int = 5000) -> str:
+    from searchengine_ray.pipelines.dedup import dedup_survivors_sql
+
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % {nparts} AS part,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE doc_id IN (
+      SELECT doc_id FROM ({quality_filter_sql()}) qf WHERE qf.keep = 1)
+    AND CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 1000
+        < 200 + CAST(('0x' || substr(md5('w:' || source), 1, 8))
+                     AS BIGINT) % 601
+    AND doc_id NOT IN (
+      SELECT doc_id FROM ({dedup_survivors_sql(dedup_threshold_bp)}) s
+      WHERE s.keep = 0)),
+packed AS (
+  SELECT doc_id, part, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY part ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS tok_offset
+  FROM base)
+SELECT doc_id, part, n_tokens, tok_offset,
+       CAST(tok_offset // {seq_len} AS BIGINT) AS seq_start,
+       CAST((tok_offset + greatest(n_tokens, 1) - 1) // {seq_len} AS BIGINT)
+         AS seq_end
+FROM packed
+"""

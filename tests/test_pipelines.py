@@ -30,7 +30,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "dataset_mixture", "pack_sequences", "shard_shuffle",
                "unigram_logprob", "quality_filter", "event_props_stats", "label_centroids",
                "kmeans_embeddings", "semdedup", "semdedup_prune",
-               "top_bigrams", "bpe_pair_counts",
+               "top_bigrams", "bpe_pair_counts", "curation_pipeline",
                "sessionize_events", "event_asof_join", "event_range_join",
                "event_value_quantiles", "order_lineitem_join",
                "hopping_window_counts", "customers_without_orders",
@@ -303,6 +303,31 @@ def test_bpe_pair_kernel_vs_naive():
     have = dict(zip(got.column("pair").to_pylist(),
                     got.column("c_p").to_pylist()))
     assert have == dict(naive)
+
+
+def test_curation_pipeline_composes(ray_session):
+    """The composed flow's survivors are exactly (quality keep) AND
+    (mixture keep) MINUS (dedup drop-list), and per-part offsets are
+    the dense doc_id-ordered cumsum — i.e. the one-scan composition
+    changes nothing vs running the ops separately."""
+    import numpy as np
+
+    from searchengine_ray.pipelines.dedup import dedup_survivors
+    from searchengine_ray.pipelines.textstats import (
+        curation_pipeline, dataset_mixture, quality_filter)
+
+    cur = _to_pandas(curation_pipeline(SF_DIR))
+    q = _to_pandas(quality_filter(SF_DIR))
+    mix = _to_pandas(dataset_mixture(SF_DIR))
+    drops = _to_pandas(dedup_survivors(SF_DIR))
+    want = (set(q[q.keep == 1].doc_id) & set(mix.doc_id)) \
+        - set(drops[drops.keep == 0].doc_id)
+    assert set(cur.doc_id) == want and len(want) > 0
+    for _, g in cur.groupby("part"):
+        g = g.sort_values("doc_id")
+        n = g.n_tokens.to_numpy(np.int64)
+        assert (g.tok_offset.to_numpy()
+                == np.concatenate(([0], np.cumsum(n)[:-1]))).all()
 
 
 def test_entry_smoke(ray_session):
