@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_asof_join": events.event_asof_join,
         "event_range_join": events.event_range_join,
         "event_value_quantiles": events.event_value_quantiles,
+        "value_quantiles_histogram": events.value_quantiles_histogram,
         "hopping_window_counts": events.hopping_window_counts,
         "order_lineitem_join": rel.order_lineitem_join,
         "customers_without_orders": rel.customers_without_orders,
@@ -181,6 +182,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "event_asof_join": events.event_asof_join_sql(),
         "event_range_join": events.event_range_join_sql(),
         "event_value_quantiles": events.event_value_quantiles_sql(),
+        "value_quantiles_histogram": events.value_quantiles_histogram_sql(),
         "hopping_window_counts": events.hopping_window_counts_sql(),
         "order_lineitem_join": rel.order_lineitem_join_sql(),
         "customers_without_orders": rel.customers_without_orders_sql(),

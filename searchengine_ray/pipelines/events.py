@@ -461,3 +461,100 @@ SELECT event_type, n_events, n_with_k, sum_k, sum_k2,
             AS BIGINT) AS avg_k_bp
 FROM agg
 """
+
+
+# ---- one-pass histogram quantiles (mergeable sketch) ----
+
+
+class _ValueHistPartial:
+    """map_batches: (event_type, bin_cents, n_p) partial histogram
+    rows — each batch contributes at most (types x distinct cent bins)
+    tiny int64 rows, mergeable by a plain Sum. This is the one-pass
+    quantile summary the exact op's docstring promises for 100 TB:
+    no per-key value sort, no value-only groups on one worker."""
+
+    __name__ = "value_hist_partial"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pylist(),
+            "bin_cents": cents(batch.column("value").to_numpy(
+                zero_copy_only=False))})
+        g = df.groupby(["event_type", "bin_cents"], sort=False).size()
+        idx = g.index.to_frame(index=False)
+        return pa.table({
+            "event_type": pa.array(idx["event_type"].tolist(), pa.string()),
+            "bin_cents": int64_col(idx["bin_cents"].to_numpy(np.int64)),
+            "n_p": int64_col(g.to_numpy(np.int64))})
+
+
+def _hist_quantile_group(qs: tuple[float, ...]):
+    def body(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bin_cents")
+        n_col = df["n"].to_numpy(np.int64)
+        cum = np.cumsum(n_col)
+        total = int(cum[-1])
+        bins = df["bin_cents"].to_numpy(np.int64)
+        out = {"event_type": [df["event_type"].iloc[0]],
+               "n": np.array([total], dtype=np.int64)}
+        for q in qs:
+            k = min(int(np.ceil(q * total)), total)
+            out[f"p{int(q * 100)}_cents"] = np.array(
+                [bins[np.searchsorted(cum, k)]], dtype=np.int64)
+        return pd.DataFrame(out)
+
+    body.__name__ = "hist_quantile_group"
+    return body
+
+
+def value_quantiles_histogram(sf_dir: str,
+                              qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """(event_type, n, p50/p90/p99 cents) — discrete quantiles of
+    ``value`` per event type via a ONE-PASS mergeable cent-bin
+    histogram (the 100-TB path ``event_value_quantiles``' docstring
+    points to): per-batch partial counts -> one (type, bin) groupby of
+    int64 partials -> a per-type selection over its bin rows.
+
+    Because cents-rounding is monotone non-decreasing, the k-th order
+    statistic of rounded values IS the rounded k-th order statistic —
+    so this returns EXACTLY the exact op's output (asserted in tests),
+    while the shuffle carries bounded histogram rows instead of every
+    value and nothing ever sorts a corpus-scale group."""
+    from ray.data.aggregate import Sum
+
+    partial = read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        _ValueHistPartial, batch_format="pyarrow", batch_size=65536,
+        concurrency=(1, 4))
+    summed = partial.groupby(["event_type", "bin_cents"]).aggregate(
+        Sum("n_p", alias_name="n"))
+    return summed.groupby("event_type").map_groups(
+        _hist_quantile_group(qs), batch_format="pandas")
+
+
+def value_quantiles_histogram_sql(
+        qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> str:
+    picks = ",\n       ".join(
+        f"(SELECT min(bin_cents) FROM cum"
+        f" WHERE cum.event_type = t.event_type"
+        f" AND cum.cum >= CAST(ceil({q} * t.n) AS BIGINT))"
+        f" AS p{int(q * 100)}_cents" for q in qs)
+    return f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS bin_cents
+  FROM events),
+c AS (
+  SELECT event_type, bin_cents, CAST(count(*) AS BIGINT) AS n
+  FROM b GROUP BY event_type, bin_cents),
+cum AS (
+  SELECT event_type, bin_cents,
+         CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bin_cents)
+              AS BIGINT) AS cum
+  FROM c),
+t AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS n
+  FROM c GROUP BY event_type)
+SELECT t.event_type, t.n,
+       {picks}
+FROM t
+"""

@@ -32,7 +32,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "kmeans_embeddings", "semdedup", "semdedup_prune",
                "top_bigrams", "bpe_pair_counts", "curation_pipeline",
                "sessionize_events", "event_asof_join", "event_range_join",
-               "event_value_quantiles", "order_lineitem_join",
+               "event_value_quantiles", "value_quantiles_histogram",
+               "order_lineitem_join",
                "hopping_window_counts", "customers_without_orders",
                "top_terms_per_lang", "dataset_split", "sample_per_group",
                "tfidf_keywords", "dedup_spans", "top_terms_sketch_violations"]
@@ -328,6 +329,19 @@ def test_curation_pipeline_composes(ray_session):
         n = g.n_tokens.to_numpy(np.int64)
         assert (g.tok_offset.to_numpy()
                 == np.concatenate(([0], np.cumsum(n)[:-1]))).all()
+
+
+def test_histogram_quantiles_equal_exact(ray_session):
+    """Monotone commutation, executable: the one-pass histogram
+    quantiles must equal the exact sort-based op's output exactly
+    (cents-rounding is non-decreasing, so the k-th order statistic of
+    rounded values is the rounded k-th order statistic)."""
+    from searchengine_ray.pipelines.events import (
+        event_value_quantiles, value_quantiles_histogram)
+
+    exact = _canon(_to_pandas(event_value_quantiles(SF_DIR)))
+    hist = _canon(_to_pandas(value_quantiles_histogram(SF_DIR)))
+    pd.testing.assert_frame_equal(hist, exact, check_dtype=False)
 
 
 def test_entry_smoke(ray_session):
