@@ -764,18 +764,43 @@ class _MultiTableLshStage:
         return pa.concat_tables(chunks)
 
 
+def _auto_n_bits(sf_dir: str, target_bucket: int = 512) -> int:
+    """Hyperplane count sized so a bucket holds ~``target_bucket``
+    vectors: ceil(log2(n / target)), clamped to [4, 24]. Reads only
+    parquet METADATA (row count), never the table — deterministic and
+    shared by the Ray path and the SQL oracle generator, so both sides
+    derive the same plane set for the same table. Measured motivation:
+    a fixed n_bits=4 at 500k vectors makes 31k-vector buckets and the
+    within-bucket quadratic dominates (BENCH/r4_emb_500k.json)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.common import table_path
+
+    n = pq.ParquetFile(table_path(sf_dir, "embeddings")).metadata.num_rows
+    if n <= target_bucket:
+        return 4
+    return max(4, min(24, math.ceil(math.log2(n / target_bucket))))
+
+
 def embedding_near_dups_lsh(sf_dir: str, threshold_bp: int = 4000,
-                            n_bits: int = 4, n_tables: int = 4, seed: int = 7):
+                            n_bits: int | None = None, n_tables: int = 4,
+                            seed: int = 7):
     """Bucketed near-dup path: random-hyperplane LSH buckets the vectors
     (``n_tables`` independent bucketings so near pairs split by one
     hyperplane still co-bucket in another), exact cosine runs only
     WITHIN buckets, and pair rows from different tables are deduped by a
     hash-partitioned groupby keeping the max observed score. The shuffle
     carries (bucket, vec) rows and candidate pairs — never an N x d
-    broadcast matrix, never a driver materialization."""
+    broadcast matrix, never a driver materialization. ``n_bits=None``
+    auto-sizes from the table's row count (``_auto_n_bits``) so bucket
+    size stays ~constant as the corpus grows."""
     import ray
     from ray.data.aggregate import Max
 
+    if n_bits is None:
+        n_bits = _auto_n_bits(sf_dir)
     rng = np.random.default_rng(seed)
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
     d = len(ds.take(1)[0]["embedding"])
@@ -790,7 +815,8 @@ def embedding_near_dups_lsh(sf_dir: str, threshold_bp: int = 4000,
         Max("cosine_bp", alias_name="cosine_bp"))
 
 
-def embedding_near_dups_lsh_sql(threshold_bp: int = 4000, n_bits: int = 4,
+def embedding_near_dups_lsh_sql(threshold_bp: int = 4000,
+                                n_bits: int | None = None,
                                 n_tables: int = 4, seed: int = 7,
                                 sf_dir: str | None = None) -> str:
     """Exact DuckDB replay of the bucketed path: the seeded hyperplanes
@@ -804,6 +830,8 @@ def embedding_near_dups_lsh_sql(threshold_bp: int = 4000, n_bits: int = 4,
     from searchengine_ray.pipelines.ann import (_SF_ORACLE_DEFAULT, _sql_vec,
                                                 _table_dim)
 
+    if n_bits is None:
+        n_bits = _auto_n_bits(sf_dir or _SF_ORACLE_DEFAULT)
     d = _table_dim(sf_dir or _SF_ORACLE_DEFAULT)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_bits, d))
@@ -1544,10 +1572,13 @@ def semdedup(sf_dir: str, k: int = 8, iters: int = 2,
     Shape: ``ann._kmeans_centroids`` (iters broadcast+partial-sum
     passes) -> one assignment ``map_batches`` under the FINAL
     centroids -> ONE groupby(cluster) whose map_groups does a chunked
-    matmul per cluster. At 100 TB, k scales with the corpus so n/k
-    stays a task-sized block, and clusters above ``star_cap`` fall
-    back to star pairs (min-id vs rest — O(m) edges, the LSH hot-
-    bucket policy) so no group task is ever quadratic; survivors
+    matmul per cluster. SIZE k ~ n/star_cap: clusters above
+    ``star_cap`` fall back to star pairs (min-id vs rest — O(m) edges,
+    the LSH hot-bucket policy) so no group task is ever quadratic, but
+    star pairs only surface min-id edges — measured at 500k vecs
+    (BENCH/r4_emb_500k.json), k=16 emits 0 of 5,000 planted pairs
+    (31k-vector clusters, all star) while k=2048 (~244/cluster)
+    recovers them at the method's cross-cluster-miss rate; survivors
     follow via the existing ``connected_components`` + anti-join
     apply. Pairs emit once (vec_a < vec_b) with the shared bp
     float->int contract, so the oracle (kmeans CTE chain + final

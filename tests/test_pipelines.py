@@ -331,6 +331,25 @@ def test_curation_pipeline_composes(ray_session):
                 == np.concatenate(([0], np.cumsum(n)[:-1]))).all()
 
 
+def test_auto_n_bits():
+    """LSH plane count scales with the corpus: test tables stay at the
+    historical 4 (oracles unchanged); big tables get ~n/512 buckets."""
+    import math
+    from unittest.mock import patch
+
+    from searchengine_ray.pipelines.dedup import _auto_n_bits
+
+    assert _auto_n_bits(SF_DIR) == 4          # 500 rows -> minimum
+    with patch("pyarrow.parquet.ParquetFile") as pf:
+        for n, want in [(500_000, 10), (10**11, 24), (1, 4), (513, 1)]:
+            pf.return_value.metadata.num_rows = n
+            got = _auto_n_bits("/ignored")
+            if n == 513:
+                assert got == max(4, math.ceil(math.log2(513 / 512)))
+            else:
+                assert got == want
+
+
 def test_histogram_quantiles_equal_exact(ray_session):
     """Monotone commutation, executable: the one-pass histogram
     quantiles must equal the exact sort-based op's output exactly
