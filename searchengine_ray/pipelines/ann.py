@@ -573,7 +573,7 @@ FROM agg
 # ---- distributed k-means (Lloyd's iterations) ----
 
 
-def _kmeans_assign(micro: np.ndarray, cent: np.ndarray) -> np.ndarray:
+def _kmeans_assign_exact(micro: np.ndarray, cent: np.ndarray) -> np.ndarray:
     """Nearest centroid per row by EXACT integer squared distance
     (d2 = x.x - 2 x.c + c.c, all int64 — no float accumulation, so
     assignment is bit-identical on any cluster shape); ties resolve to
@@ -585,6 +585,37 @@ def _kmeans_assign(micro: np.ndarray, cent: np.ndarray) -> np.ndarray:
     cross = micro @ cent.T                              # (b, k) int64
     d2 = x2[:, None] - 2 * cross + c2[None, :]
     return np.argmin(d2, axis=1)
+
+
+def _kmeans_assign(micro: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """``_kmeans_assign_exact`` semantics at BLAS speed: distances run
+    in float64 (one dgemm — numpy's int64 matmul is a naive C loop,
+    measured ~15x slower at k=2048, BENCH/r4_emb_500k.json), then rows
+    whose best/runner-up margin falls inside a conservative float
+    error bound — including all exact ties — are re-assigned by the
+    exact integer kernel. The bound is ~20x the worst-case dgemm
+    rounding (eps * terms * magnitudes), so the recheck set is empty
+    on real data but provably covers every row where float64 could
+    disagree with the integer argmin; the result is bit-identical to
+    the exact path by construction."""
+    xf = micro.astype(np.float64)
+    cf = cent.astype(np.float64)
+    x2 = np.einsum("ij,ij->i", xf, xf)
+    c2 = np.einsum("ij,ij->i", cf, cf)
+    d2 = x2[:, None] - 2.0 * (xf @ cf.T) + c2[None, :]
+    best = np.argmin(d2, axis=1)
+    rows = np.arange(len(d2))
+    d2best = d2[rows, best]
+    d2[rows, best] = np.inf
+    margin = d2.min(axis=1) - d2best
+    # |float_d2 - int_d2| <= ~4 * d * eps * max-term-magnitude; use a
+    # per-row 20x-slack bound so near-ties (and exact ties, margin<=0)
+    # always fall through to the integer kernel
+    err = 1e-12 * (x2 + float(c2.max()) + 2.0 * np.sqrt(x2 * c2.max()) + 1.0)
+    risky = margin <= err
+    if risky.any():
+        best[risky] = _kmeans_assign_exact(micro[risky], cent)
+    return best
 
 
 class _KMeansPartial:

@@ -206,6 +206,26 @@ def test_kmeans_assign_tie_break():
     assert _kmeans_assign(x, cent).tolist() == [0, 0, 1]
 
 
+def test_kmeans_assign_hybrid_equals_exact():
+    """The BLAS-fast hybrid assignment is bit-identical to the pure
+    integer kernel on dense random micro-unit data, including planted
+    exact ties and near-ties one micro-unit apart."""
+    import numpy as np
+
+    from searchengine_ray.pipelines.ann import (_kmeans_assign,
+                                                _kmeans_assign_exact)
+
+    rng = np.random.default_rng(11)
+    micro = rng.integers(-2_000_000, 2_000_000, (5000, 64)).astype(np.int64)
+    cent = rng.integers(-2_000_000, 2_000_000, (37, 64)).astype(np.int64)
+    micro[17] = cent[5]                   # exact hit (distance 0 tie-free)
+    micro[18] = cent[36]                  # exact hit on the last centroid
+    cent[20] = cent[4]                    # duplicate centroid: every row ties
+    micro[19] = cent[4]; micro[19][0] += 1   # one micro-unit off a tie pair
+    assert np.array_equal(_kmeans_assign(micro, cent),
+                          _kmeans_assign_exact(micro, cent))
+
+
 def test_kmeans_inertia_improves(ray_session):
     """Lloyd's property: two iterations land strictly better centroids
     than the raw init (local exact-integer replay over the full test
