@@ -620,11 +620,18 @@ def _kmeans_assign(micro: np.ndarray, cent: np.ndarray) -> np.ndarray:
 
 class _KMeansPartial:
     """map_batches stage of one Lloyd iteration: assign each vector to
-    its nearest broadcast centroid, emit a FIXED k x d partial summary
-    (cluster, dim, n_p, sum_p) per batch — the embeddings themselves
-    never shuffle; only k*d int64 rows per batch reach the groupby.
+    its nearest broadcast centroid, emit one (cluster, dim, n_p, sum_p)
+    partial row per PRESENT cluster-dim — the embeddings themselves
+    never shuffle. The assignment matmul runs in row chunks so the
+    (chunk x k) distance matrix stays ~64 MB however large the batch,
+    which lets ``_kmeans_centroids`` scale batch_size WITH k: partial
+    volume is (clusters-present x d) per batch, so bigger batches at
+    bigger k keep partial rows per input vector bounded instead of
+    k*d/b exploding (measured 32 rows/vec at k=2048, b=4096).
     Centroids arrive once per actor via ray.put (zero re-ship per
     batch)."""
+
+    _CHUNK = 4096
 
     def __init__(self, cent_ref):
         import ray
@@ -634,16 +641,21 @@ class _KMeansPartial:
     def __call__(self, batch: pa.Table) -> pa.Table:
         mat = emb_matrix(batch.column("embedding"))
         micro = np.floor(mat * 1_000_000 + 0.5).astype(np.int64)
-        assign = _kmeans_assign(micro, self.cent)
         k, d = self.cent.shape
         sums = np.zeros((k, d), np.int64)
-        np.add.at(sums, assign, micro)
-        counts = np.bincount(assign, minlength=k).astype(np.int64)
+        counts = np.zeros(k, np.int64)
+        for lo in range(0, len(micro), self._CHUNK):
+            sub = micro[lo:lo + self._CHUNK]
+            assign = _kmeans_assign(sub, self.cent)
+            np.add.at(sums, assign, sub)
+            counts += np.bincount(assign, minlength=k)
+        present = np.flatnonzero(counts)
         return pa.table({
-            "cluster": int64_col(np.repeat(np.arange(k, dtype=np.int64), d)),
-            "dim": int64_col(np.tile(np.arange(1, d + 1, dtype=np.int64), k)),
-            "n_p": int64_col(np.repeat(counts, d)),
-            "sum_p": int64_col(sums.reshape(-1))})
+            "cluster": int64_col(np.repeat(present, d)),
+            "dim": int64_col(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                     len(present))),
+            "n_p": int64_col(np.repeat(counts[present], d)),
+            "sum_p": int64_col(sums[present].reshape(-1))})
 
 
 def _kmeans_centroids(sf_dir: str, k: int, iters: int
@@ -662,11 +674,14 @@ def _kmeans_centroids(sf_dir: str, k: int, iters: int
                     * 1_000_000 + 0.5).astype(np.int64)    # (k, d)
 
     counts = np.zeros(k, np.int64)
+    # scale batch with k so partial rows per vec stay <= d/16; the
+    # stage chunks its matmul internally, so memory is flat in b
+    bsize = int(max(4096, min(65536, 16 * k)))
     for _ in range(iters):
         cent_ref = ray.put(cent)
         partial = read(sf_dir, "embeddings", ["embedding"]).map_batches(
             _KMeansPartial, fn_constructor_args=(cent_ref,),
-            batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+            batch_format="pyarrow", batch_size=bsize, concurrency=(1, 8))
         agg = partial.groupby(["cluster", "dim"]).aggregate(
             Sum("n_p", alias_name="n"), Sum("sum_p", alias_name="s"))
         rows = agg.take_all()                       # bounded: k*d rows
