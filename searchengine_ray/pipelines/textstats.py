@@ -1915,7 +1915,7 @@ FROM m
 class _BigramPartial:
     """Per-batch partial bigram counts: ordered tokens via one compiled
     findall per doc (the documents-table simple tokenization), adjacent
-    pairs counted with a C-speed Counter update. One (bigram, c_p) row
+    pairs counted as factorized integer codes (np.unique). One (bigram, c_p) row
     per distinct bigram per batch reaches the shuffle — and because the
     partials are already unique per batch, no group downstream can
     exceed n_batches rows even for 'of the'-scale hot bigrams."""
@@ -1926,16 +1926,30 @@ class _BigramPartial:
         self.tok = re.compile(r"[a-z0-9_]+")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
+        toks: list[str] = []
         for text in batch.column("text").to_pylist():
-            toks = self.tok.findall(text.lower())
-            c.update(map(" ".join, zip(toks, toks[1:])))
-        if not c:
+            toks.extend(self.tok.findall(text.lower()))
+            toks.append("\n")                   # doc boundary sentinel
+            # (newline can never be a [a-z0-9_]+ token; NUL would be
+            # truncated by numpy's C-string compare and never match)
+        if len(toks) < 2:
             return pa.table({"bigram": pa.array([], pa.string()),
                              "c_p": pa.array([], pa.int64())})
-        items = list(c.items())
-        return pa.table({"bigram": pa.array([i[0] for i in items], pa.string()),
-                         "c_p": int64_col([i[1] for i in items])})
+        # factorize once, count integer pair codes with np.unique, and
+        # build strings only for the DISTINCT pairs (the per-occurrence
+        # " ".join Counter this replaces measured ~equal at 500k docs —
+        # regex tokenization dominates either way — but integer pair
+        # counting keeps the kernel allocation-free per occurrence)
+        codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
+        sent = np.flatnonzero(uniq == "\n")[0]
+        a, b = codes[:-1], codes[1:]
+        mask = (a != sent) & (b != sent)
+        v = len(uniq)
+        pair_codes, counts = np.unique(
+            a[mask].astype(np.int64) * v + b[mask], return_counts=True)
+        bigrams = [f"{uniq[p // v]} {uniq[p % v]}" for p in pair_codes.tolist()]
+        return pa.table({"bigram": pa.array(bigrams, pa.string()),
+                         "c_p": int64_col(counts.astype(np.int64))})
 
 
 def _make_bigram_topk(k: int):

@@ -302,6 +302,28 @@ def test_semdedup_star_policy_parity(ray_session, duck):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_bigram_kernel_vs_naive():
+    """The factorize-based bigram counter equals a naive per-doc
+    Counter, incl. empty docs, 1-token docs, and doc boundaries."""
+    import collections
+    import re
+
+    import pyarrow as pa
+
+    from searchengine_ray.pipelines.textstats import _BigramPartial
+
+    texts = ["Hello world hello", "x", "", "aa bb aa bb", "one"]
+    got = _BigramPartial()(pa.table({"doc_id": list(range(5)),
+                                     "text": texts}))
+    naive: collections.Counter = collections.Counter()
+    for t in texts:
+        toks = re.findall(r"[a-z0-9_]+", t.lower())
+        naive.update(map(" ".join, zip(toks, toks[1:])))
+    have = dict(zip(got.column("bigram").to_pylist(),
+                    got.column("c_p").to_pylist()))
+    assert have == dict(naive)
+
+
 def test_bpe_pair_kernel_vs_naive():
     """The vectorized byte-buffer pair counter equals a naive per-word
     Python count, incl. 1-char words, empty docs, and word boundaries
