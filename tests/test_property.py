@@ -1,0 +1,71 @@
+"""Hypothesis property tests (SURVEY §5): the codec and analyzer
+invariants that every distributed path leans on, checked over
+generated inputs instead of fixed seeds. No Ray session needed —
+these are the pure kernels."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from searchengine_ray.codec import (concat_blocks, decode_blocks,
+                                    encode_blocks, vbyte_decode, vbyte_encode)
+from searchengine_ray.tokenizer import Analyzer, canonicalize_number
+
+settings.register_profile("repo", deadline=None, max_examples=60)
+settings.load_profile("repo")
+
+
+@given(st.lists(st.integers(0, 2**64 - 1), max_size=300))
+def test_vbyte_roundtrip_any_uint64(vals):
+    v = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(vbyte_decode(vbyte_encode(v)), v)
+
+
+postings = st.integers(1, 400).flatmap(lambda n: st.tuples(
+    st.lists(st.integers(0, 2**40), min_size=n, max_size=n, unique=True),
+    st.lists(st.integers(1, 10**6), min_size=n, max_size=n),
+    st.integers(1, 200)))
+
+
+@given(postings)
+def test_blocks_roundtrip_and_split_invariance(p):
+    doc_list, tf_list, bs = p
+    docs = np.sort(np.array(doc_list, dtype=np.int64))
+    tfs = np.array(tf_list, dtype=np.int64)
+    pb = encode_blocks(docs, tfs, bs)
+    d, t = decode_blocks(pb)
+    assert np.array_equal(d, docs)
+    assert np.array_equal(t, tfs.astype(np.int32))
+    # encode in two arbitrary halves, concat — must equal the whole
+    # (the exact invariant the merge reducers' byte concat relies on)
+    cut = len(docs) // 2
+    if 0 < cut < len(docs):
+        joined = concat_blocks([encode_blocks(docs[:cut], tfs[:cut], bs),
+                                encode_blocks(docs[cut:], tfs[cut:], bs)])
+        d2, t2 = decode_blocks(joined)
+        assert np.array_equal(d2, docs)
+        assert np.array_equal(t2, tfs.astype(np.int32))
+
+
+@given(st.text(max_size=400))
+def test_analyzer_terms_invariants(text):
+    az = Analyzer()
+    terms = az.terms(text)
+    # deterministic
+    assert terms == az.terms(text)
+    # every term survives its own re-analysis head (normalization is
+    # stable: feeding a produced term back yields a non-empty analysis
+    # whose first token is itself) — the query-side/index-side parity
+    # the whole engine rests on (both sides call the same analyzer)
+    for t in set(terms):
+        again = az.terms(t)
+        assert again and again[0] == t
+    # all lowercase, bounded length
+    for t in terms:
+        assert t == t.lower() and 1 <= len(t) <= 64
+
+
+@given(st.text(alphabet="0123456789.,", min_size=1, max_size=20))
+def test_canonicalize_number_idempotent(tok):
+    once = canonicalize_number(tok)
+    assert canonicalize_number(once) == once
