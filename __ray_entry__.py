@@ -74,6 +74,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_terms_hll_registers": ts.distinct_terms_hll_registers,
         "top_terms_sketch": ts.top_terms_sketch,
         "top_terms_sketch_violations": ts.top_terms_sketch_violations,
+        "term_counts_cms": ts.term_counts_cms,
+        "term_counts_cms_cells": ts.term_counts_cms_cells,
+        "term_counts_cms_violations": ts.term_counts_cms_violations,
         "doc_fingerprint": ts.doc_fingerprint,
         "numeric_literals": ts.numeric_literals,
         "token_count_bpe": ts.token_count_bpe,
@@ -165,6 +168,9 @@ def _oracle_sql_static() -> dict[str, str]:
         "decontaminate": dedup.decontaminate_sql(),
         "decontaminate_apply": dedup.decontaminate_apply_sql(),
         "top_terms_sketch_violations": ts.top_terms_sketch_violations_sql(),
+        "term_counts_cms": ts.term_counts_cms_sql(),
+        "term_counts_cms_cells": ts.term_counts_cms_cells_sql(),
+        "term_counts_cms_violations": ts.term_counts_cms_violations_sql(),
         "clean_text": ts.clean_text_sql(),
         "pii_scrub": ts.pii_scrub_sql(),
         "embedding_near_dups": dedup.embedding_near_dups_sql(),

@@ -919,6 +919,191 @@ FROM parts GROUP BY register
 """
 
 
+# ---- Count-Min sketch (term-frequency point queries) ----
+
+_CMS_D = 4                        # depth (independent hash rows)
+_CMS_W = 1024                     # width (columns per row)
+_CMS_PROBES = ["data", "join", "query", "row", "scan", "table",
+               "value", "window", "zzznosuchterm"]
+
+
+def _cms_col(j: int, term: str) -> int:
+    """Column of ``term`` in sketch row ``j``: md5 low-64 of the
+    row-salted term (bit-identical to DuckDB
+    ``md5_number_lower(j || ':' || term)``) mod the sketch width."""
+    import hashlib
+
+    h = hashlib.md5(f"{j}:{term}".encode("utf-8")).digest()
+    return int.from_bytes(h[8:16], "little") % _CMS_W
+
+
+class TermCountsCMSPartial(_SimpleTokenStage):
+    """batch -> ONE row holding a d x w Count-Min sketch (Cormode &
+    Muthukrishnan 2005) of the batch's exact term frequencies.
+
+    Third member of the mergeable-sketch family: HLL registers merge by
+    elementwise max, Misra-Gries summaries by count-sum + re-compress,
+    CMS cells by elementwise SUM. The sum is fully order-independent,
+    so — unlike the MG summary — the merged sketch is bit-identical on
+    any partitioning and the whole construction replays exactly in SQL
+    (``term_counts_cms_cells``). The shuffle carries one fixed 32 KiB
+    row per batch instead of the vocabulary. Point-estimate guarantee
+    (one-sided, deterministic): for every term,
+    ``true_tf <= est_tf = min_j cells[j][h_j(term)]`` — driver-verified
+    per term against exact counts in ``term_counts_cms_violations``."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = np.arange(len(texts), dtype=np.int64)
+        codes, _, tfs, info = self.analyzer.tokenize_batch(texts, ids)
+        cells = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+        vocab = info["vocab"]
+        if len(vocab):
+            counts = np.bincount(codes, weights=tfs,
+                                 minlength=len(vocab)).astype(np.int64)
+            for j in range(_CMS_D):
+                cols = np.fromiter((_cms_col(j, t) for t in vocab),
+                                   dtype=np.int64, count=len(vocab))
+                np.add.at(cells[j], cols, counts)
+        return pa.table({"cells": pa.array([cells.tobytes()], pa.binary())})
+
+
+def _merged_cms_cells(sf_dir: str) -> np.ndarray:
+    """Summed d x w sketch; the driver folds one bounded 32 KiB row per
+    batch (like the HLL merge), never the vocabulary."""
+    partial = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        TermCountsCMSPartial, batch_format="pyarrow", batch_size=512,
+        concurrency=(1, 4))
+    cells = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    for b in partial.iter_batches(batch_format="pyarrow"):
+        for buf in b.column("cells").to_pylist():
+            cells += np.frombuffer(buf, dtype=np.int64).reshape(_CMS_D, _CMS_W)
+    return cells
+
+
+def term_counts_cms_cells(sf_dir: str):
+    """(row, col, count) for every nonzero Count-Min cell — the
+    integer-exact face of the sketch, hash-verified cell for cell
+    against a SQL replay of the salted-md5 placement + exact sums."""
+    cells = _merged_cms_cells(sf_dir)
+    rows, cols = np.nonzero(cells)
+    return pa.table({"row": int64_col(rows.astype(np.int64)),
+                     "col": int64_col(cols.astype(np.int64)),
+                     "count": int64_col(cells[rows, cols])})
+
+
+def term_counts_cms_cells_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+'))
+    AS term
+  FROM documents),
+ttf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS ttf
+  FROM toks WHERE term <> '' GROUP BY term),
+placed AS (
+  SELECT j.j AS row,
+         CAST(CAST(md5_number_lower(CAST(j.j AS VARCHAR) || ':' || term)
+                   AS UHUGEINT) % {_CMS_W} AS BIGINT) AS col,
+         ttf
+  FROM ttf CROSS JOIN range(0, {_CMS_D}) j(j))
+SELECT row, col, CAST(sum(ttf) AS BIGINT) AS count
+FROM placed GROUP BY row, col
+"""
+
+
+def term_counts_cms(sf_dir: str):
+    """(term, est_tf) point estimates for a fixed probe-term set —
+    ``est = min_j cells[j][h_j(term)]``. Because the cells are exact
+    integer sums, the estimates themselves are partitioning-independent
+    and hash-verified against the SQL replay (the MG sketch can't say
+    that — its summary depends on batch order; the CMS estimate does
+    not)."""
+    cells = _merged_cms_cells(sf_dir)
+    ests = [int(min(cells[j][_cms_col(j, t)] for j in range(_CMS_D)))
+            for t in _CMS_PROBES]
+    return pa.table({"term": pa.array(_CMS_PROBES, pa.string()),
+                     "est_tf": int64_col(np.array(ests, np.int64))})
+
+
+def term_counts_cms_sql() -> str:
+    probes = ", ".join(f"('{t}')" for t in _CMS_PROBES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+'))
+    AS term
+  FROM documents),
+ttf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS ttf
+  FROM toks WHERE term <> '' GROUP BY term),
+placed AS (
+  SELECT j.j AS row,
+         CAST(CAST(md5_number_lower(CAST(j.j AS VARCHAR) || ':' || term)
+                   AS UHUGEINT) % {_CMS_W} AS BIGINT) AS col,
+         ttf
+  FROM ttf CROSS JOIN range(0, {_CMS_D}) j(j)),
+cells AS (
+  SELECT row, col, CAST(sum(ttf) AS BIGINT) AS count
+  FROM placed GROUP BY row, col),
+probes(term) AS (VALUES {probes}),
+probe_cells AS (
+  SELECT p.term, j.j AS row,
+         CAST(CAST(md5_number_lower(CAST(j.j AS VARCHAR) || ':' || p.term)
+                   AS UHUGEINT) % {_CMS_W} AS BIGINT) AS col
+  FROM probes p CROSS JOIN range(0, {_CMS_D}) j(j))
+SELECT pc.term, CAST(min(COALESCE(c.count, 0)) AS BIGINT) AS est_tf
+FROM probe_cells pc
+LEFT JOIN cells c ON c.row = pc.row AND c.col = pc.col
+GROUP BY pc.term
+"""
+
+
+def term_counts_cms_violations(sf_dir: str):
+    """(term, total_tf, est_tf) rows where the CMS guarantee
+    ``true_tf <= est_tf`` is VIOLATED against exact per-term counts —
+    expected (and oracled) EMPTY. Checked streaming over the
+    pre-aggregated ``term_df`` shuffle with the 32 KiB merged sketch
+    broadcast; the vocabulary never lands on the driver."""
+    import ray
+
+    cells = _merged_cms_cells(sf_dir)
+    cells_ref = ray.put(cells)
+
+    def check(batch: pa.Table) -> pa.Table:
+        c = ray.get(cells_ref)
+        terms = batch.column("term").to_pylist()
+        tt = batch.column("total_tf").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        est = np.fromiter(
+            (min(c[j][_cms_col(j, t)] for j in range(_CMS_D)) for t in terms),
+            dtype=np.int64, count=len(terms))
+        idx = np.flatnonzero(est < tt)
+        return pa.table({
+            "term": pa.array([terms[i] for i in idx], pa.string()),
+            "total_tf": int64_col(tt[idx]),
+            "est_tf": int64_col(est[idx])})
+
+    rows = term_df(sf_dir).map_batches(
+        check, batch_format="pyarrow").take_all()
+    # explicit schema: the expected result is empty (see the MG
+    # violations row for why an all-empty Dataset can't be returned raw)
+    return pa.table({
+        "term": pa.array([r["term"] for r in rows], pa.string()),
+        "total_tf": int64_col(np.array([r["total_tf"] for r in rows],
+                                       np.int64)),
+        "est_tf": int64_col(np.array([r["est_tf"] for r in rows], np.int64))})
+
+
+def term_counts_cms_violations_sql() -> str:
+    """The one-sided bound holds for any input and any partitioning, so
+    the oracle is the empty set with the matching schema."""
+    return """
+SELECT CAST(NULL AS VARCHAR) AS term, CAST(NULL AS BIGINT) AS total_tf,
+       CAST(NULL AS BIGINT) AS est_tf
+WHERE FALSE
+"""
+
+
 # ---------------- text cleaning (normalization for training data) ----
 
 _WS_RUN = None    # compiled per process, not per batch

@@ -36,7 +36,9 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "order_lineitem_join",
                "hopping_window_counts", "customers_without_orders",
                "top_terms_per_lang", "dataset_split", "sample_per_group",
-               "tfidf_keywords", "dedup_spans", "top_terms_sketch_violations"]
+               "tfidf_keywords", "dedup_spans", "top_terms_sketch_violations",
+               "term_counts_cms", "term_counts_cms_cells",
+               "term_counts_cms_violations"]
 
 
 @pytest.fixture(scope="module")
@@ -472,6 +474,33 @@ def test_top_terms_sketch_bound(ray_session, duck):
         true = int(exact.get(r["term"], 0))
         assert r["est_tf"] <= true <= r["est_tf"] + err
     assert exact.idxmax() in set(got["term"])
+
+
+def test_term_counts_cms_bound(ray_session, duck):
+    """Count-Min guarantee: for EVERY vocabulary term, the point
+    estimate over-counts but never under-counts (true_tf <= est_tf),
+    and a term hashing alone in its min cell is exact."""
+    import numpy as np
+
+    from searchengine_ray.pipelines import textstats as ts
+
+    cells = ts._merged_cms_cells(SF_DIR)
+    exact = duck.sql("""
+        WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text),
+                             '[^a-z0-9_]+')) AS term FROM documents)
+        SELECT term, count(*) AS c FROM toks WHERE term <> ''
+        GROUP BY term""").df()
+    total = int(exact["c"].sum())
+    assert int(cells.sum()) == total * ts._CMS_D  # sums are exact
+    for t, c in zip(exact["term"], exact["c"]):
+        est = min(int(cells[j][ts._cms_col(j, t)]) for j in range(ts._CMS_D))
+        assert int(c) <= est, (t, int(c), est)
+    # absent probe term estimates >= 0 and the violations row is empty
+    assert len(ts.term_counts_cms_violations(SF_DIR)) == 0
+    probes = ts.term_counts_cms(SF_DIR).to_pandas().set_index("term")["est_tf"]
+    lookup = exact.set_index("term")["c"]
+    for t, est in probes.items():
+        assert int(lookup.get(t, 0)) <= int(est)
 
 
 def test_unigram_logprob_hot_cold_invariance(ray_session):
