@@ -133,6 +133,64 @@ FROM ranked WHERE rnk <= {K}
 """
 
 
+# ---- boolean (AND / NOT) retrieval ----
+
+BOOL_QUERIES: list[tuple[int, str]] = [
+    (1, "hash join -window"),
+    (2, "data table row"),
+    (3, "query -scan"),
+    (4, "zzznosuchterm join"),        # AND with an absent term: empty
+    (5, "value -zzznosuchterm"),      # NOT of an absent term: no-op
+    (6, "merge sort part -limit"),
+    (7, "data -data"),                # t AND NOT t: provably empty
+]
+
+
+def boolean_search(sf_dir: str):
+    """(query_id, doc_id) — unranked boolean AND/NOT retrieval over the
+    compressed index (``-`` prefixes negate a term). The classic
+    set-retrieval query class beside the ranked BM25 path; the oracle
+    replays it as a HAVING count(DISTINCT term) conjunction minus an
+    EXISTS on the negated terms."""
+    from searchengine_ray.pipelines.query import boolean_queries
+
+    paths = ensure_doc_index(sf_dir)
+    return boolean_queries(paths, BOOL_QUERIES, config=doc_index_config(),
+                           concurrency=(1, 2))
+
+
+def boolean_search_sql() -> str:
+    analyzer = Analyzer(doc_index_config())
+    selects = []
+    for qid, text in BOOL_QUERIES:
+        must: set[str] = set()
+        must_not: set[str] = set()
+        for w in text.split():
+            neg = w.startswith("-")
+            for t in analyzer.terms(w[1:] if neg else w):
+                (must_not if neg else must).add(t)
+        if not must or (must & must_not):
+            continue                    # provably empty: emit nothing
+        m_list = ", ".join(f"'{t}'" for t in sorted(must))
+        sel = (f"SELECT CAST({qid} AS BIGINT) AS query_id, doc_id FROM tf "
+               f"WHERE term IN ({m_list}) GROUP BY doc_id "
+               f"HAVING count(DISTINCT term) = {len(must)}")
+        if must_not:
+            n_list = ", ".join(f"'{t}'" for t in sorted(must_not))
+            sel += (f" AND doc_id NOT IN (SELECT doc_id FROM tf "
+                    f"WHERE term IN ({n_list}))")
+        selects.append(sel)
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+'))
+    AS term
+  FROM documents),
+tf AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> '')
+{union}
+"""
+
+
 # ---- phrase queries (positional postings) ----
 
 PHRASE_QUERIES: list[tuple[int, str]] = [

@@ -1202,6 +1202,46 @@ class IndexSearcher:
             self._pos_cache[term] = got
         return got
 
+    def boolean_search(self, text: str) -> np.ndarray:
+        """Boolean conjunctive retrieval: doc ids (ascending) containing
+        EVERY positive query term and NONE of the ``-``-prefixed ones —
+        the classic unranked AND/NOT query over the inverted index (the
+        set-retrieval face of the reference's candidate assembly,
+        ``searcher.py:36-74``, before any scoring). Works on any index
+        (positions not required); respects delete tombstones.
+
+        Intersections run over the same decoded posting arrays BM25
+        uses (hot plasma-shared, pool-shared, or cold LRU decode), so
+        on a served pool the query costs set ops only."""
+        must: list[str] = []
+        must_not: list[str] = []
+        for w in text.split():
+            neg = w.startswith("-")
+            for t in self.analyzer.terms(w[1:] if neg else w):
+                (must_not if neg else must).append(t)
+        if not must or set(must) & set(must_not):
+            # no positive terms, or t AND NOT t: provably empty
+            return np.empty(0, np.int64)
+        pos: np.ndarray | None = None
+        # rarest-first: each intersection is bounded by the smallest df
+        for t in sorted(set(must), key=self.term_df):
+            d = self._decoded(t)
+            if d is None:
+                return np.empty(0, np.int64)
+            p = d[0].astype(np.int64)
+            pos = p if pos is None else np.intersect1d(
+                pos, p, assume_unique=True)
+            if len(pos) == 0:
+                return np.empty(0, np.int64)
+        for t in sorted(set(must_not)):
+            d = self._decoded(t)
+            if d is not None:
+                pos = np.setdiff1d(pos, d[0].astype(np.int64),
+                                   assume_unique=True)
+        if self._alive is not None:
+            pos = pos[self._alive[pos]]
+        return self._dl_ids[pos]
+
     def phrase_search(self, text: str) -> list[tuple[int, int]]:
         """Exact phrase match via positional postings: docs containing the
         query tokens at consecutive RAW-token positions. Returns
@@ -1455,6 +1495,27 @@ class PhraseExecutorStage:
                          "n_matches": pa.array(counts, pa.int64())})
 
 
+class BooleanExecutorStage:
+    """Actor-pool stage for boolean AND/NOT queries over (query_id,
+    text) batches; emits (query_id, doc_id). Index loaded once per
+    actor (positions not needed)."""
+
+    def __init__(self, index_root: str, config: IndexConfig | None = None,
+                 data_ref=None):
+        self.searcher = IndexSearcher(index_root, config,
+                                      data=_resolve_shared(data_ref))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs = [], []
+        for qid, text in zip(batch.column("query_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            hits = self.searcher.boolean_search(text)
+            qids.extend([qid] * len(hits))
+            docs.extend(hits.tolist())
+        return pa.table({"query_id": pa.array(qids, pa.int64()),
+                         "doc_id": pa.array(docs, pa.int64())})
+
+
 class ProximityExecutorStage:
     """Actor-pool stage for within-window co-occurrence queries; emits
     (query_id, doc_id, n_chains). Index (with positions) loaded once
@@ -1496,6 +1557,25 @@ def phrase_queries(index_root: str | IndexPaths, queries, *,
             [{"query_id": int(q), "text": t} for q, t in queries])
     return queries.map_batches(
         PhraseExecutorStage, fn_constructor_args=(root, config, data_ref),
+        batch_format="pyarrow", batch_size=8, concurrency=concurrency)
+
+
+def boolean_queries(index_root: str | IndexPaths, queries, *,
+                    config: IndexConfig | None = None,
+                    concurrency: int | tuple = 4, share_index: bool = True):
+    """Run boolean AND/NOT queries through the actor pool; Dataset of
+    (query_id, doc_id)."""
+    import ray
+    import ray.data
+
+    root = index_root.root if isinstance(index_root, IndexPaths) else str(index_root)
+    data_ref = (load_index_shared(root, precompute_hot=False)
+                if share_index else None)
+    if not hasattr(queries, "map_batches"):
+        queries = ray.data.from_items(
+            [{"query_id": int(q), "text": t} for q, t in queries])
+    return queries.map_batches(
+        BooleanExecutorStage, fn_constructor_args=(root, config, data_ref),
         batch_format="pyarrow", batch_size=8, concurrency=concurrency)
 
 

@@ -98,6 +98,45 @@ def test_min_df_guard(inc_index):
         add_documents("/tmp/nonexistent", paths.root, bad)
 
 
+def test_boolean_search_parity(inc_index, tmp_path):
+    """Boolean AND/NOT retrieval == brute-force set algebra over the
+    analyzed docs (incl. absent terms, t AND NOT t, and tombstones)."""
+    paths, cfg, _ = inc_index
+    from searchengine_ray.tokenizer import Analyzer
+
+    an = Analyzer(cfg)
+    docs = _all_docs(paths)
+    term_sets = {d: set(an.terms(t))
+                 for d, t in zip(docs.column("doc_id").to_pylist(),
+                                 docs.column("content").to_pylist())}
+    s = IndexSearcher(paths.root, cfg)
+    cases = ["parse buffer -window", "hash -zzznosuchterm",
+             "data query line", "zzznosuchterm hash", "hash -hash", "-hash"]
+    for q in cases:
+        must: set = set()
+        must_not: set = set()
+        for w in q.split():
+            neg = w.startswith("-")
+            for t in an.terms(w[1:] if neg else w):
+                (must_not if neg else must).add(t)
+        if not must or (must & must_not):
+            want = []
+        else:
+            want = sorted(d for d, ts in term_sets.items()
+                          if must <= ts and not (must_not & ts))
+        assert s.boolean_search(q).tolist() == want, q
+
+    base = s.boolean_search("parse buffer").tolist()
+    assert base, "fixture corpus should match the base query"
+    work = tmp_path / "idx_bool"
+    shutil.copytree(paths.root, work)
+    from searchengine_ray.pipelines.build import delete_documents
+
+    delete_documents(work, {base[0]})
+    s1 = IndexSearcher(str(work), cfg)
+    assert s1.boolean_search("parse buffer").tolist() == base[1:]
+
+
 def test_delete_and_compact(inc_index, tmp_path):
     """Tombstones drop docs from every query path without changing the
     surviving docs' (stale-stats) scores; compaction rebuilds exact."""
