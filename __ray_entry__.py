@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": docsearch.phrase_search,
         "proximity_search": docsearch.proximity_search,
         "boolean_search": docsearch.boolean_search,
+        "prefix_search": docsearch.prefix_search,
         # --- tokenizer / aggregation surface (SURVEY §2.2/§2.5) ---
         "term_df": ts.term_df,
         "doc_token_stats": ts.doc_token_stats,
@@ -153,6 +154,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "phrase_search": docsearch.phrase_search_sql(),
         "proximity_search": docsearch.proximity_search_sql(),
         "boolean_search": docsearch.boolean_search_sql(),
+        "prefix_search": docsearch.prefix_search_sql(),
         "image_decode_features": multimodal.image_decode_features_sql(),
         "distinct_terms_hll_registers": ts.distinct_terms_hll_registers_sql(),
         "term_df": ts.term_df_sql(),

@@ -191,6 +191,119 @@ tf AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> '')
 """
 
 
+# ---- prefix (wildcard) queries: dictionary expansion + OR retrieval ----
+
+PREFIX_QUERIES: list[tuple[int, str]] = [
+    (1, "s"),       # 6 matches at gate scale — exercises the expansion cap
+    (2, "qu"),      # single term
+    (3, "c"),       # two terms
+    (4, "zzz"),     # no match: empty
+    (5, "d"),       # rare + common term under one prefix
+    (6, "ta"),      # single term
+]
+
+# Lucene-style bound on wildcard expansion; selection is deterministic
+# (df DESC, term ASC) so engine and oracle agree on WHICH terms survive
+PREFIX_MAX_EXPANSIONS = 4
+
+
+def _expand_prefixes(paths: IndexPaths, prefix_queries, cap: int):
+    """Expand each prefix to its top-``cap`` matching index terms as
+    ``[(query_id, "t1 t2 ...")]``, via a DISTRIBUTED dictionary scan.
+
+    The dictionary is hash-partitioned (point lookups), so a prefix
+    scan must touch every partition — but only the vocabulary-scale
+    (term, df) columns, pruned at the read; all prefixes match in ONE
+    pass. Matched rows (not the vocabulary) flow through two tiny
+    shuffles: df re-sum for block-split terms, then a per-query top-cap
+    selection — the take_all is bounded at cap x n_queries rows. At
+    100 TB the scale path is a term-SORTED dictionary projection for
+    range pruning; the scan here is corpus-size-independent either way.
+    """
+    from pathlib import Path
+
+    import ray.data
+
+    files = sorted(str(f) for f in Path(paths.dictionary).glob("*.parquet"))
+    prefixes = [(int(q), p) for q, p in prefix_queries]
+
+    def match(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_numpy(zero_copy_only=False)
+        dfs = batch.column("df").to_numpy(zero_copy_only=False)
+        qids_out, terms_out, dfs_out = [], [], []
+        for qid, pre in prefixes:
+            hit = np.char.startswith(terms.astype(str), pre)
+            qids_out.append(np.full(int(hit.sum()), qid, np.int64))
+            terms_out.append(terms[hit])
+            dfs_out.append(dfs[hit].astype(np.int64))
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qids_out), pa.int64()),
+            "term": pa.array(np.concatenate(terms_out).astype(str)),
+            "df": pa.array(np.concatenate(dfs_out), pa.int64())})
+
+    def top_cap(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["df", "term"], ascending=[False, True],
+                          kind="stable").head(cap)
+        return g[["query_id", "term"]]
+
+    import pandas as pd  # noqa: F401  (map_groups batch type)
+
+    rows = (ray.data.read_parquet(files, columns=["term", "df"])
+            .map_batches(match, batch_format="pyarrow")
+            .groupby(["query_id", "term"]).sum("df")
+            .map_batches(lambda b: pa.table(
+                {"query_id": b.column("query_id"), "term": b.column("term"),
+                 "df": b.column("sum(df)")}), batch_format="pyarrow")
+            .groupby("query_id").map_groups(top_cap, batch_format="pandas")
+            .take_all())
+    expanded: dict[int, list[str]] = {}
+    for r in rows:
+        expanded.setdefault(int(r["query_id"]), []).append(str(r["term"]))
+    return [(qid, " ".join(sorted(ts))) for qid, ts in
+            sorted(expanded.items())]
+
+
+def prefix_search(sf_dir: str):
+    """(query_id, doc_id, n_terms) — wildcard/prefix retrieval: each
+    prefix expands to its top-``PREFIX_MAX_EXPANSIONS`` dictionary
+    terms (df DESC, term ASC — the deterministic analog of Lucene's
+    expansion bound), then docs containing ANY surviving term return
+    with the count of distinct matching terms. The oracle replays
+    expansion (QUALIFY over the SQL-computed dictionary) and union in
+    SQL. The reference has no wildcard path; this is the standard
+    dictionary capability its hash-based term lookup cannot express."""
+    from searchengine_ray.pipelines.query import terms_union_queries
+
+    paths = ensure_doc_index(sf_dir)
+    expanded = _expand_prefixes(paths, PREFIX_QUERIES, PREFIX_MAX_EXPANSIONS)
+    return terms_union_queries(paths, expanded, config=doc_index_config(),
+                               concurrency=(1, 2))
+
+
+def prefix_search_sql() -> str:
+    values = ",\n        ".join(f"({qid}, '{p}')" for qid, p in PREFIX_QUERIES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+'))
+    AS term
+  FROM documents),
+tf AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''),
+dict AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+prefixes(query_id, prefix) AS (VALUES
+        {values}),
+expanded AS (
+  SELECT p.query_id, d.term
+  FROM prefixes p JOIN dict d ON starts_with(d.term, p.prefix)
+  QUALIFY row_number() OVER (PARTITION BY p.query_id
+                             ORDER BY d.df DESC, d.term ASC)
+          <= {PREFIX_MAX_EXPANSIONS})
+SELECT CAST(e.query_id AS BIGINT) AS query_id, tf.doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM expanded e JOIN tf ON tf.term = e.term
+GROUP BY e.query_id, tf.doc_id
+"""
+
+
 # ---- phrase queries (positional postings) ----
 
 PHRASE_QUERIES: list[tuple[int, str]] = [

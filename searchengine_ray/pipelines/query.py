@@ -1242,6 +1242,29 @@ class IndexSearcher:
             pos = pos[self._alive[pos]]
         return self._dl_ids[pos]
 
+    def terms_union(self, terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Disjunctive (OR) retrieval over pre-expanded index terms:
+        ``(doc_ids ascending, n_terms)`` where ``n_terms`` counts how
+        many DISTINCT query terms each doc contains. The retrieval body
+        of wildcard/prefix queries — the dictionary expansion happens
+        upstream (``docsearch._expand_prefixes``), this just unions the
+        decoded posting arrays BM25 already shares (hot plasma image,
+        pool cache, or cold LRU), so on a served pool a multi-term
+        union costs one ``np.unique`` over concatenated positions.
+        Respects delete tombstones like every other retrieval path."""
+        pos_list = []
+        for t in sorted(set(terms)):
+            d = self._decoded(t)
+            if d is not None:
+                pos_list.append(d[0].astype(np.int64))
+        if not pos_list:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        pos, counts = np.unique(np.concatenate(pos_list), return_counts=True)
+        if self._alive is not None:
+            keep = self._alive[pos]
+            pos, counts = pos[keep], counts[keep]
+        return self._dl_ids[pos], counts
+
     def phrase_search(self, text: str) -> list[tuple[int, int]]:
         """Exact phrase match via positional postings: docs containing the
         query tokens at consecutive RAW-token positions. Returns
@@ -1516,6 +1539,30 @@ class BooleanExecutorStage:
                          "doc_id": pa.array(docs, pa.int64())})
 
 
+class TermsUnionExecutorStage:
+    """Actor-pool stage for disjunctive (OR) retrieval over
+    pre-expanded terms: batches of (query_id, terms) where ``terms`` is
+    the space-joined expansion of a wildcard/prefix query; emits
+    (query_id, doc_id, n_terms). Index loaded once per actor."""
+
+    def __init__(self, index_root: str, config: IndexConfig | None = None,
+                 data_ref=None):
+        self.searcher = IndexSearcher(index_root, config,
+                                      data=_resolve_shared(data_ref))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs, counts = [], [], []
+        for qid, terms in zip(batch.column("query_id").to_pylist(),
+                              batch.column("terms").to_pylist()):
+            hits, n = self.searcher.terms_union(terms.split())
+            qids.extend([qid] * len(hits))
+            docs.extend(hits.tolist())
+            counts.extend(n.tolist())
+        return pa.table({"query_id": pa.array(qids, pa.int64()),
+                         "doc_id": pa.array(docs, pa.int64()),
+                         "n_terms": pa.array(counts, pa.int64())})
+
+
 class ProximityExecutorStage:
     """Actor-pool stage for within-window co-occurrence queries; emits
     (query_id, doc_id, n_chains). Index (with positions) loaded once
@@ -1576,6 +1623,27 @@ def boolean_queries(index_root: str | IndexPaths, queries, *,
             [{"query_id": int(q), "text": t} for q, t in queries])
     return queries.map_batches(
         BooleanExecutorStage, fn_constructor_args=(root, config, data_ref),
+        batch_format="pyarrow", batch_size=8, concurrency=concurrency)
+
+
+def terms_union_queries(index_root: str | IndexPaths, queries, *,
+                        config: IndexConfig | None = None,
+                        concurrency: int | tuple = 4,
+                        share_index: bool = True):
+    """Run pre-expanded OR queries through the actor pool; Dataset of
+    (query_id, doc_id, n_terms). ``queries``: list[(query_id,
+    space_joined_terms)] or a Dataset with (query_id, terms)."""
+    import ray
+    import ray.data
+
+    root = index_root.root if isinstance(index_root, IndexPaths) else str(index_root)
+    data_ref = (load_index_shared(root, precompute_hot=False)
+                if share_index else None)
+    if not hasattr(queries, "map_batches"):
+        queries = ray.data.from_items(
+            [{"query_id": int(q), "terms": t} for q, t in queries])
+    return queries.map_batches(
+        TermsUnionExecutorStage, fn_constructor_args=(root, config, data_ref),
         batch_format="pyarrow", batch_size=8, concurrency=concurrency)
 
 

@@ -137,6 +137,41 @@ def test_boolean_search_parity(inc_index, tmp_path):
     assert s1.boolean_search("parse buffer").tolist() == base[1:]
 
 
+def test_terms_union_parity(inc_index, tmp_path):
+    """Disjunctive retrieval (the wildcard/prefix body) == brute-force
+    distinct-term counting over the analyzed docs, incl. unknown terms,
+    duplicate query terms, empty expansion, and tombstones."""
+    paths, cfg, _ = inc_index
+    from searchengine_ray.tokenizer import Analyzer
+
+    an = Analyzer(cfg)
+    docs = _all_docs(paths)
+    term_sets = {d: set(an.terms(t))
+                 for d, t in zip(docs.column("doc_id").to_pylist(),
+                                 docs.column("content").to_pylist())}
+    s = IndexSearcher(paths.root, cfg)
+    cases = [["parse", "buffer"], ["hash"], ["zzznosuchterm"],
+             ["data", "query", "line", "zzznosuchterm"],
+             ["hash", "hash", "merge"], []]
+    for terms in cases:
+        want = sorted((d, len(ts & set(terms)))
+                      for d, ts in term_sets.items() if ts & set(terms))
+        ids, counts = s.terms_union(terms)
+        assert list(zip(ids.tolist(), counts.tolist())) == want, terms
+
+    base_ids, base_counts = s.terms_union(["parse", "buffer"])
+    assert len(base_ids), "fixture corpus should match the base terms"
+    work = tmp_path / "idx_union"
+    shutil.copytree(paths.root, work)
+    from searchengine_ray.pipelines.build import delete_documents
+
+    delete_documents(work, {int(base_ids[0])})
+    s1 = IndexSearcher(str(work), cfg)
+    ids1, counts1 = s1.terms_union(["parse", "buffer"])
+    assert ids1.tolist() == base_ids[1:].tolist()
+    assert counts1.tolist() == base_counts[1:].tolist()
+
+
 def test_delete_and_compact(inc_index, tmp_path):
     """Tombstones drop docs from every query path without changing the
     surviving docs' (stale-stats) scores; compaction rebuilds exact."""

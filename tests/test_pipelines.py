@@ -38,7 +38,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "top_terms_per_lang", "dataset_split", "sample_per_group",
                "tfidf_keywords", "dedup_spans", "top_terms_sketch_violations",
                "term_counts_cms", "term_counts_cms_cells",
-               "term_counts_cms_violations", "boolean_search"]
+               "term_counts_cms_violations", "boolean_search",
+               "prefix_search"]
 
 
 @pytest.fixture(scope="module")
