@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": rel.pricing_summary,
         "top_orders_by_revenue": rel.top_orders_by_revenue,
         "events_daily": rel.events_daily,
+        "events_rollup": rel.events_rollup,
         "sessionize_events": events.sessionize_events,
         "event_asof_join": events.event_asof_join,
         "event_range_join": events.event_range_join,
@@ -188,6 +189,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "pricing_summary": rel.pricing_summary_sql(),
         "top_orders_by_revenue": rel.top_orders_by_revenue_sql(),
         "events_daily": rel.events_daily_sql(),
+        "events_rollup": rel.events_rollup_sql(),
         "sessionize_events": events.sessionize_events_sql(),
         "event_asof_join": events.event_asof_join_sql(),
         "event_range_join": events.event_range_join_sql(),

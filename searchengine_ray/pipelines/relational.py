@@ -236,6 +236,90 @@ FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
 """
 
 
+def events_rollup(sf_dir: str):
+    """(event_type, day, n_events, sum_value_c) at every ROLLUP level —
+    (type, day), per-type subtotal, grand total — with ``__all__`` as
+    the rolled-up sentinel (NULL-free so the driver's value hash is
+    stable across engines).
+
+    The OLAP subtotal operator the relational surface lacked. Shape:
+    per-batch partials → ONE (type, day) groupby; the subtotal and
+    grand-total levels re-aggregate the LEVEL-0 RESULT — group-key
+    cardinality (types × days), corpus-size-independent — so raw
+    events cross the exchange exactly once and the higher levels are
+    free at any scale. Sums are integer cents: associative, exact,
+    order-independent."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        df["v_c"] = cents(df["value"].to_numpy())
+        g = df.groupby(["event_type", "day"], as_index=False).agg(
+            n=("v_c", "size"), sv=("v_c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    l0 = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536) \
+           .groupby(["event_type", "day"]).aggregate(
+               Sum("n", alias_name="n_events"),
+               Sum("sv", alias_name="sum_value_c"))
+
+    def finish_l0(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "day": batch.column("day"),
+            "n_events": batch.column("n_events").cast(pa.int64()),
+            "sum_value_c": batch.column("sum_value_c").cast(pa.int64())})
+
+    l0 = l0.map_batches(finish_l0, batch_format="pyarrow")
+
+    l1 = l0.groupby("event_type").aggregate(
+        Sum("n_events", alias_name="n1"), Sum("sum_value_c", alias_name="s1"))
+
+    def finish_l1(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "day": pa.array(["__all__"] * n),
+            "n_events": batch.column("n1").cast(pa.int64()),
+            "sum_value_c": batch.column("s1").cast(pa.int64())})
+
+    l1 = l1.map_batches(finish_l1, batch_format="pyarrow")
+
+    l2 = l1.map_batches(lambda b: pa.table({
+        "event_type": pa.array(["__all__"] * b.num_rows),
+        "day": pa.array(["__all__"] * b.num_rows),
+        "n_events": b.column("n_events"),
+        "sum_value_c": b.column("sum_value_c")}), batch_format="pyarrow") \
+        .groupby(["event_type", "day"]).aggregate(
+            Sum("n_events", alias_name="n2"),
+            Sum("sum_value_c", alias_name="s2")) \
+        .map_batches(lambda b: pa.table({
+            "event_type": b.column("event_type"),
+            "day": b.column("day"),
+            "n_events": b.column("n2").cast(pa.int64()),
+            "sum_value_c": b.column("s2").cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    return l0.union(l1).union(l2)
+
+
+def events_rollup_sql() -> str:
+    return """
+WITH base AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events)
+SELECT COALESCE(event_type, '__all__') AS event_type,
+       COALESCE(day, '__all__') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v_c) AS BIGINT) AS sum_value_c
+FROM base GROUP BY ROLLUP(event_type, day)
+"""
+
+
 # ---- sort + limit ----
 
 
