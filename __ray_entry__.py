@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": ann.kmeans_embeddings,
         "semdedup": dedup.semdedup,
         "semdedup_prune": dedup.semdedup_prune,
+        "pair_pagerank": dedup.pair_pagerank,
         "top_bigrams": ts.top_bigrams,
         "bpe_pair_counts": ts.bpe_pair_counts,
         "curation_pipeline": ts.curation_pipeline,
@@ -210,6 +211,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "kmeans_embeddings": ann.kmeans_embeddings_sql(),
         "semdedup": dedup.semdedup_sql(),
         "semdedup_prune": dedup.semdedup_prune_sql(),
+        "pair_pagerank": dedup.pair_pagerank_sql(),
         "top_bigrams": ts.top_bigrams_sql(),
         "bpe_pair_counts": ts.bpe_pair_counts_sql(),
         "curation_pipeline": ts.curation_pipeline_sql(),

@@ -1670,3 +1670,153 @@ SELECT node AS vec_id, min(front) AS component,
        CAST(node = min(front) AS BIGINT) AS keep
 FROM walk GROUP BY node
 """
+
+
+# ---------------- graph centrality over the near-dup graph -----------
+
+_PR_SCALE = 1_000_000           # rank fixed-point: parts-per-million
+_PR_TELEPORT = 150_000          # floor(0.15 * _PR_SCALE)
+_PR_DNUM, _PR_DDEN = 85, 100    # damping 0.85 as an exact rational
+_PR_ROUNDS = 3
+
+
+class _PageRankContribGroup:
+    """``groupby(gkey).map_groups`` body for one power-iteration round.
+
+    The group is one hash bucket of source nodes holding BOTH row
+    kinds: edge rows ``(u, v, r=-1)`` and rank rows ``(u, -1, r)`` —
+    co-located by ``gkey = hash(u) % G``, so every node's out-edges and
+    its current rank meet in one task. Emits per-target contribution
+    partials ``(v, c)`` with ``c = (85 * r(u)) // (100 * deg(u))`` —
+    exact int64 arithmetic, so the distributed sum is order-independent
+    and the unrolled-CTE oracle replays it bit-for-bit. Fully
+    vectorized: segment bounds via flatnonzero, per-segment rank lookup
+    via searchsorted, in-group pre-aggregation by target via reduceat
+    (a node's many in-bucket neighbors collapse to one shuffle row).
+    """
+
+    __name__ = "pagerank_contrib_group"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        u = group.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = group.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        r = group.column("r").to_numpy(zero_copy_only=False).astype(np.int64)
+        em = r < 0                                 # edge rows
+        eu, ev = u[em], v[em]
+        ru, rv = u[~em], r[~em]
+        ro = np.argsort(ru, kind="stable")
+        ru, rv = ru[ro], rv[ro]
+        eo = np.argsort(eu, kind="stable")
+        eu, ev = eu[eo], ev[eo]
+        starts = np.flatnonzero(np.r_[True, eu[1:] != eu[:-1]])
+        deg = np.diff(np.r_[starts, len(eu)])
+        rank_seg = rv[np.searchsorted(ru, eu[starts])]
+        contrib_seg = (_PR_DNUM * rank_seg) // (_PR_DDEN * deg)
+        seg_id = np.cumsum(np.r_[False, eu[1:] != eu[:-1]])
+        c = contrib_seg[seg_id]
+        vo = np.argsort(ev, kind="stable")
+        ev, c = ev[vo], c[vo]
+        vstarts = np.flatnonzero(np.r_[True, ev[1:] != ev[:-1]])
+        return pa.table({"v": int64_col(ev[vstarts]),
+                         "c": int64_col(np.add.reduceat(c, vstarts))})
+
+
+def _pr_gkey(col: np.ndarray) -> np.ndarray:
+    g = (col.astype(np.uint64) * _CC_C) >> np.uint64(48)
+    return (g % np.uint64(_PAIR_GROUPS)).astype(np.int64)
+
+
+def pair_pagerank(sf_dir: str):
+    """(doc_id, rank_ppm) — PageRank centrality over the undirected
+    SimHash near-dup graph after ``_PR_ROUNDS`` power iterations.
+
+    The curation use: inside a duplicate cluster the highest-centrality
+    member is the best canonical representative (most corroborated by
+    near-dup evidence) — a principled alternative to min-id-wins
+    survivor selection, and the third member of the graph-op family
+    beside Hash-to-Min connected components and the survivor anti-join.
+
+    Scale shape: the static edge table (both orientations, gkey'd by
+    source, degree derived IN the co-group — all of u's edges share its
+    bucket) is materialized once at pair scale; each iteration is ONE
+    co-located groupby(gkey) emitting pre-summed (target, contribution)
+    partials plus ONE groupby(v) sum — never corpus-scale state, no
+    driver materialization. Ranks are integer ppm with floor division
+    (r' = 150000 + sum((85*r)//(100*deg))): exact on any cluster shape,
+    replayed bit-for-bit by the unrolled-CTE DuckDB oracle. Fixed
+    iteration count (no convergence test) keeps engine and oracle in
+    lockstep; hub damping is inherited from the pair stream's star-cap
+    policy, which bounds any node's degree growth on hot buckets.
+    """
+    from ray.data.aggregate import Sum
+
+    pairs = simhash_near_dups(sf_dir)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        uu = np.concatenate([a, b])
+        vv = np.concatenate([b, a])
+        return pa.table({"u": int64_col(uu), "v": int64_col(vv),
+                         "r": int64_col(np.full(len(uu), -1)),
+                         "gkey": int64_col(_pr_gkey(uu))})
+
+    edges = pairs.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def init_ranks(batch: pa.Table) -> pa.Table:
+        nodes = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(nodes)
+        return pa.table({"u": int64_col(nodes),
+                         "v": int64_col(np.full(n, -1)),
+                         "r": int64_col(np.full(n, _PR_SCALE)),
+                         "gkey": int64_col(_pr_gkey(nodes))})
+
+    from ray.data.aggregate import Count
+
+    ranks = edges.groupby("u").aggregate(Count(alias_name="_d")) \
+                 .map_batches(init_ranks, batch_format="pyarrow")
+
+    def next_ranks(batch: pa.Table) -> pa.Table:
+        nodes = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        summed = batch.column("sum(c)").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"u": int64_col(nodes),
+                         "v": int64_col(np.full(len(nodes), -1)),
+                         "r": int64_col(_PR_TELEPORT + summed),
+                         "gkey": int64_col(_pr_gkey(nodes))})
+
+    for _ in range(_PR_ROUNDS):
+        contrib = edges.union(ranks).groupby("gkey").map_groups(
+            _PageRankContribGroup(), batch_format="pyarrow")
+        ranks = contrib.groupby("v").sum("c").map_batches(
+            next_ranks, batch_format="pyarrow")
+
+    return ranks.map_batches(lambda b: pa.table(
+        {"doc_id": b.column("u"), "rank_ppm": b.column("r")}),
+        batch_format="pyarrow")
+
+
+def pair_pagerank_sql() -> str:
+    """Unrolled-CTE replay: same edges (both orientations of the exact
+    SimHash pair replay), same integer floor-division update, one CTE
+    block per iteration."""
+    rounds = []
+    prev = "r0"
+    for i in range(1, _PR_ROUNDS + 1):
+        rounds.append(f"""
+r{i} AS (
+  SELECT e.b AS v,
+         {_PR_TELEPORT} + CAST(sum(({_PR_DNUM} * {prev}.r)
+                                   // ({_PR_DDEN} * deg.d)) AS BIGINT) AS r
+  FROM e JOIN deg ON deg.a = e.a JOIN {prev} ON {prev}.v = e.a
+  GROUP BY e.b)""")
+        prev = f"r{i}"
+    blocks = ",".join(rounds)
+    return f"""
+WITH p AS ({simhash_near_dups_sql()}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM p
+      UNION ALL SELECT doc_b AS a, doc_a AS b FROM p),
+deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
+r0 AS (SELECT a AS v, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg),
+{blocks}
+SELECT v AS doc_id, r AS rank_ppm FROM {prev}
+"""

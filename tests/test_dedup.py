@@ -290,3 +290,51 @@ def test_decontaminate_apply_matches_oracle(ray_session):
 
     contaminated = set(decontaminate(SF_DIR).to_pandas().train_doc)
     assert contaminated and not (set(got.doc_id) & contaminated)
+
+
+def test_pair_pagerank_matches_naive(ray_session):
+    """Distributed integer PageRank == a naive per-node Python replay
+    over the same SimHash pair graph (exact int equality, every node)."""
+    from searchengine_ray.pipelines.dedup import (_PR_DDEN, _PR_DNUM,
+                                                  _PR_ROUNDS, _PR_SCALE,
+                                                  _PR_TELEPORT,
+                                                  pair_pagerank,
+                                                  simhash_near_dups)
+
+    pairs = simhash_near_dups(SF_DIR).to_pandas()
+    nbrs: dict[int, list[int]] = {}
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        nbrs.setdefault(int(a), []).append(int(b))
+        nbrs.setdefault(int(b), []).append(int(a))
+    r = {v: _PR_SCALE for v in nbrs}
+    for _ in range(_PR_ROUNDS):
+        nxt = {v: _PR_TELEPORT for v in nbrs}
+        for u, vs in nbrs.items():
+            c = (_PR_DNUM * r[u]) // (_PR_DDEN * len(vs))
+            for v in vs:
+                nxt[v] += c
+        r = nxt
+    got = pair_pagerank(SF_DIR).to_pandas()
+    assert len(got) == len(r)
+    for doc, rank in zip(got["doc_id"], got["rank_ppm"]):
+        assert int(rank) == r[int(doc)], int(doc)
+
+
+def test_pagerank_group_body_segments():
+    """Group body handles multi-node buckets: per-source degree split,
+    rank lookup, and in-group target pre-aggregation."""
+    import pyarrow as pa
+
+    from searchengine_ray.pipelines.dedup import (_PR_DDEN, _PR_DNUM,
+                                                  _PageRankContribGroup)
+
+    # nodes 1 (deg 2 -> 10, 20) and 2 (deg 1 -> 10); ranks 1000, 500
+    g = pa.table({
+        "u": pa.array([1, 1, 2, 1, 2], pa.int64()),
+        "v": pa.array([10, 20, 10, -1, -1], pa.int64()),
+        "r": pa.array([-1, -1, -1, 1000, 500], pa.int64()),
+        "gkey": pa.array([0] * 5, pa.int64())})
+    out = _PageRankContribGroup()(g).to_pandas().set_index("v")["c"]
+    c1 = (_PR_DNUM * 1000) // (_PR_DDEN * 2)
+    c2 = (_PR_DNUM * 500) // (_PR_DDEN * 1)
+    assert out[10] == c1 + c2 and out[20] == c1

@@ -39,7 +39,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "tfidf_keywords", "dedup_spans", "top_terms_sketch_violations",
                "term_counts_cms", "term_counts_cms_cells",
                "term_counts_cms_violations", "boolean_search",
-               "prefix_search", "events_rollup"]
+               "prefix_search", "events_rollup", "pair_pagerank"]
 
 
 @pytest.fixture(scope="module")
