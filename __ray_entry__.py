@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pair_pagerank": dedup.pair_pagerank,
         "top_bigrams": ts.top_bigrams,
         "bpe_pair_counts": ts.bpe_pair_counts,
+        "bpe_train": ts.bpe_train,
         "curation_pipeline": ts.curation_pipeline,
         "sample_per_group": ts.sample_per_group,
         "tfidf_keywords": ts.tfidf_keywords,
@@ -214,6 +215,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "pair_pagerank": dedup.pair_pagerank_sql(),
         "top_bigrams": ts.top_bigrams_sql(),
         "bpe_pair_counts": ts.bpe_pair_counts_sql(),
+        "bpe_train": ts.bpe_train_sql(),
         "curation_pipeline": ts.curation_pipeline_sql(),
         "sample_per_group": ts.sample_per_group_sql(),
         "tfidf_keywords": ts.tfidf_keywords_sql(),

@@ -2422,3 +2422,248 @@ SELECT doc_id, part, n_tokens, tok_offset,
          AS seq_end
 FROM packed
 """
+
+
+# ---- full BPE trainer: R merge rounds over the word vocabulary -------
+
+_BPE_TRAIN_ROUNDS = 4
+
+
+class _WordCountPartial:
+    """Per-batch (word, c_p) partial counts — the corpus-scale pass of
+    the BPE trainer. Words are ``[a-z0-9_]+`` matches of the lowercased
+    text; counting is a pandas C-kernel value_counts per batch, so the
+    one corpus-wide shuffle carries (word, partial) rows bounded by the
+    batch vocabulary, never token occurrences."""
+
+    def __init__(self):
+        import re
+
+        self.tok = re.compile(r"[a-z0-9_]+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        words: list[str] = []
+        for text in batch.column("text").to_pylist():
+            words.extend(self.tok.findall(text.lower()))
+        if not words:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "c_p": pa.array([], pa.int64())})
+        vc = pd.Series(words).value_counts()
+        return pa.table({"word": pa.array(vc.index.tolist(), pa.string()),
+                         "c_p": int64_col(vc.to_numpy(np.int64))})
+
+
+def _flat_symbols(syms_col: list[str]) -> tuple[list[list[str]], np.ndarray,
+                                                np.ndarray]:
+    """Split space-joined symbol strings; returns (per-word token lists,
+    flat word-id per token, flat token index)."""
+    toks_per = [s.split(" ") for s in syms_col]
+    lens = np.fromiter((len(t) for t in toks_per), dtype=np.int64,
+                       count=len(toks_per))
+    wid = np.repeat(np.arange(len(toks_per), dtype=np.int64), lens)
+    return toks_per, wid, lens
+
+
+class _BpePairCount:
+    """Per-batch weighted pair partials over the CURRENT symbol state:
+    (l, r, c_p) where c_p sums the word counts of every adjacent
+    occurrence (overlaps included — Sennrich et al. 2016 get_stats
+    semantics). Aggregation is one pandas groupby over the flattened
+    (l, r, weight) arrays — C kernels over vocabulary-scale rows."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        syms = batch.column("syms").to_pylist()
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        toks_per, wid, lens = _flat_symbols(syms)
+        flat = np.array([t for ts in toks_per for t in ts], dtype=object)
+        if len(flat) == 0:
+            return pa.table({"l": pa.array([], pa.string()),
+                             "r": pa.array([], pa.string()),
+                             "c_p": pa.array([], pa.int64())})
+        same = wid[:-1] == wid[1:]
+        df = pd.DataFrame({"l": flat[:-1][same], "r": flat[1:][same],
+                           "c_p": np.repeat(cnt, lens)[:-1][same]})
+        g = df.groupby(["l", "r"], as_index=False, sort=False)["c_p"].sum()
+        return pa.table({"l": pa.array(g["l"].tolist(), pa.string()),
+                         "r": pa.array(g["r"].tolist(), pa.string()),
+                         "c_p": int64_col(g["c_p"].to_numpy(np.int64))})
+
+
+class _BpeApplyMerge:
+    """Apply ONE merge (l, r) to the symbol state with exact greedy
+    left-to-right non-overlap semantics via the island-parity rule:
+    among maximal runs of CONSECUTIVE candidate positions (which only
+    arise for l == r, e.g. ``a a a a``), every even-offset candidate
+    merges — provably the positions a sequential left-to-right scan
+    picks. Candidate detection and selection are vectorized over the
+    flattened token array; only the final per-word string rebuild walks
+    the (vocabulary-scale) word list."""
+
+    def __init__(self, left: str, right: str):
+        self.left, self.right = left, right
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        syms = batch.column("syms").to_pylist()
+        cnt = batch.column("cnt")
+        toks_per, wid, _ = _flat_symbols(syms)
+        flat = np.array([t for ts in toks_per for t in ts], dtype=object)
+        if len(flat) < 2:
+            return pa.table({"syms": pa.array(syms, pa.string()),
+                             "cnt": cnt})
+        cand = np.flatnonzero(
+            (flat[:-1] == self.left) & (flat[1:] == self.right)
+            & (wid[:-1] == wid[1:]))
+        if len(cand):
+            run_start = np.r_[True, np.diff(cand) != 1]
+            offset = np.arange(len(cand)) - \
+                np.maximum.accumulate(np.where(run_start,
+                                               np.arange(len(cand)), -1))
+            sel = cand[offset % 2 == 0]
+            merged = np.zeros(len(flat), dtype=bool)
+            dropped = np.zeros(len(flat), dtype=bool)
+            merged[sel] = True
+            dropped[sel + 1] = True
+            out: list[str] = []
+            i = 0
+            for ts in toks_per:
+                n = len(ts)
+                parts = [flat[j] + self.right if merged[j] else flat[j]
+                         for j in range(i, i + n) if not dropped[j]]
+                out.append(" ".join(parts))
+                i += n
+            syms = out
+        return pa.table({"syms": pa.array(syms, pa.string()), "cnt": cnt})
+
+
+def bpe_train(sf_dir: str, rounds: int = _BPE_TRAIN_ROUNDS):
+    """(round, merge_left, merge_right, pair_count) — ``rounds`` full
+    BPE merge iterations over the corpus word vocabulary (Sennrich et
+    al. 2016): each round counts weighted adjacent symbol pairs, merges
+    the argmax pair (count DESC, left ASC, right ASC — deterministic),
+    and rewrites the symbol state. Extends ``bpe_pair_counts`` (round 1
+    only) to the full iterative trainer.
+
+    Scale shape: the corpus is touched ONCE (word-count partials ->
+    word groupby); every iteration then runs over the VOCABULARY-scale
+    (syms, cnt) state — per-batch pair partials bounded by the batch's
+    symbol vocabulary, one tiny (l, r) groupby, a two-stage local/global
+    top-1 whose driver take is ONE row (the kmeans-style bounded pull),
+    one broadcast-free merge map_batches (the winning pair rides the
+    task closure), and a vocabulary-scale materialize between rounds.
+    Exact integer counts + deterministic tie-break => the unrolled-CTE
+    DuckDB oracle (island-parity merge replay, no loops) matches
+    bit-for-bit. If a round finds no pairs left, the state is passed
+    through unchanged and the round emits nothing (mirrored by the
+    oracle's empty CTE)."""
+    from ray.data.aggregate import Sum
+
+    vocab = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _WordCountPartial, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, 4)).groupby("word").aggregate(
+        Sum("c_p", alias_name="cnt"))
+
+    def init_syms(b: pa.Table) -> pa.Table:
+        words = b.column("word").to_pylist()
+        return pa.table({"syms": pa.array([" ".join(w) for w in words],
+                                          pa.string()),
+                         "cnt": b.column("cnt").cast(pa.int64())})
+
+    state = vocab.map_batches(init_syms, batch_format="pyarrow").materialize()
+
+    def local_top1(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(["count", "l", "r"],
+                                       ascending=[False, True, True]).head(1)
+        return pa.table({"g": int64_col(np.zeros(len(df), np.int64)),
+                         "l": pa.array(df["l"].tolist(), pa.string()),
+                         "r": pa.array(df["r"].tolist(), pa.string()),
+                         "count": int64_col(df["count"].to_numpy(np.int64))})
+
+    def final_top1(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["count", "l", "r"],
+                              ascending=[False, True, True]).head(1)[
+            ["l", "r", "count"]]
+
+    final_top1.__name__ = "bpe_final_top1"
+
+    out_rounds: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, rounds + 1):
+        summed = state.map_batches(_BpePairCount, batch_format="pyarrow",
+                                   concurrency=(1, 4)) \
+            .groupby(["l", "r"]).aggregate(Sum("c_p", alias_name="count"))
+        best = summed.map_batches(local_top1, batch_format="pyarrow") \
+            .groupby("g").map_groups(final_top1, batch_format="pandas") \
+            .take_all()
+        if not best:
+            break                       # no pairs left: state is stable
+        l, r, c = str(best[0]["l"]), str(best[0]["r"]), int(best[0]["count"])
+        out_rounds.append((rnd, l, r, c))
+        state = state.map_batches(
+            _BpeApplyMerge, fn_constructor_args=(l, r),
+            batch_format="pyarrow", concurrency=(1, 4)).materialize()
+    return pa.table({
+        "round": pa.array([t[0] for t in out_rounds], pa.int64()),
+        "merge_left": pa.array([t[1] for t in out_rounds], pa.string()),
+        "merge_right": pa.array([t[2] for t in out_rounds], pa.string()),
+        "pair_count": pa.array([t[3] for t in out_rounds], pa.int64())})
+
+
+def bpe_train_sql(rounds: int = _BPE_TRAIN_ROUNDS) -> str:
+    """Unrolled-CTE replay: per round, explode the symbol state with
+    ordinals, count weighted pairs, pick the argmax with the same tie
+    order, select merge positions via the island-parity rule (windowed
+    gaps-and-islands — the loop-free equivalent of the greedy scan),
+    and rebuild the state."""
+    blocks = []
+    outs = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        blocks.append(f"""
+x{i} AS (
+  SELECT word, cnt, generate_subscripts(syms, 1) AS pos, unnest(syms) AS sym
+  FROM s{p}),
+b{i} AS (
+  SELECT a.sym AS l, b.sym AS r, CAST(sum(a.cnt) AS BIGINT) AS c
+  FROM x{i} a JOIN x{i} b ON b.word = a.word AND b.pos = a.pos + 1
+  GROUP BY a.sym, b.sym
+  ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+cand{i} AS (
+  SELECT a.word, a.pos
+  FROM x{i} a JOIN x{i} b ON b.word = a.word AND b.pos = a.pos + 1
+  CROSS JOIN b{i} WHERE a.sym = b{i}.l AND b.sym = b{i}.r),
+sel{i} AS (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           row_number() OVER (PARTITION BY word, isl ORDER BY pos) AS off
+    FROM (SELECT word, pos,
+                 pos - row_number() OVER (PARTITION BY word ORDER BY pos)
+                   AS isl
+          FROM cand{i}))
+  WHERE off % 2 = 1),
+s{i} AS (
+  SELECT x.word AS word, x.cnt AS cnt,
+         list(CASE WHEN sf.pos IS NOT NULL
+                   THEN x.sym || xn.sym ELSE x.sym END
+              ORDER BY x.pos) AS syms
+  FROM x{i} x
+  LEFT JOIN sel{i} sf ON sf.word = x.word AND sf.pos = x.pos
+  LEFT JOIN sel{i} sd ON sd.word = x.word AND sd.pos = x.pos - 1
+  LEFT JOIN x{i} xn ON xn.word = x.word AND xn.pos = x.pos + 1
+  WHERE sd.pos IS NULL
+  GROUP BY x.word, x.cnt)""")
+        outs.append(f"SELECT {i} AS round, l AS merge_left, r AS merge_right,"
+                    f" c AS pair_count FROM b{i}")
+    union = "\nUNION ALL\n".join(outs)
+    return f"""
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word
+  FROM documents),
+w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY word),
+s0 AS (
+  SELECT word, cnt,
+         [substr(word, i, 1) for i in generate_series(1, length(word))]
+           AS syms
+  FROM w0),
+{",".join(blocks)}
+SELECT CAST(round AS BIGINT) AS round, merge_left, merge_right, pair_count
+FROM ({union}) ORDER BY round
+"""

@@ -39,7 +39,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "tfidf_keywords", "dedup_spans", "top_terms_sketch_violations",
                "term_counts_cms", "term_counts_cms_cells",
                "term_counts_cms_violations", "boolean_search",
-               "prefix_search", "events_rollup", "pair_pagerank"]
+               "prefix_search", "events_rollup", "pair_pagerank",
+               "bpe_train"]
 
 
 @pytest.fixture(scope="module")
@@ -349,6 +350,52 @@ def test_bpe_pair_kernel_vs_naive():
     have = dict(zip(got.column("pair").to_pylist(),
                     got.column("c_p").to_pylist()))
     assert have == dict(naive)
+
+
+def test_bpe_merge_island_parity_vs_naive():
+    """``_BpeApplyMerge``'s vectorized island-parity selection equals a
+    naive sequential left-to-right greedy scan — incl. the l == r runs
+    (``a a a a a``) where overlap handling actually matters, multi-char
+    merged symbols, and words the merge doesn't touch. The weighted
+    pair counter agrees with a per-word recount on the merged state."""
+    import pyarrow as pa
+
+    from searchengine_ray.pipelines.textstats import (_BpeApplyMerge,
+                                                      _BpePairCount)
+
+    def naive_merge(toks, l, r):
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    words = ["a a a a a", "a a a a", "b a a b", "a b a b", "x",
+             "ab ab b", "b b b a b b"]
+    cnts = [3, 1, 2, 5, 7, 1, 2]
+    cases = [("a", "a"), ("a", "b"), ("b", "b"), ("ab", "ab"), ("z", "z")]
+    for l, r in cases:
+        got = _BpeApplyMerge(l, r)(pa.table(
+            {"syms": pa.array(words, pa.string()),
+             "cnt": pa.array(cnts, pa.int64())}))
+        want = [" ".join(naive_merge(w.split(" "), l, r)) for w in words]
+        assert got.column("syms").to_pylist() == want, (l, r)
+        # recount pairs on the merged state: kernel vs naive
+        pc = _BpePairCount()(got)
+        have = {(a, b): c for a, b, c in
+                zip(pc.column("l").to_pylist(), pc.column("r").to_pylist(),
+                    pc.column("c_p").to_pylist())}
+        naive_counts: dict = {}
+        for w, c in zip(want, cnts):
+            ts = w.split(" ")
+            for i in range(len(ts) - 1):
+                k = (ts[i], ts[i + 1])
+                naive_counts[k] = naive_counts.get(k, 0) + c
+        assert have == naive_counts, (l, r)
 
 
 def test_curation_pipeline_composes(ray_session):
