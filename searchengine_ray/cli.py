@@ -93,6 +93,21 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument("--stemming", action="store_true", default=None)
     ph.add_argument("--analyzer", choices=["code", "simple"], default=None)
 
+    bo = sub.add_parser("bool", help="unranked boolean AND/NOT retrieval "
+                                     "(prefix a term with - to negate)")
+    bo.add_argument("index_dir")
+    bo.add_argument("query")
+    bo.add_argument("--stemming", action="store_true", default=None)
+    bo.add_argument("--analyzer", choices=["code", "simple"], default=None)
+
+    pr = sub.add_parser("prefix", help="wildcard/prefix retrieval: expand "
+                                       "against the dictionary, OR postings")
+    pr.add_argument("index_dir")
+    pr.add_argument("prefix")
+    pr.add_argument("--max-expansions", type=int, default=4)
+    pr.add_argument("--stemming", action="store_true", default=None)
+    pr.add_argument("--analyzer", choices=["code", "simple"], default=None)
+
     q = sub.add_parser("batch", help="run a queries.txt file -> results dir")
     q.add_argument("index_dir")
     q.add_argument("queries_file")
@@ -111,7 +126,7 @@ def main(argv: list[str] | None = None) -> int:
     ntp = ndp = dbits = None
     tie_col = None
     if args.cmd in ("search", "batch", "phrase", "proximity", "add",
-                    "compact"):
+                    "compact", "bool", "prefix"):
         # query-time analyzer settings default from the INDEX's recorded
         # config (index_meta.json) — querying a stemmed/simple index must
         # analyze queries the same way the documents were analyzed;
@@ -225,6 +240,25 @@ def main(argv: list[str] | None = None) -> int:
             s_ = IndexSearcher(args.index_dir, cfg)
             for doc, n in s_.proximity_search(args.query, args.window):
                 print(f"{doc}\t{n}")
+        elif args.cmd == "bool":
+            from searchengine_ray.pipelines.query import IndexSearcher
+
+            s_ = IndexSearcher(args.index_dir, cfg)
+            for doc in s_.boolean_search(args.query):
+                print(int(doc))
+        elif args.cmd == "prefix":
+            from searchengine_ray.pipelines.docsearch import _expand_prefixes
+            from searchengine_ray.pipelines.build import IndexPaths
+            from searchengine_ray.pipelines.query import IndexSearcher
+
+            expanded = _expand_prefixes(IndexPaths(str(args.index_dir)),
+                                        [(0, args.prefix)],
+                                        args.max_expansions)
+            s_ = IndexSearcher(args.index_dir, cfg)
+            terms = expanded[0][1].split() if expanded else []
+            docs, n_terms = s_.terms_union(terms)
+            for doc, n in zip(docs, n_terms):
+                print(f"{int(doc)}\t{int(n)}")
         elif args.cmd == "batch":
             from searchengine_ray.pipelines.query import search_queries
             from searchengine_ray.sources.queries_file import (read_queries_file,

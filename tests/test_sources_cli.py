@@ -50,3 +50,39 @@ def test_cli_search(ray_session, t1_index, tmp_path):
     lines = [ln for ln in out.stdout.splitlines() if "\t" in ln]
     assert 1 <= len(lines) <= 3
     assert lines[0].split("\t")[0] == "1"
+
+
+def test_cli_bool(ray_session, t1_index, small_config):
+    """`bool` subcommand == in-process boolean_search, doc for doc."""
+    from searchengine_ray.pipelines.query import IndexSearcher
+
+    want = [int(d) for d in
+            IndexSearcher(t1_index, small_config).boolean_search(
+                "parse -buffer")]
+    out = subprocess.run(
+        [sys.executable, "-m", "searchengine_ray", "--num-cpus", "2",
+         "bool", str(t1_index.root), "parse -buffer"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=180)
+    assert out.returncode == 0, out.stderr[-500:]
+    got = [int(ln) for ln in out.stdout.split()]
+    assert got == want
+
+
+def test_cli_prefix(ray_session, t1_index, small_config):
+    """`prefix` subcommand == distributed expansion + OR retrieval."""
+    from searchengine_ray.pipelines.docsearch import _expand_prefixes
+    from searchengine_ray.pipelines.query import IndexSearcher
+
+    expanded = _expand_prefixes(t1_index, [(0, "pa")], 3)
+    docs, n_terms = IndexSearcher(t1_index, small_config).terms_union(
+        expanded[0][1].split() if expanded else [])
+    want = [(int(d), int(n)) for d, n in zip(docs, n_terms)]
+    out = subprocess.run(
+        [sys.executable, "-m", "searchengine_ray", "--num-cpus", "2",
+         "prefix", str(t1_index.root), "pa", "--max-expansions", "3"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=180)
+    assert out.returncode == 0, out.stderr[-500:]
+    got = [tuple(int(x) for x in ln.split("\t"))
+           for ln in out.stdout.splitlines() if "\t" in ln]
+    assert got == want
+    assert got  # prefix actually matched something at test scale
