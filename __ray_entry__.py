@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": ts.top_bigrams,
         "bpe_pair_counts": ts.bpe_pair_counts,
         "bpe_train": ts.bpe_train,
+        "bpe_apply": ts.bpe_apply,
         "curation_pipeline": ts.curation_pipeline,
         "sample_per_group": ts.sample_per_group,
         "tfidf_keywords": ts.tfidf_keywords,
@@ -216,6 +217,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "top_bigrams": ts.top_bigrams_sql(),
         "bpe_pair_counts": ts.bpe_pair_counts_sql(),
         "bpe_train": ts.bpe_train_sql(),
+        "bpe_apply": ts.bpe_apply_sql(),
         "curation_pipeline": ts.curation_pipeline_sql(),
         "sample_per_group": ts.sample_per_group_sql(),
         "tfidf_keywords": ts.tfidf_keywords_sql(),

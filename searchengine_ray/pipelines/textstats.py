@@ -2535,26 +2535,10 @@ class _BpeApplyMerge:
         return pa.table({"syms": pa.array(syms, pa.string()), "cnt": cnt})
 
 
-def bpe_train(sf_dir: str, rounds: int = _BPE_TRAIN_ROUNDS):
-    """(round, merge_left, merge_right, pair_count) — ``rounds`` full
-    BPE merge iterations over the corpus word vocabulary (Sennrich et
-    al. 2016): each round counts weighted adjacent symbol pairs, merges
-    the argmax pair (count DESC, left ASC, right ASC — deterministic),
-    and rewrites the symbol state. Extends ``bpe_pair_counts`` (round 1
-    only) to the full iterative trainer.
-
-    Scale shape: the corpus is touched ONCE (word-count partials ->
-    word groupby); every iteration then runs over the VOCABULARY-scale
-    (syms, cnt) state — per-batch pair partials bounded by the batch's
-    symbol vocabulary, one tiny (l, r) groupby, a two-stage local/global
-    top-1 whose driver take is ONE row (the kmeans-style bounded pull),
-    one broadcast-free merge map_batches (the winning pair rides the
-    task closure), and a vocabulary-scale materialize between rounds.
-    Exact integer counts + deterministic tie-break => the unrolled-CTE
-    DuckDB oracle (island-parity merge replay, no loops) matches
-    bit-for-bit. If a round finds no pairs left, the state is passed
-    through unchanged and the round emits nothing (mirrored by the
-    oracle's empty CTE)."""
+def _bpe_train_core(sf_dir: str, rounds: int):
+    """Shared trainer body: returns ``(merge rows, final symbol state)``
+    — ``bpe_train`` reports the merges; ``bpe_apply`` encodes the
+    corpus under the final state. See ``bpe_train`` for semantics."""
     from ray.data.aggregate import Sum
 
     vocab = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -2600,6 +2584,30 @@ def bpe_train(sf_dir: str, rounds: int = _BPE_TRAIN_ROUNDS):
         state = state.map_batches(
             _BpeApplyMerge, fn_constructor_args=(l, r),
             batch_format="pyarrow", concurrency=(1, 4)).materialize()
+    return out_rounds, state
+
+
+def bpe_train(sf_dir: str, rounds: int = _BPE_TRAIN_ROUNDS):
+    """(round, merge_left, merge_right, pair_count) — ``rounds`` full
+    BPE merge iterations over the corpus word vocabulary (Sennrich et
+    al. 2016): each round counts weighted adjacent symbol pairs, merges
+    the argmax pair (count DESC, left ASC, right ASC — deterministic),
+    and rewrites the symbol state. Extends ``bpe_pair_counts`` (round 1
+    only) to the full iterative trainer.
+
+    Scale shape: the corpus is touched ONCE (word-count partials ->
+    word groupby); every iteration then runs over the VOCABULARY-scale
+    (syms, cnt) state — per-batch pair partials bounded by the batch's
+    symbol vocabulary, one tiny (l, r) groupby, a two-stage local/global
+    top-1 whose driver take is ONE row (the kmeans-style bounded pull),
+    one broadcast-free merge map_batches (the winning pair rides the
+    task closure), and a vocabulary-scale materialize between rounds.
+    Exact integer counts + deterministic tie-break => the unrolled-CTE
+    DuckDB oracle (island-parity merge replay, no loops) matches
+    bit-for-bit. If a round finds no pairs left, the state is passed
+    through unchanged and the round emits nothing (mirrored by the
+    oracle's empty CTE)."""
+    out_rounds, _ = _bpe_train_core(sf_dir, rounds)
     return pa.table({
         "round": pa.array([t[0] for t in out_rounds], pa.int64()),
         "merge_left": pa.array([t[1] for t in out_rounds], pa.string()),
@@ -2607,30 +2615,37 @@ def bpe_train(sf_dir: str, rounds: int = _BPE_TRAIN_ROUNDS):
         "pair_count": pa.array([t[3] for t in out_rounds], pa.int64())})
 
 
-def bpe_train_sql(rounds: int = _BPE_TRAIN_ROUNDS) -> str:
-    """Unrolled-CTE replay: per round, explode the symbol state with
-    ordinals, count weighted pairs, pick the argmax with the same tie
-    order, select merge positions via the island-parity rule (windowed
-    gaps-and-islands — the loop-free equivalent of the greedy scan),
-    and rebuild the state."""
+def _bpe_sql_chain(rounds: int) -> tuple[str, list[str]]:
+    """Shared unrolled-CTE chain for the BPE oracles: per round,
+    explode the symbol state with ordinals, count weighted pairs, pick
+    the argmax with the same tie order, select merge positions via the
+    island-parity rule (windowed gaps-and-islands — the loop-free
+    equivalent of the greedy scan), and rebuild the state. Returns the
+    WITH-body (``w`` carries doc_id so consumers can join back to
+    documents; the final state is ``s{rounds}``) and the per-round
+    merge SELECTs. Every CTE is MATERIALIZED: DuckDB inlines plain
+    CTEs per reference, and x{i} is referenced ~5x per round, so a
+    consumer of s{rounds} would otherwise expand the chain ~5^rounds
+    times (measured: 0.1 s materialized vs >480 s inlined at
+    sf0.001)."""
     blocks = []
     outs = []
     for i in range(1, rounds + 1):
         p = i - 1
         blocks.append(f"""
-x{i} AS (
+x{i} AS MATERIALIZED (
   SELECT word, cnt, generate_subscripts(syms, 1) AS pos, unnest(syms) AS sym
   FROM s{p}),
-b{i} AS (
+b{i} AS MATERIALIZED (
   SELECT a.sym AS l, b.sym AS r, CAST(sum(a.cnt) AS BIGINT) AS c
   FROM x{i} a JOIN x{i} b ON b.word = a.word AND b.pos = a.pos + 1
   GROUP BY a.sym, b.sym
   ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-cand{i} AS (
+cand{i} AS MATERIALIZED (
   SELECT a.word, a.pos
   FROM x{i} a JOIN x{i} b ON b.word = a.word AND b.pos = a.pos + 1
   CROSS JOIN b{i} WHERE a.sym = b{i}.l AND b.sym = b{i}.r),
-sel{i} AS (
+sel{i} AS MATERIALIZED (
   SELECT word, pos FROM (
     SELECT word, pos,
            row_number() OVER (PARTITION BY word, isl ORDER BY pos) AS off
@@ -2639,7 +2654,7 @@ sel{i} AS (
                    AS isl
           FROM cand{i}))
   WHERE off % 2 = 1),
-s{i} AS (
+s{i} AS MATERIALIZED (
   SELECT x.word AS word, x.cnt AS cnt,
          list(CASE WHEN sf.pos IS NOT NULL
                    THEN x.sym || xn.sym ELSE x.sym END
@@ -2652,18 +2667,236 @@ s{i} AS (
   GROUP BY x.word, x.cnt)""")
         outs.append(f"SELECT {i} AS round, l AS merge_left, r AS merge_right,"
                     f" c AS pair_count FROM b{i}")
-    union = "\nUNION ALL\n".join(outs)
-    return f"""
-WITH w AS (
-  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word
+    chain = f"""w AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word
   FROM documents),
-w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY word),
-s0 AS (
+w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY word),
+s0 AS MATERIALIZED (
   SELECT word, cnt,
          [substr(word, i, 1) for i in generate_series(1, length(word))]
            AS syms
   FROM w0),
-{",".join(blocks)}
+{",".join(blocks)}"""
+    return chain, outs
+
+
+def bpe_train_sql(rounds: int = _BPE_TRAIN_ROUNDS) -> str:
+    chain, outs = _bpe_sql_chain(rounds)
+    union = "\nUNION ALL\n".join(outs)
+    return f"""
+WITH {chain}
 SELECT CAST(round AS BIGINT) AS round, merge_left, merge_right, pair_count
 FROM ({union}) ORDER BY round
+"""
+
+
+# ---- BPE apply: encode the corpus under the trained merge table ------
+
+
+_BPA_TAGGED_SCHEMA = pa.schema([
+    ("k1", pa.int64()), ("src", pa.int64()), ("word", pa.string()),
+    ("doc_id", pa.int64()), ("tf", pa.int64()), ("pieces", pa.int64()),
+])
+
+
+class _BpeEncodeOrTag:
+    """Tokenize + encode WITHOUT co-locating a hot word's rows — the
+    ``_UnigramScoreOrTag`` skew-safe split, exact-integer variant.
+    Head words (corpus count >= head_cnt, looked up in the broadcast
+    word -> n_pieces dict) are pre-summed per DOC inside this stage, so
+    one (doc, tf_sum, pieces_sum) row per doc per batch reaches the
+    shuffle for the hot mass (by Zipf, most of the token volume); only
+    cold words carry (word, doc_id, tf) into the bounded gkey
+    co-group."""
+
+    def __init__(self, head_ref, dparts: int, n_groups: int):
+        import re
+
+        import ray
+
+        self.tok = re.compile(r"[a-z0-9_]+")
+        self.head = ray.get(head_ref) if not isinstance(head_ref, dict) \
+            else head_ref
+        self.dparts = dparts
+        self.n_groups = n_groups
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from zlib import crc32
+
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        words: list[str] = []
+        docs: list[int] = []
+        for did, text in zip(ids, texts):
+            ws = self.tok.findall(text.lower())
+            words.extend(ws)
+            docs.extend([int(did)] * len(ws))
+        if not words:
+            return _BPA_TAGGED_SCHEMA.empty_table()
+        g = pd.DataFrame({"doc_id": np.asarray(docs, np.int64),
+                          "word": words}) \
+            .groupby(["doc_id", "word"], as_index=False, sort=False).size()
+        w = g["word"].to_numpy(object)
+        did = g["doc_id"].to_numpy(np.int64)
+        tf = g["size"].to_numpy(np.int64)
+        npc = np.fromiter((self.head.get(t, -1) for t in w), np.int64,
+                          len(w))
+        hot = npc >= 0
+        out = {k: [] for k in ("k1", "src", "word", "doc_id", "tf",
+                               "pieces")}
+        if hot.any():
+            uniq, inv = np.unique(did[hot], return_inverse=True)
+            tf_sum = np.bincount(inv, weights=tf[hot]).astype(np.int64)
+            pc_sum = np.bincount(inv, weights=tf[hot] * npc[hot]) \
+                .astype(np.int64)
+            out["k1"].append(self.n_groups + uniq % (8 * self.dparts))
+            out["src"].append(np.full(len(uniq), 2, np.int64))
+            out["word"].append(np.full(len(uniq), "", object))
+            out["doc_id"].append(uniq)
+            out["tf"].append(tf_sum)
+            out["pieces"].append(pc_sum)
+        cold = ~hot
+        if cold.any():
+            cw = w[cold]
+            gk = np.fromiter((crc32(t.encode()) % self.n_groups
+                              for t in cw), np.int64, len(cw))
+            out["k1"].append(gk)
+            out["src"].append(np.zeros(cold.sum(), np.int64))
+            out["word"].append(cw)
+            out["doc_id"].append(did[cold])
+            out["tf"].append(tf[cold])
+            out["pieces"].append(np.zeros(cold.sum(), np.int64))
+        return pa.table(
+            {"k1": int64_col(np.concatenate(out["k1"])),
+             "src": int64_col(np.concatenate(out["src"])),
+             "word": pa.array(np.concatenate(out["word"]), pa.string()),
+             "doc_id": int64_col(np.concatenate(out["doc_id"])),
+             "tf": int64_col(np.concatenate(out["tf"])),
+             "pieces": int64_col(np.concatenate(out["pieces"]))},
+            schema=_BPA_TAGGED_SCHEMA)
+
+
+def _bpa_encode_cold(df: pd.DataFrame) -> pa.Table:
+    """k1 co-group body: join cold doc rows against the (word,
+    n_pieces) entries of the same gkey (src=1), multiply, pre-sum per
+    doc. Hot groups (src=2) pass through already summed. Every cold
+    word is guaranteed an entry — the vocabulary is trained on the
+    same corpus — so a missing lookup is a real bug and raises."""
+    rows = df[df["src"] == 0]
+    if len(rows):
+        ent = df[df["src"] == 1]
+        pmap = dict(zip(ent["word"], ent["pieces"].astype(np.int64)))
+        p = rows["word"].map(pmap).to_numpy(np.int64)
+        tf = rows["tf"].to_numpy(np.int64)
+        g = pd.DataFrame({"doc_id": rows["doc_id"].to_numpy(np.int64),
+                          "tf": tf, "pieces": tf * p}) \
+            .groupby("doc_id", as_index=False).sum()
+        return pa.table({"doc_id": int64_col(g["doc_id"].to_numpy()),
+                         "tf": int64_col(g["tf"].to_numpy(np.int64)),
+                         "pieces": int64_col(g["pieces"].to_numpy(np.int64))})
+    hot = df[df["src"] == 2]
+    return pa.table({"doc_id": int64_col(hot["doc_id"].to_numpy(np.int64)),
+                     "tf": int64_col(hot["tf"].to_numpy(np.int64)),
+                     "pieces": int64_col(hot["pieces"].to_numpy(np.int64))})
+
+
+def _bpa_add_ratio(batch: pa.Table) -> pa.Table:
+    p = batch.column("n_pieces").to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    w = batch.column("n_words").to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    r = np.floor(p * 10000 / w + 0.5).astype(np.int64)
+    return batch.append_column("pieces_per_word_bp", int64_col(r))
+
+
+def bpe_apply(sf_dir: str, rounds: int = _BPE_TRAIN_ROUNDS,
+              head_cnt: int = 4096, n_groups: int = 256,
+              dparts: int = 64):
+    """(doc_id, n_words, n_pieces, pieces_per_word_bp) — encode every
+    document with the BPE merge table ``bpe_train`` learns, completing
+    the tokenizer-training loop (train on the corpus, then tokenize the
+    corpus). n_pieces sums, over the doc's words, the piece count of
+    each word under the final symbol state; pieces_per_word_bp is the
+    compression ratio in basis points — the fertility statistic
+    tokenizer evaluations threshold on.
+
+    Scale shape: the trainer's corpus pass + vocabulary-scale rounds
+    (see ``_bpe_train_core``), then ONE more corpus pass to encode.
+    The word -> n_pieces mapping is vocabulary-scale, never joined by
+    an all-to-all on raw tokens: hot words (corpus cnt >= head_cnt —
+    at most T/head_cnt entries, but most of the token mass) broadcast
+    once via ray.put and are pre-summed per doc inside the map stage;
+    cold words co-group under a gkey whose max group is bounded by
+    rows_cold / n_groups with every word contributing < head_cnt rows.
+    All-integer arithmetic end-to-end, so the shared unrolled-CTE
+    oracle (``_bpe_sql_chain``) replays it bit-for-bit."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    _, state = _bpe_train_core(sf_dir, rounds)
+
+    def to_entry(b: pa.Table) -> pa.Table:
+        from zlib import crc32
+
+        syms = b.column("syms").to_pylist()
+        cnt = b.column("cnt").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        coldm = cnt < head_cnt
+        words = np.asarray([s.replace(" ", "") for s in syms],
+                           dtype=object)[coldm]
+        npc = np.fromiter((s.count(" ") + 1
+                           for s, m in zip(syms, coldm) if m),
+                          np.int64, int(coldm.sum()))
+        gk = np.fromiter((crc32(t.encode()) % n_groups for t in words),
+                         np.int64, len(words))
+        z = np.zeros(len(words), np.int64)
+        return pa.table({"k1": int64_col(gk), "src": int64_col(z + 1),
+                         "word": pa.array(words, pa.string()),
+                         "doc_id": int64_col(z), "tf": int64_col(z),
+                         "pieces": int64_col(npc)},
+                        schema=_BPA_TAGGED_SCHEMA)
+
+    head: dict[str, int] = {}
+    for b in state.iter_batches(batch_format="pandas"):
+        hb = b[b["cnt"] >= head_cnt]
+        for s in hb["syms"]:
+            head[s.replace(" ", "")] = s.count(" ") + 1
+    head_ref = ray.put(head)
+
+    entries = state.map_batches(to_entry, batch_format="pyarrow")
+    tagged = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _BpeEncodeOrTag, batch_format="pyarrow", batch_size=512,
+        concurrency=(1, 4),
+        fn_constructor_args=(head_ref, dparts, n_groups))
+    summed = entries.union(tagged).groupby("k1").map_groups(
+        _bpa_encode_cold, batch_format="pandas")
+    out = summed.groupby("doc_id").aggregate(
+        Sum("tf", alias_name="n_words"),
+        Sum("pieces", alias_name="n_pieces"))
+    return out.map_batches(_bpa_add_ratio, batch_format="pyarrow")
+
+
+def bpe_apply_sql(rounds: int = _BPE_TRAIN_ROUNDS) -> str:
+    """Replay: the shared merge-round chain yields the final symbol
+    state s{rounds}; piece counts are list lengths; encoding is a
+    (doc, word) tf join against the mapping."""
+    chain, _ = _bpe_sql_chain(rounds)
+    return f"""
+WITH {chain},
+pieces AS (
+  SELECT word, CAST(len(syms) AS BIGINT) AS n_pieces FROM s{rounds}),
+dt AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w
+  GROUP BY doc_id, word),
+agg AS (
+  SELECT dt.doc_id, CAST(sum(dt.tf) AS BIGINT) AS n_words,
+         CAST(sum(dt.tf * p.n_pieces) AS BIGINT) AS n_pieces
+  FROM dt JOIN pieces p ON p.word = dt.word
+  GROUP BY dt.doc_id)
+SELECT doc_id, n_words, n_pieces,
+       CAST(floor(CAST(n_pieces AS DOUBLE) * 10000 / n_words + 0.5)
+         AS BIGINT) AS pieces_per_word_bp
+FROM agg
 """

@@ -40,7 +40,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "term_counts_cms", "term_counts_cms_cells",
                "term_counts_cms_violations", "boolean_search",
                "prefix_search", "events_rollup", "pair_pagerank",
-               "bpe_train"]
+               "bpe_train", "bpe_apply"]
 
 
 @pytest.fixture(scope="module")
@@ -642,3 +642,14 @@ def test_label_centroid_partial_exactness():
     f = np.float32(0.449999)
     assert one[(1, 2)] == int(np.floor(-0.25 * 1e6 + 0.5)) + int(
         np.floor(float(f) * 1e6 + 0.5))
+
+
+def test_bpe_apply_hot_path(ray_session, duck):
+    """bpe_apply with head_cnt=2 pushes nearly the whole vocabulary
+    through the broadcast hot path (the default at sf0.001 exercises
+    the cold co-group); both must match the same oracle."""
+    from searchengine_ray.pipelines.textstats import bpe_apply, bpe_apply_sql
+
+    got = _canon(bpe_apply(SF_DIR, head_cnt=2).to_pandas())
+    want = _canon(duck.sql(bpe_apply_sql()).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
