@@ -2900,3 +2900,247 @@ SELECT doc_id, n_words, n_pieces,
          AS BIGINT) AS pieces_per_word_bp
 FROM agg
 """
+
+
+# ---- PMI collocations: bigrams scored against unigram independence ---
+
+
+_PMI_TAGGED_SCHEMA = pa.schema([
+    ("k1", pa.int64()), ("src", pa.int64()), ("word", pa.string()),
+    ("l", pa.string()), ("r", pa.string()), ("count", pa.int64()),
+    ("c_l", pa.int64()), ("c_r", pa.int64()),
+])
+
+
+class _PmiAttachTag:
+    """Route filtered bigram rows toward the unigram-count join on
+    ``key_col`` WITHOUT co-locating a hot word's bigrams: stopword-led
+    bigrams are exactly the skewed keys, and stopwords are exactly the
+    head words, so hot keys resolve inline from the broadcast dict and
+    bypass the co-group (src=2, spread by a bigram hash); only
+    cold-keyed rows (src=0) enter the bounded gkey groups."""
+
+    def __init__(self, head_ref, key_col: str, out_col: str,
+                 n_groups: int, spread: int = 512):
+        import ray
+
+        self.head = ray.get(head_ref) if not isinstance(head_ref, dict) \
+            else head_ref
+        self.key_col = key_col
+        self.out_col = out_col
+        self.n_groups = n_groups
+        self.spread = spread
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from zlib import crc32
+
+        df = batch.to_pandas()
+        if not len(df):
+            return _PMI_TAGGED_SCHEMA.empty_table()
+        vals = df[self.key_col].map(self.head)
+        hot = vals.notna().to_numpy()
+        df = df.assign(word="", src=0, k1=0)
+        if hot.any():
+            df.loc[hot, self.out_col] = vals[hot].astype(np.int64)
+            df.loc[hot, "src"] = 2
+            df.loc[hot, "k1"] = self.n_groups + np.fromiter(
+                (crc32(b.encode()) % self.spread
+                 for b in (df.loc[hot, "l"] + " " + df.loc[hot, "r"])),
+                np.int64, int(hot.sum()))
+        cold = ~hot
+        if cold.any():
+            df.loc[cold, "k1"] = np.fromiter(
+                (crc32(t.encode()) % self.n_groups
+                 for t in df.loc[cold, self.key_col]),
+                np.int64, int(cold.sum()))
+        return pa.table(
+            {"k1": int64_col(df["k1"].to_numpy(np.int64)),
+             "src": int64_col(df["src"].to_numpy(np.int64)),
+             "word": pa.array(df["word"].tolist(), pa.string()),
+             "l": pa.array(df["l"].tolist(), pa.string()),
+             "r": pa.array(df["r"].tolist(), pa.string()),
+             "count": int64_col(df["count"].to_numpy(np.int64)),
+             "c_l": int64_col(df["c_l"].to_numpy(np.int64)),
+             "c_r": int64_col(df["c_r"].to_numpy(np.int64))},
+            schema=_PMI_TAGGED_SCHEMA)
+
+
+def _make_pmi_attach(key_col: str, out_col: str):
+    def pmi_attach(df: pd.DataFrame) -> pa.Table:
+        """k1 co-group body: fill ``out_col`` from the (word, count)
+        entries (src=1) sharing the gkey; hot rows (src=2) pass
+        through already filled. Every word in a kept bigram occurs in
+        the corpus, so a missing lookup raises."""
+        rows = df[df["src"] == 0]
+        if not len(rows):
+            rows = df[df["src"] == 2]
+        else:
+            ent = df[df["src"] == 1]
+            m = dict(zip(ent["word"], ent["count"].astype(np.int64)))
+            rows = rows.assign(
+                **{out_col: rows[key_col].map(m).to_numpy(np.int64)})
+        return pa.table({
+            "l": pa.array(rows["l"].tolist(), pa.string()),
+            "r": pa.array(rows["r"].tolist(), pa.string()),
+            "count": int64_col(rows["count"].to_numpy(np.int64)),
+            "c_l": int64_col(rows["c_l"].to_numpy(np.int64)),
+            "c_r": int64_col(rows["c_r"].to_numpy(np.int64))})
+
+    pmi_attach.__name__ = f"pmi_attach_{key_col}"
+    return pmi_attach
+
+
+def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 100,
+               head_cnt: int = 4096, n_groups: int = 256):
+    """(rank, bigram, count, pmi_bp) — the corpus's k strongest
+    collocations by pointwise mutual information among bigrams with
+    count >= min_count: pmi = ln(p(l,r) / (p(l)·p(r))) with unigram
+    probabilities from the same token stream, reported in basis
+    points. The classic collocation-extraction / phrase-vocabulary
+    operator (Church & Hanks 1990).
+
+    Shape: ONE corpus scan feeds both the bigram partials and the
+    unigram partials (two vocabulary-scale groupbys); bigrams filter
+    to count >= min_count post-Sum; unigram counts attach via two
+    skew-safe joins (hot words — the stopwords that head every skewed
+    bigram — broadcast once and resolve inline; cold words co-group
+    under a bounded gkey); per-block local top-k then one k-sized
+    merge. The bp'd PMI uses a fixed left-to-right double chain
+    (ln c + 2 ln T − ln W − ln c_l − ln c_r) so numpy and DuckDB libm
+    agree bit-for-bit (the bm25.idf parity rule)."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    big = ds.map_batches(_BigramPartial, batch_format="pyarrow",
+                         batch_size=1024, concurrency=(1, 4)) \
+        .groupby("bigram").aggregate(Sum("c_p", alias_name="count")) \
+        .materialize()
+    uni = ds.map_batches(_WordCountPartial, batch_format="pyarrow",
+                         batch_size=1024, concurrency=(1, 4)) \
+        .groupby("word").aggregate(Sum("c_p", alias_name="cnt")) \
+        .materialize()
+
+    head: dict[str, int] = {}
+    T = 0
+    for b in uni.iter_batches(batch_format="pandas"):
+        T += int(b["cnt"].sum())
+        hb = b[b["cnt"] >= head_cnt]
+        head.update(zip(hb["word"], hb["cnt"].astype(int)))
+    head_ref = ray.put(head)
+    W = int(big.sum("count"))
+
+    def to_entry(b: pa.Table) -> pa.Table:
+        from zlib import crc32
+
+        words = b.column("word").to_pylist()
+        cnt = b.column("cnt").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        coldm = cnt < head_cnt
+        words = np.asarray(words, dtype=object)[coldm]
+        gk = np.fromiter((crc32(t.encode()) % n_groups for t in words),
+                         np.int64, len(words))
+        z = np.zeros(len(words), np.int64)
+        e = np.full(len(words), "", object)
+        return pa.table({"k1": int64_col(gk), "src": int64_col(z + 1),
+                         "word": pa.array(words, pa.string()),
+                         "l": pa.array(e, pa.string()),
+                         "r": pa.array(e, pa.string()),
+                         "count": int64_col(cnt[coldm]),
+                         "c_l": int64_col(z), "c_r": int64_col(z)},
+                        schema=_PMI_TAGGED_SCHEMA)
+
+    entries = uni.map_batches(to_entry, batch_format="pyarrow")
+
+    def split_filter(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["count"] >= min_count]
+        lr = df["bigram"].str.partition(" ")
+        z = np.zeros(len(df), np.int64)
+        return pa.table({"l": pa.array(lr[0].tolist(), pa.string()),
+                         "r": pa.array(lr[2].tolist(), pa.string()),
+                         "count": int64_col(df["count"].to_numpy(np.int64)),
+                         "c_l": int64_col(z), "c_r": int64_col(z)})
+
+    rows = big.map_batches(split_filter, batch_format="pyarrow")
+    for key_col, out_col in (("l", "c_l"), ("r", "c_r")):
+        tagged = rows.map_batches(
+            _PmiAttachTag, batch_format="pyarrow", concurrency=(1, 4),
+            fn_constructor_args=(head_ref, key_col, out_col, n_groups))
+        rows = entries.union(tagged).groupby("k1").map_groups(
+            _make_pmi_attach(key_col, out_col), batch_format="pandas")
+
+    lnT2 = 2 * math.log(float(T))
+    lnW = math.log(float(W))
+
+    def score_local_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        if not len(df):
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "bigram": pa.array([], pa.string()),
+                             "count": pa.array([], pa.int64()),
+                             "pmi_bp": pa.array([], pa.int64())})
+        pmi = np.log(df["count"].to_numpy(np.float64)) + lnT2 - lnW \
+            - np.log(df["c_l"].to_numpy(np.float64)) \
+            - np.log(df["c_r"].to_numpy(np.float64))
+        df = df.assign(
+            bigram=df["l"] + " " + df["r"],
+            pmi_bp=np.floor(pmi * 10000 + 0.5).astype(np.int64))
+        df = df.sort_values(["pmi_bp", "bigram"],
+                            ascending=[False, True]).head(k)
+        return pa.table({"g": int64_col(np.zeros(len(df), np.int64)),
+                         "bigram": pa.array(df["bigram"].tolist(),
+                                            pa.string()),
+                         "count": int64_col(df["count"].to_numpy(np.int64)),
+                         "pmi_bp": int64_col(df["pmi_bp"].to_numpy(np.int64))})
+
+    def final_topk(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["pmi_bp", "bigram"],
+                            ascending=[False, True]).head(k)
+        return pa.table({
+            "rank": int64_col(np.arange(1, len(df) + 1)),
+            "bigram": pa.array(df["bigram"].tolist(), pa.string()),
+            "count": int64_col(df["count"].to_numpy(np.int64)),
+            "pmi_bp": int64_col(df["pmi_bp"].to_numpy(np.int64))})
+
+    final_topk.__name__ = "pmi_final_topk"
+    return rows.map_batches(score_local_topk, batch_format="pyarrow") \
+        .groupby("g").map_groups(final_topk, batch_format="pandas") \
+        .select_columns(["rank", "bigram", "count", "pmi_bp"])
+
+
+def bigram_pmi_sql(min_count: int = 5, k: int = 100) -> str:
+    return f"""
+WITH s AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+b AS (
+  SELECT unnest([t[i] || ' ' || t[i + 1]
+                 for i in generate_series(1, len(t) - 1)]) AS bigram
+  FROM s),
+bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS count FROM b
+       GROUP BY bigram),
+uc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+       FROM (SELECT unnest(t) AS word FROM s) GROUP BY word),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS T FROM uc),
+wtot AS (SELECT CAST(sum(count) AS DOUBLE) AS W FROM bc),
+f AS (SELECT bigram, count, split_part(bigram, ' ', 1) AS l,
+             split_part(bigram, ' ', 2) AS r
+      FROM bc WHERE count >= {min_count}),
+p AS (
+  SELECT f.bigram, f.count,
+         CAST(floor((ln(CAST(f.count AS DOUBLE)) + 2 * ln(tot.T)
+                     - ln(wtot.W) - ln(CAST(ul.cnt AS DOUBLE))
+                     - ln(CAST(ur.cnt AS DOUBLE))) * 10000 + 0.5)
+           AS BIGINT) AS pmi_bp
+  FROM f JOIN uc ul ON ul.word = f.l JOIN uc ur ON ur.word = f.r
+  CROSS JOIN tot CROSS JOIN wtot),
+r AS (SELECT *, row_number() OVER (ORDER BY pmi_bp DESC, bigram ASC)
+        AS rnk
+      FROM p)
+SELECT CAST(rnk AS BIGINT) AS rank, bigram, count, pmi_bp
+FROM r WHERE rnk <= {k}
+"""

@@ -40,7 +40,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "term_counts_cms", "term_counts_cms_cells",
                "term_counts_cms_violations", "boolean_search",
                "prefix_search", "events_rollup", "pair_pagerank",
-               "bpe_train", "bpe_apply"]
+               "bpe_train", "bpe_apply", "bigram_pmi"]
 
 
 @pytest.fixture(scope="module")
@@ -652,4 +652,15 @@ def test_bpe_apply_hot_path(ray_session, duck):
 
     got = _canon(bpe_apply(SF_DIR, head_cnt=2).to_pandas())
     want = _canon(duck.sql(bpe_apply_sql()).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bigram_pmi_hot_path(ray_session, duck):
+    """head_cnt=2 routes nearly every unigram lookup through the
+    broadcast hot path (the default at sf0.001 exercises the cold
+    co-group); both must match the same oracle."""
+    from searchengine_ray.pipelines.textstats import bigram_pmi, bigram_pmi_sql
+
+    got = _canon(bigram_pmi(SF_DIR, head_cnt=2).to_pandas())
+    want = _canon(duck.sql(bigram_pmi_sql()).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
