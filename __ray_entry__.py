@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": ts.bpe_train,
         "bpe_apply": ts.bpe_apply,
         "bigram_pmi": ts.bigram_pmi,
+        "pair_triangles": dedup.pair_triangles,
         "curation_pipeline": ts.curation_pipeline,
         "sample_per_group": ts.sample_per_group,
         "tfidf_keywords": ts.tfidf_keywords,
@@ -220,6 +221,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "bpe_train": ts.bpe_train_sql(),
         "bpe_apply": ts.bpe_apply_sql(),
         "bigram_pmi": ts.bigram_pmi_sql(),
+        "pair_triangles": dedup.pair_triangles_sql(),
         "curation_pipeline": ts.curation_pipeline_sql(),
         "sample_per_group": ts.sample_per_group_sql(),
         "tfidf_keywords": ts.tfidf_keywords_sql(),

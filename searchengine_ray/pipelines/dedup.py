@@ -1820,3 +1820,217 @@ r0 AS (SELECT a AS v, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg),
 {blocks}
 SELECT v AS doc_id, r AS rank_ppm FROM {prev}
 """
+
+
+# ---- triangle counting over the near-dup graph -----------------------
+
+
+def _tri_pair_gkey(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    g = (x.astype(np.uint64) * _CC_C + y.astype(np.uint64)) >> np.uint64(48)
+    return (g % np.uint64(_PAIR_GROUPS)).astype(np.int64)
+
+
+_TRI_AB_SCHEMA = pa.schema([
+    ("gkey", pa.int64()), ("kind", pa.int64()),
+    ("a", pa.int64()), ("b", pa.int64()),
+])
+_TRI_WEDGE_SCHEMA = pa.schema([
+    ("gkey", pa.int64()), ("tag", pa.int64()),
+    ("x", pa.int64()), ("y", pa.int64()), ("c", pa.int64()),
+])
+
+
+def _tri_deg_src(df: pd.DataFrame) -> pa.Table:
+    """gkey(u) co-group: all of u's edge rows share the bucket, so
+    deg(u) is a value_counts inside it — no degree join ever ships."""
+    u = df["a"].to_numpy(np.int64)
+    v = df["b"].to_numpy(np.int64)
+    du = df["a"].map(df["a"].value_counts()).to_numpy(np.int64)
+    return pa.table({"gkey": int64_col(_pr_gkey(v)),
+                     "kind": int64_col(np.zeros(len(df), np.int64)),
+                     "a": int64_col(u), "b": int64_col(v),
+                     "du": int64_col(du)})
+
+
+def _tri_orient_dst(df: pd.DataFrame) -> pa.Table:
+    """gkey(v) co-group: derive deg(v) the same way, then orient each
+    undirected edge from its (deg, id)-smaller endpoint — every edge
+    appears here in both orientations, so exactly one row survives.
+    Also emits one (node, degree) row per distinct v (kind=1)."""
+    u = df["a"].to_numpy(np.int64)
+    v = df["b"].to_numpy(np.int64)
+    du = df["du"].to_numpy(np.int64)
+    dv = df["b"].map(df["b"].value_counts()).to_numpy(np.int64)
+    keep = (du < dv) | ((du == dv) & (u < v))
+    nodes, idx = np.unique(v, return_index=True)
+    out_g = np.concatenate([_pr_gkey(u[keep]), _pr_gkey(nodes)])
+    out_k = np.concatenate([np.zeros(int(keep.sum()), np.int64),
+                            np.ones(len(nodes), np.int64)])
+    out_a = np.concatenate([u[keep], nodes])
+    out_b = np.concatenate([v[keep], dv[idx]])
+    return pa.table({"gkey": int64_col(out_g), "kind": int64_col(out_k),
+                     "a": int64_col(out_a), "b": int64_col(out_b)},
+                    schema=_TRI_AB_SCHEMA)
+
+
+def _tri_wedges(df: pd.DataFrame) -> pa.Table:
+    """gkey(src) co-group over ORIENTED edges: per source node, emit
+    every unordered pair of its out-neighbors as a wedge keyed by the
+    pair. Degree orientation bounds out-degree at O(sqrt(m)), so the
+    per-node triu blow-up is bounded even at a hub (the min-id center
+    of a star-capped hot bucket), which plain id-orientation would
+    square."""
+    df = df.sort_values("a", kind="stable")
+    a = df["a"].to_numpy(np.int64)
+    b = df["b"].to_numpy(np.int64)
+    xs, ys, cs = [], [], []
+    starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+    bounds = np.r_[starts, len(a)]
+    for i in range(len(starts)):
+        nb = np.sort(b[bounds[i]:bounds[i + 1]])
+        if len(nb) < 2:
+            continue
+        ii, jj = np.triu_indices(len(nb), 1)
+        xs.append(nb[ii])
+        ys.append(nb[jj])
+        cs.append(np.full(len(ii), a[bounds[i]], np.int64))
+    if not xs:
+        return _TRI_WEDGE_SCHEMA.empty_table()
+    x = np.concatenate(xs)
+    y = np.concatenate(ys)
+    c = np.concatenate(cs)
+    return pa.table({"gkey": int64_col(_tri_pair_gkey(x, y)),
+                     "tag": int64_col(np.zeros(len(x), np.int64)),
+                     "x": int64_col(x), "y": int64_col(y),
+                     "c": int64_col(c)}, schema=_TRI_WEDGE_SCHEMA)
+
+
+def _tri_match(df: pd.DataFrame) -> pa.Table:
+    """gkey(x, y) co-group: wedges whose (x, y) pair IS an edge close a
+    triangle; credit all three corners with pre-summed partials."""
+    edges = df[df["tag"] == 1]
+    wedges = df[df["tag"] == 0]
+    hit = wedges.merge(edges[["x", "y"]], on=["x", "y"])
+    if not len(hit):
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "t_p": pa.array([], pa.int64()),
+                         "d_p": pa.array([], pa.int64())})
+    nodes = np.concatenate([hit["x"].to_numpy(np.int64),
+                            hit["y"].to_numpy(np.int64),
+                            hit["c"].to_numpy(np.int64)])
+    uniq, counts = np.unique(nodes, return_counts=True)
+    return pa.table({"node": int64_col(uniq),
+                     "t_p": int64_col(counts.astype(np.int64)),
+                     "d_p": int64_col(np.zeros(len(uniq), np.int64))})
+
+
+def pair_triangles(sf_dir: str):
+    """(doc_id, degree, triangles, lcc_bp) — per-node triangle count
+    and local clustering coefficient (basis points, exact integer
+    floor division) over the undirected SimHash near-dup graph. The
+    curation read: high-lcc nodes sit inside tight duplicate cliques
+    (template families, mirror sets); low-lcc high-degree nodes are
+    hub-like false-positive magnets — the standard graph-quality
+    signal beside PageRank centrality and connected components.
+
+    Scale shape (Suri & Vassilvitskii 2011 degree-ordered wedges):
+    degrees derive inside two node-keyed co-groups (never a join);
+    each edge orients from its (deg, id)-smaller endpoint, bounding
+    out-degree at O(sqrt m); wedges (out-neighbor pairs) meet canonical
+    edges in ONE pair-keyed co-group; per-corner counts pre-sum in the
+    group and one final Sum aggregate merges them with the degree
+    rows. Everything is pair-scale or wedge-scale — no corpus-scale
+    state, no driver materialization. Exact counting (orientation is
+    only an efficiency device), so the set-algebra DuckDB oracle
+    matches bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    pairs = simhash_near_dups(sf_dir)
+
+    def orient_both(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uu = np.concatenate([a, b])
+        vv = np.concatenate([b, a])
+        return pa.table({"gkey": int64_col(_pr_gkey(uu)),
+                         "kind": int64_col(np.zeros(len(uu), np.int64)),
+                         "a": int64_col(uu), "b": int64_col(vv)},
+                        schema=_TRI_AB_SCHEMA)
+
+    def canon_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x = np.minimum(a, b)
+        y = np.maximum(a, b)
+        return pa.table({"gkey": int64_col(_tri_pair_gkey(x, y)),
+                         "tag": int64_col(np.ones(len(x), np.int64)),
+                         "x": int64_col(x), "y": int64_col(y),
+                         "c": int64_col(np.full(len(x), -1, np.int64))},
+                        schema=_TRI_WEDGE_SCHEMA)
+
+    und = pairs.map_batches(orient_both, batch_format="pyarrow") \
+        .materialize()
+    with_du = und.groupby("gkey").map_groups(_tri_deg_src,
+                                             batch_format="pandas")
+    oriented = with_du.groupby("gkey").map_groups(_tri_orient_dst,
+                                                  batch_format="pandas") \
+        .materialize()
+
+    deg_rows = oriented.filter(expr="kind == 1").map_batches(
+        lambda t: pa.table({"node": t.column("a"),
+                            "t_p": pa.array(np.zeros(len(t), np.int64),
+                                            pa.int64()),
+                            "d_p": t.column("b")}),
+        batch_format="pyarrow")
+    wedges = oriented.filter(expr="kind == 0").groupby("gkey").map_groups(
+        _tri_wedges, batch_format="pandas")
+    edges = pairs.map_batches(canon_edges, batch_format="pyarrow")
+    matched = wedges.union(edges).groupby("gkey").map_groups(
+        _tri_match, batch_format="pandas")
+
+    summed = matched.union(deg_rows).groupby("node").aggregate(
+        Sum("t_p", alias_name="triangles"),
+        Sum("d_p", alias_name="degree"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = b.column("triangles").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = b.column("degree").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lcc = np.where(d >= 2, (20000 * t) // np.maximum(d * (d - 1), 1),
+                       0).astype(np.int64)
+        return pa.table({"doc_id": b.column("node"),
+                         "degree": int64_col(d),
+                         "triangles": int64_col(t),
+                         "lcc_bp": int64_col(lcc)})
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def pair_triangles_sql() -> str:
+    """Set-algebra replay: triangles are ordered triples x<y<z with all
+    three canonical edges present; per-node counts via corner unions."""
+    return f"""
+WITH p AS ({simhash_near_dups_sql()}),
+e AS (SELECT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b FROM p),
+und AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+tn AS (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+       UNION ALL SELECT z FROM tri),
+tc AS (SELECT n, CAST(count(*) AS BIGINT) AS t FROM tn GROUP BY n)
+SELECT deg.u AS doc_id, deg.d AS degree,
+       COALESCE(tc.t, 0) AS triangles,
+       CASE WHEN deg.d >= 2
+            THEN (20000 * COALESCE(tc.t, 0)) // (deg.d * (deg.d - 1))
+            ELSE 0 END AS lcc_bp
+FROM deg LEFT JOIN tc ON tc.n = deg.u
+"""

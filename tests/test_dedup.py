@@ -338,3 +338,52 @@ def test_pagerank_group_body_segments():
     c1 = (_PR_DNUM * 1000) // (_PR_DDEN * 2)
     c2 = (_PR_DNUM * 500) // (_PR_DDEN * 1)
     assert out[10] == c1 + c2 and out[20] == c1
+
+
+def test_pair_triangles_crafted_graph(ray_session, monkeypatch):
+    """Distributed degree-oriented wedge counting vs brute force on an
+    adversarial graph: a hub star (wedge blow-up if oriented by id), a
+    4-clique, two triangles sharing an edge, degree ties, and isolated
+    edges (degree rows with zero triangles)."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from searchengine_ray.pipelines import dedup
+
+    edges = set()
+    edges |= {(0, h) for h in range(1, 9)}            # hub 0, leaves 1..8
+    edges |= {(1, 2)}                                 # one hub triangle
+    edges |= set(itertools.combinations([10, 11, 12, 13], 2))  # 4-clique
+    edges |= {(20, 21), (21, 22), (20, 22), (21, 23), (20, 23)}  # shared edge
+    edges |= {(30, 31)}                               # isolated edge
+    tbl = pa.table({"doc_a": pa.array([a for a, b in sorted(edges)],
+                                      pa.int64()),
+                    "doc_b": pa.array([b for a, b in sorted(edges)],
+                                      pa.int64())})
+    monkeypatch.setattr(dedup, "simhash_near_dups",
+                        lambda sf_dir: ray.data.from_arrow(tbl))
+    got = dedup.pair_triangles("unused").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    # brute force
+    nodes = sorted({n for e in edges for n in e})
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = {n: 0 for n in nodes}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            tri[x] += 1
+            tri[y] += 1
+            tri[z] += 1
+    assert got.doc_id.tolist() == nodes
+    assert got.degree.tolist() == [len(adj[n]) for n in nodes]
+    assert got.triangles.tolist() == [tri[n] for n in nodes]
+    d = np.array([len(adj[n]) for n in nodes], np.int64)
+    t = np.array([tri[n] for n in nodes], np.int64)
+    want_lcc = np.where(d >= 2, (20000 * t) // np.maximum(d * (d - 1), 1), 0)
+    assert got.lcc_bp.tolist() == want_lcc.tolist()
