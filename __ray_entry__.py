@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_search": docsearch.proximity_search,
         "boolean_search": docsearch.boolean_search,
         "prefix_search": docsearch.prefix_search,
+        "more_like_this": docsearch.more_like_this,
         # --- tokenizer / aggregation surface (SURVEY §2.2/§2.5) ---
         "term_df": ts.term_df,
         "doc_token_stats": ts.doc_token_stats,
@@ -161,6 +162,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "proximity_search": docsearch.proximity_search_sql(),
         "boolean_search": docsearch.boolean_search_sql(),
         "prefix_search": docsearch.prefix_search_sql(),
+        "more_like_this": docsearch.more_like_this_sql(),
         "image_decode_features": multimodal.image_decode_features_sql(),
         "distinct_terms_hll_registers": ts.distinct_terms_hll_registers_sql(),
         "term_df": ts.term_df_sql(),

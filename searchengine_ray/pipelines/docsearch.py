@@ -470,3 +470,131 @@ WITH toks AS (
 SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
 FROM toks WHERE term <> '' GROUP BY term
 """
+
+
+# ---- more-like-this: document-similarity retrieval via the index ----
+
+MLT_SEED_DOCS = [3, 57, 123, 404]
+MLT_TERMS = 5          # tf-idf-selected query terms per seed doc
+MLT_K = 5              # neighbours returned per seed
+
+
+def more_like_this(sf_dir: str):
+    """(query_id, rank, doc_id, score_bp) — "find documents like this
+    one": for each seed doc, select its MLT_TERMS strongest terms by
+    tf x BM25-idf (basis-pointed, term-asc ties — deterministic on
+    both sides), run them as a BM25 query through the actor-pool
+    executors, and return the top MLT_K neighbours excluding the seed
+    itself. The reference-class relevance-feedback feature (Lucene
+    MoreLikeThis), composed entirely from the engine's own pieces.
+
+    Scale shape: seed texts are a predicate-pushdown filter + bounded
+    take (|seeds| rows); seed-term df resolves from the dictionary
+    parquet by column-pruned isin read (only the candidate terms'
+    row groups decode — at scale the hash partitioning means only the
+    owning parts are touched); scoring runs through the shared-index
+    query pool exactly like bm25_topk. query_id IS the seed doc_id."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.query import search_queries
+
+    paths = ensure_doc_index(sf_dir)
+    cfg = doc_index_config()
+    analyzer = Analyzer(cfg)
+    n_docs = paths.meta()["N"]
+    seed_set = set(MLT_SEED_DOCS)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, list(seed_set))
+        return batch.filter(pa.array(mask))
+
+    seeds = read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(pick, batch_format="pyarrow").take_all()
+    seed_tf = {int(r["doc_id"]): Counter(analyzer.terms(r["text"]))
+               for r in seeds}
+
+    cand_terms = sorted({t for c in seed_tf.values() for t in c})
+    from pathlib import Path as _P
+
+    dict_files = sorted(str(f) for f in _P(paths.dictionary).glob("*.parquet"))
+    dtab = pq.read_table(dict_files, columns=["term", "df"],
+                         filters=[("term", "in", cand_terms)])
+    df_map = dict(zip(dtab.column("term").to_pylist(),
+                      (int(x) for x in dtab.column("df").to_pylist())))
+
+    queries = []
+    for seed in MLT_SEED_DOCS:
+        scored = []
+        for term, tf in seed_tf[seed].items():
+            idf = math.log((n_docs - df_map[term] + 0.5)
+                           / (df_map[term] + 0.5) + 1.0)
+            scored.append((-int(np.floor(tf * idf * 10000 + 0.5)), term))
+        top = [t for _, t in sorted(scored)[:MLT_TERMS]]
+        queries.append((seed, " ".join(top)))
+
+    res = search_queries(paths, queries, k=MLT_K + 1, config=cfg,
+                         concurrency=(1, 2)).to_pandas()
+    res = res[res["doc_id"] != res["query_id"]]
+    res = res.sort_values(["query_id", "rank"]).groupby(
+        "query_id", as_index=False).head(MLT_K)
+    res["rank"] = res.groupby("query_id").cumcount() + 1
+    res["score_bp"] = np.floor(
+        res["score"].to_numpy() * 10000 + 0.5).astype(np.int64)
+    out = res[["query_id", "rank", "doc_id", "score_bp"]] \
+        .astype({"rank": np.int64})
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def more_like_this_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    seeds_sql = ",".join(f"({s})" for s in MLT_SEED_DOCS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks WHERE term <> '' GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+seeds(seed) AS (VALUES {seeds_sql}),
+cand AS (
+  SELECT s.seed, tf.term,
+         CAST(floor(tf.tf * ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                    * 10000 + 0.5) AS BIGINT) AS sel_bp
+  FROM seeds s
+  JOIN tf ON tf.doc_id = s.seed
+  JOIN df ON df.term = tf.term
+  CROSS JOIN stats st),
+top_terms AS (
+  SELECT seed, term FROM (
+    SELECT seed, term,
+           row_number() OVER (PARTITION BY seed
+                              ORDER BY sel_bp DESC, term ASC) AS rn
+    FROM cand) WHERE rn <= {MLT_TERMS}),
+scores AS (
+  SELECT t.seed AS query_id, tf.doc_id,
+         sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / st.avgdl)))
+           AS score
+  FROM top_terms t
+  JOIN df ON df.term = t.term
+  JOIN tf ON tf.term = t.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats st
+  WHERE tf.doc_id <> t.seed
+  GROUP BY t.seed, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scores)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_bp
+FROM ranked WHERE rnk <= {MLT_K}
+"""
