@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles": events.event_value_quantiles,
         "value_quantiles_histogram": events.value_quantiles_histogram,
         "hopping_window_counts": events.hopping_window_counts,
+        "window_user_hll": events.window_user_hll,
+        "window_user_hll_violations": events.window_user_hll_violations,
         "order_lineitem_join": rel.order_lineitem_join,
         "customers_without_orders": rel.customers_without_orders,
         "top_terms_per_lang": ts.top_terms_per_lang,
@@ -203,6 +205,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "event_value_quantiles": events.event_value_quantiles_sql(),
         "value_quantiles_histogram": events.value_quantiles_histogram_sql(),
         "hopping_window_counts": events.hopping_window_counts_sql(),
+        "window_user_hll": events.window_user_hll_sql(),
+        "window_user_hll_violations": events.window_user_hll_violations_sql(),
         "order_lineitem_join": rel.order_lineitem_join_sql(),
         "customers_without_orders": rel.customers_without_orders_sql(),
         "top_terms_per_lang": ts.top_terms_per_lang_sql(),

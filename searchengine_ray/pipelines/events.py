@@ -558,3 +558,172 @@ SELECT t.event_type, t.n,
        {picks}
 FROM t
 """
+
+
+# ---- per-window distinct-user HyperLogLog sketches -------------------
+
+_WHLL_P = 10                       # 1024 registers -> ~3.25% std error
+_WHLL_Q = 50
+_WHLL_DAY_US = 86_400_000_000
+
+
+class _WindowUserHLLPartial:
+    """batch -> per-(window, register) partial rank maxima over the
+    batch's distinct (window, user) pairs — the keyed-sketch layout:
+    the shuffle carries at most windows x 2^p tiny integer rows per
+    batch regardless of event volume, and register maxima merge
+    exactly in any order. md5 low-64 of the user id's decimal string
+    == DuckDB md5_number_lower(CAST(user_id AS VARCHAR)), so the
+    construction is SQL-replayable bit-for-bit."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        t = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        win = (t // _WHLL_DAY_US) * _WHLL_DAY_US
+        df = pd.DataFrame({"win": win, "uid": uid}).drop_duplicates()
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(u).encode()).digest()[8:16],
+                            "little") for u in df["uid"]),
+            dtype=np.uint64, count=len(df))
+        idx = (h >> np.uint64(64 - _WHLL_P)).astype(np.int64)
+        w = (h & np.uint64((1 << _WHLL_Q) - 1)).astype(np.float64)
+        exp = np.frexp(np.maximum(w, 1))[1]      # integer-exact bit length
+        rank = np.where(w > 0, _WHLL_Q + 1 - exp,
+                        _WHLL_Q + 1).astype(np.int64)
+        g = pd.DataFrame({"window_start_us": df["win"].to_numpy(np.int64),
+                          "register": idx, "rank_p": rank}) \
+            .groupby(["window_start_us", "register"], as_index=False).max()
+        return pa.table({
+            "window_start_us": int64_col(g["window_start_us"]),
+            "register": int64_col(g["register"]),
+            "rank_p": int64_col(g["rank_p"])})
+
+
+def window_user_hll(sf_dir: str):
+    """(window_start_us, register, rank) — nonzero HyperLogLog
+    registers of the DISTINCT-USER sketch per tumbling day window: the
+    streaming daily-active-users counter in mergeable-sketch form
+    (composes the sketch family with the window family). Registers are
+    integer maxima, so the groupby is exact on any partitioning and
+    the whole construction hash-verifies against the md5 SQL replay;
+    the float estimate is a pure function of these rows (bound-checked
+    by ``window_user_hll_violations``)."""
+    from ray.data.aggregate import Max
+
+    ds = read(sf_dir, "events", ["ts", "user_id"])
+    partial = ds.map_batches(_WindowUserHLLPartial, batch_format="pyarrow",
+                             batch_size=65536, concurrency=(1, 4))
+    return partial.groupby(["window_start_us", "register"]).aggregate(
+        Max("rank_p", alias_name="rank"))
+
+
+def window_user_hll_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT DISTINCT (epoch_us(ts) // {_WHLL_DAY_US}) * {_WHLL_DAY_US}
+           AS window_start_us,
+         user_id
+  FROM events),
+h AS (
+  SELECT window_start_us,
+         CAST(md5_number_lower(CAST(user_id AS VARCHAR)) AS UHUGEINT) AS hv
+  FROM e),
+parts AS (
+  SELECT window_start_us,
+         CAST(hv // {1 << (64 - _WHLL_P)}::UHUGEINT AS BIGINT) AS register,
+         CAST(hv % {1 << _WHLL_Q}::UHUGEINT AS BIGINT) AS w
+  FROM h)
+SELECT window_start_us, register,
+       CAST(max(CASE WHEN w = 0 THEN {_WHLL_Q + 1}
+                     ELSE {_WHLL_Q + 1} - length(printf('%b', w)) END)
+            AS BIGINT) AS rank
+FROM parts GROUP BY window_start_us, register
+"""
+
+
+def window_user_hll_violations(sf_dir: str):
+    """Windows where the HLL estimate misses the EXACT distinct-user
+    count by more than the 3-sigma relative bound (plus small-count
+    slack) — expected empty; any row hash-mismatches the empty-set
+    oracle and fails the gate. The exact side is a pre-aggregated
+    distinct count (verification-scale); the estimate derives from the
+    same register rows the hash-verified op emits."""
+    from ray.data.aggregate import Sum
+
+    from searchengine_ray.pipelines.textstats import _hll_estimate
+
+    regs = window_user_hll(sf_dir)
+
+    def est_group(df: pd.DataFrame) -> pa.Table:
+        arr = np.zeros(1 << _WHLL_P, dtype=np.uint8)
+        arr[df["register"].to_numpy(np.int64)] = \
+            df["rank"].to_numpy(np.int64).astype(np.uint8)
+        return pa.table({
+            "window_start_us": int64_col(df["window_start_us"].iloc[:1]
+                                         .to_numpy(np.int64)),
+            "src": int64_col(np.zeros(1, np.int64)),
+            "val": int64_col(np.array([int(round(_hll_estimate(arr)))],
+                                      np.int64))})
+
+    ests = regs.groupby("window_start_us").map_groups(
+        est_group, batch_format="pandas")
+
+    def dedup_pairs(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        win = (t // _WHLL_DAY_US) * _WHLL_DAY_US
+        df = pd.DataFrame({"window_start_us": win, "user_id": uid}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+        dedup_pairs, batch_format="pyarrow", batch_size=65536)
+    exact = pairs.groupby(["window_start_us", "user_id"]).count() \
+        .map_batches(lambda b: pa.table({
+            "window_start_us": b.column("window_start_us"),
+            "src": pa.array(np.ones(len(b), np.int64), pa.int64()),
+            "val": pa.array(np.ones(len(b), np.int64), pa.int64())}),
+            batch_format="pyarrow") \
+        .groupby(["window_start_us", "src"]).aggregate(
+            Sum("val", alias_name="val"))
+
+    def check(df: pd.DataFrame) -> pa.Table:
+        est = int(df.loc[df["src"] == 0, "val"].iloc[0])
+        true = int(df.loc[df["src"] == 1, "val"].iloc[0])
+        bound = max(0.10 * true, 3.0)       # 3 sigma at m=1024, + slack
+        if abs(est - true) <= bound:
+            return pa.table({"window_start_us": pa.array([], pa.int64()),
+                             "n_exact": pa.array([], pa.int64()),
+                             "n_est": pa.array([], pa.int64())})
+        w = int(df["window_start_us"].iloc[0])
+        return pa.table({"window_start_us": int64_col([w]),
+                         "n_exact": int64_col([true]),
+                         "n_est": int64_col([est])})
+
+    out = ests.union(exact).groupby("window_start_us").map_groups(
+        check, batch_format="pandas")
+    # materialize with an EXPLICIT schema: the expected result is empty
+    # and an all-empty Dataset loses its column types on to_pandas
+    # (the top_terms_sketch_violations precedent); take_all is bounded
+    # by the violation count — 0 when the sketch is correct
+    rows = out.take_all()
+    return pa.table({
+        "window_start_us": int64_col(np.array(
+            [r["window_start_us"] for r in rows], np.int64)),
+        "n_exact": int64_col(np.array([r["n_exact"] for r in rows],
+                                      np.int64)),
+        "n_est": int64_col(np.array([r["n_est"] for r in rows],
+                                    np.int64))})
+
+
+def window_user_hll_violations_sql() -> str:
+    """The bound holds for any input and partitioning: empty set."""
+    return """
+SELECT CAST(NULL AS BIGINT) AS window_start_us,
+       CAST(NULL AS BIGINT) AS n_exact, CAST(NULL AS BIGINT) AS n_est
+WHERE FALSE
+"""
