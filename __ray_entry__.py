@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_by_lang": ts.token_count_by_lang,
         "text_quality": ts.text_quality,
         "repetition_quality": ts.repetition_quality,
+        "char_entropy": ts.char_entropy,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
@@ -172,6 +173,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "token_count_by_lang": ts.token_count_by_lang_sql(),
         "text_quality": ts.text_quality_sql(),
         "repetition_quality": ts.repetition_quality_sql(),
+        "char_entropy": ts.char_entropy_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup_sql(),
         "simhash_near_dups": dedup.simhash_near_dups_sql(),

@@ -3144,3 +3144,74 @@ r AS (SELECT *, row_number() OVER (ORDER BY pmi_bp DESC, bigram ASC)
 SELECT CAST(rnk AS BIGINT) AS rank, bigram, count, pmi_bp
 FROM r WHERE rnk <= {k}
 """
+
+
+# ---- character entropy: compressibility-style quality signal ---------
+
+
+def _char_entropy_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+    if not len(texts) or int(lens.sum()) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_chars": pa.array([], pa.int64()),
+                         "entropy_bp": pa.array([], pa.int64())})
+    # one utf-32 decode of the concatenated batch = exact code points,
+    # no per-character Python; codes pack (doc index, code point)
+    cp = np.frombuffer("".join(texts).encode("utf-32-le"),
+                       dtype=np.uint32).astype(np.int64)
+    didx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    codes = didx * (1 << 21) + cp           # code points < 2^21
+    uq, cnt = np.unique(codes, return_counts=True)
+    udoc = (uq >> 21).astype(np.int64)
+    cf = cnt.astype(np.float64)
+    ebp = np.floor(cf * np.log(cf) * 10000 + 0.5).astype(np.int64)
+    starts = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
+    s = np.add.reduceat(ebp, starts)
+    present = udoc[starts]
+    n = lens[present]
+    ent = np.floor(np.log(n.astype(np.float64)) * 10000 + 0.5) \
+        .astype(np.int64) - s // n
+    return pa.table({"doc_id": int64_col(ids[present]),
+                     "n_chars": int64_col(n),
+                     "entropy_bp": int64_col(ent)})
+
+
+def char_entropy(sf_dir: str):
+    """(doc_id, n_chars, entropy_bp) — Shannon entropy of each doc's
+    character distribution in basis-point nats: the compressibility
+    quality signal (near-zero for repeated-char spam, high for
+    base64/binary junk) that complements the ratio-based filters.
+
+    The score is the DETERMINISTIC integer quantization
+    floor(ln(L)·1e4 + 0.5) − (Σ_c floor(c·ln(c)·1e4 + 0.5)) // L —
+    per-(doc, char) terms are basis-pointed BEFORE the sum, so the
+    value is an exact function of integer counts (no float sum order
+    anywhere) and the SQL replay matches bit-for-bit. Zero shuffle:
+    one vectorized map_batches (a single utf-32 decode per batch, one
+    np.unique, reduceat per-doc sums). Docs with empty text emit
+    nothing on both sides."""
+    return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _char_entropy_batch, batch_format="pyarrow", batch_size=1024)
+
+
+def char_entropy_sql() -> str:
+    return """
+WITH cc AS (
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+        FROM documents WHERE length(text) > 0)
+  WHERE ch <> ''
+  GROUP BY doc_id, ch),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+         CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                             * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM cc GROUP BY doc_id)
+SELECT doc_id, n_chars,
+       CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+         - s // n_chars AS entropy_bp
+FROM agg
+"""

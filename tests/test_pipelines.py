@@ -41,7 +41,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "term_counts_cms_violations", "boolean_search",
                "prefix_search", "events_rollup", "pair_pagerank",
                "bpe_train", "bpe_apply", "bigram_pmi", "pair_triangles",
-               "more_like_this", "window_user_hll", "window_user_hll_violations"]
+               "more_like_this", "window_user_hll", "window_user_hll_violations",
+               "char_entropy"]
 
 
 @pytest.fixture(scope="module")
