@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": ts.text_quality,
         "repetition_quality": ts.repetition_quality,
         "char_entropy": ts.char_entropy,
+        "dsir_weights": ts.dsir_weights,
+        "dsir_select": ts.dsir_select,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
@@ -174,6 +176,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "text_quality": ts.text_quality_sql(),
         "repetition_quality": ts.repetition_quality_sql(),
         "char_entropy": ts.char_entropy_sql(),
+        "dsir_weights": ts.dsir_weights_sql(),
+        "dsir_select": ts.dsir_select_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup_sql(),
         "simhash_near_dups": dedup.simhash_near_dups_sql(),

@@ -3215,3 +3215,273 @@ SELECT doc_id, n_chars,
          - s // n_chars AS entropy_bp
 FROM agg
 """
+
+
+# ---- DSIR importance weights: hashed-ngram domain selection ----------
+
+
+_DSIR_B = 4096        # hashed-bigram feature buckets (paper uses ~1e4)
+_DSIR_TARGET_MOD = 7  # target slice = doc_id % 7 == 0 — deterministic
+# stand-in for the separate target-domain table (the decontaminate
+# _EVAL_MOD convention); production callers pass their own target
+# Dataset and the slice predicate drops out.
+
+
+class _DsirNgramKernel:
+    """Shared per-actor state for the hashed-bigram feature extraction:
+    compiled tokenizer + a capped bigram->bucket md5 cache (the dedup
+    _TOKEN_HASH_CACHE pattern — Zipf means the distinct-bigram working
+    set is tiny relative to occurrences).
+
+    ``occurrences(texts)`` returns (doc_index, bucket) per bigram
+    OCCURRENCE, fully vectorized: one factorize over the batch's token
+    stream (the _BigramPartial trick, newline sentinel between docs),
+    integer pair codes, md5 only for DISTINCT pairs, gathered back per
+    occurrence through np.unique's inverse. bucket = md5 low-64
+    (little-endian, == DuckDB ``md5_number_lower``) mod B."""
+
+    def __init__(self, n_buckets: int = _DSIR_B):
+        import re
+
+        self.tok = re.compile(r"[a-z0-9_]+")
+        self.B = n_buckets
+        self._cache: dict[str, int] = {}
+
+    def occurrences(self, texts: list[str]):
+        import hashlib
+
+        toks: list[str] = []
+        lens = np.empty(len(texts), np.int64)
+        for i, text in enumerate(texts):
+            t = self.tok.findall(text.lower())
+            lens[i] = len(t)
+            toks.extend(t)
+            toks.append("\n")           # doc boundary sentinel
+        if len(toks) < 2:
+            z = np.array([], np.int64)
+            return z, z
+        codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
+        sent = np.flatnonzero(uniq == "\n")[0]
+        a, b = codes[:-1], codes[1:]
+        mask = (a != sent) & (b != sent)
+        v = len(uniq)
+        pair = a[mask].astype(np.int64) * v + b[mask]
+        doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), lens + 1)
+        dococc = doc_of[:-1][mask]
+        upair, inv = np.unique(pair, return_inverse=True)
+        if len(self._cache) > (1 << 20):
+            self._cache.clear()
+        bks = np.empty(len(upair), np.int64)
+        cache = self._cache
+        for i, p in enumerate(upair.tolist()):
+            s = f"{uniq[p // v]} {uniq[p % v]}"
+            bk = cache.get(s)
+            if bk is None:
+                bk = int.from_bytes(
+                    hashlib.md5(s.encode("utf-8")).digest()[8:16],
+                    "little") % self.B
+                cache[s] = bk
+            bks[i] = bk
+        return dococc, bks[inv]
+
+
+class _DsirBucketPartial(_DsirNgramKernel):
+    """batch -> one row per PRESENT bucket: (bucket, ct_p, cr_p) —
+    target-slice and raw (all-docs) occurrence counts. Bounded at
+    min(distinct_pairs, B) <= 4096 rows per batch regardless of corpus
+    size: the canonical mergeable-partial layout, so the one groupby
+    only ever sees (bucket, batch) rows."""
+
+    def __init__(self, n_buckets: int = _DSIR_B,
+                 target_mod: int = _DSIR_TARGET_MOD):
+        super().__init__(n_buckets)
+        self.mod = target_mod
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dococc, bkocc = self.occurrences(batch.column("text").to_pylist())
+        if not len(dococc):
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "ct_p": pa.array([], pa.int64()),
+                             "cr_p": pa.array([], pa.int64())})
+        istgt = (ids % self.mod == 0)[dococc].astype(np.int64)
+        ub, inv = np.unique(bkocc, return_inverse=True)
+        cr = np.bincount(inv, minlength=len(ub)).astype(np.int64)
+        ct = np.bincount(inv, weights=istgt,
+                         minlength=len(ub)).astype(np.int64)
+        return pa.table({"bucket": int64_col(ub), "ct_p": int64_col(ct),
+                         "cr_p": int64_col(cr)})
+
+
+class _DsirScore(_DsirNgramKernel):
+    """batch -> (doc_id, n_ngrams, dsir_bp): per-doc importance weight
+    under the broadcast bucket model. One lam gather per occurrence,
+    one bincount per doc — integer-valued float64 partial sums stay
+    exact below 2^53, cast back to int64."""
+
+    def __init__(self, lam_ref, n_buckets: int = _DSIR_B):
+        import ray
+
+        super().__init__(n_buckets)
+        self.lam = ray.get(lam_ref) if not isinstance(lam_ref, np.ndarray) \
+            else lam_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dococc, bkocc = self.occurrences(batch.column("text").to_pylist())
+        n = np.bincount(dococc, minlength=len(ids)).astype(np.int64)
+        s = np.bincount(dococc, weights=self.lam[bkocc] if len(bkocc)
+                        else None, minlength=len(ids)).astype(np.int64)
+        keep = n > 0
+        return pa.table({"doc_id": int64_col(ids[keep]),
+                         "n_ngrams": int64_col(n[keep]),
+                         "dsir_bp": int64_col(s[keep])})
+
+
+def _dsir_lam(sf_dir: str, n_buckets: int, target_mod: int) -> np.ndarray:
+    """Train the hashed-bigram importance model: ONE corpus scan of
+    bounded bucket partials, one <=B-row groupby, a B-row driver pull
+    (corpus-size-independent — the legit take_all). lam[b] is the
+    add-one-smoothed log-probability ratio in basis points, every ln
+    floor-quantized SEPARATELY so lam is an exact function of integer
+    counts (the char_entropy rule) and DuckDB replays it bit-for-bit."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    rows = read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(_DsirBucketPartial, batch_format="pyarrow",
+                     batch_size=1024, concurrency=(1, 4),
+                     fn_constructor_args=(n_buckets, target_mod)) \
+        .groupby("bucket").aggregate(Sum("ct_p", alias_name="ct"),
+                                     Sum("cr_p", alias_name="cr")) \
+        .take_all()
+
+    def flq(x: float) -> int:
+        return int(math.floor(x * 10000 + 0.5))
+
+    tt = sum(r["ct"] for r in rows)
+    tr = sum(r["cr"] for r in rows)
+    base = flq(math.log(tr + n_buckets)) - flq(math.log(tt + n_buckets))
+    lam = np.zeros(n_buckets, np.int64)
+    for r in rows:
+        lam[r["bucket"]] = flq(math.log(r["ct"] + 1)) \
+            - flq(math.log(r["cr"] + 1)) + base
+    return lam
+
+
+def dsir_weights(sf_dir: str, n_buckets: int = _DSIR_B,
+                 target_mod: int = _DSIR_TARGET_MOD):
+    """(doc_id, n_ngrams, dsir_bp) — DSIR importance weights (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): each document scored by how much more likely its
+    hashed-bigram bag is under the TARGET domain's unigram-over-buckets
+    model than under the raw corpus's, dsir_bp = sum over bigram
+    occurrences of lam[bucket] with lam the bp'd add-one-smoothed
+    log ratio. High scores = target-like documents; feeding the top
+    slice to training is the paper's domain-selection recipe.
+
+    Shape for 100 TB: scan 1 trains the model (per-batch bucket
+    partials bounded at B=4096 rows, one B-key groupby, one B-row
+    driver pull); the B-int64 lam array broadcasts ONCE via ray.put;
+    scan 2 scores every doc with zero shuffle. Exact int64 sums of
+    pre-quantized per-occurrence terms -> identical on any cluster
+    shape. Docs with no bigram (len < 2 tokens) emit nothing on both
+    sides."""
+    import ray
+
+    lam_ref = ray.put(_dsir_lam(sf_dir, n_buckets, target_mod))
+    return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _DsirScore, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, 4), fn_constructor_args=(lam_ref, n_buckets))
+
+
+def dsir_select(sf_dir: str, m: int = 100, n_buckets: int = _DSIR_B,
+                target_mod: int = _DSIR_TARGET_MOD):
+    """(rank, doc_id, dsir_bp) — the top-m most target-like documents
+    by DSIR weight, ties broken (dsir_bp desc, doc_id asc): the
+    selection step of importance resampling. Per-block LOCAL top-m
+    then one m x n_blocks merge — the corpus-scale score table never
+    collects anywhere."""
+    scores = dsir_weights(sf_dir, n_buckets, target_mod)
+
+    def local_topm(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["dsir_bp", "doc_id"], ascending=[False, True]).head(m)
+        return pa.table({"g": int64_col(np.zeros(len(df), np.int64)),
+                         "doc_id": int64_col(df["doc_id"].to_numpy(np.int64)),
+                         "dsir_bp": int64_col(df["dsir_bp"].to_numpy(np.int64))})
+
+    def final_topm(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["dsir_bp", "doc_id"],
+                            ascending=[False, True]).head(m)
+        return pa.table({
+            "rank": int64_col(np.arange(1, len(df) + 1)),
+            "doc_id": int64_col(df["doc_id"].to_numpy(np.int64)),
+            "dsir_bp": int64_col(df["dsir_bp"].to_numpy(np.int64))})
+
+    final_topm.__name__ = "dsir_final_topm"
+    return scores.map_batches(local_topm, batch_format="pyarrow") \
+        .groupby("g").map_groups(final_topm, batch_format="pandas") \
+        .select_columns(["rank", "doc_id", "dsir_bp"])
+
+
+def _dsir_scores_cte(n_buckets: int, target_mod: int) -> str:
+    return f"""
+s AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+b AS (
+  SELECT doc_id, unnest([t[i] || ' ' || t[i + 1]
+                         for i in generate_series(1, len(t) - 1)]) AS bigram
+  FROM s),
+h AS (
+  SELECT doc_id,
+         CAST(CAST(md5_number_lower(bigram) AS UHUGEINT) % {n_buckets}
+              AS BIGINT) AS bucket
+  FROM b),
+bc AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN doc_id % {target_mod} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS ct,
+         CAST(count(*) AS BIGINT) AS cr
+  FROM h GROUP BY bucket),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+               CAST(sum(cr) AS BIGINT) AS tr FROM bc),
+lam AS (
+  SELECT bucket,
+         CAST(floor(ln(CAST(ct + 1 AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+         - CAST(floor(ln(CAST(tt + {n_buckets} AS DOUBLE)) * 10000 + 0.5)
+                AS BIGINT)
+         - CAST(floor(ln(CAST(cr + 1 AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+         + CAST(floor(ln(CAST(tr + {n_buckets} AS DOUBLE)) * 10000 + 0.5)
+                AS BIGINT) AS lam_bp
+  FROM bc CROSS JOIN tot),
+sc AS (
+  SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         CAST(sum(lam.lam_bp) AS BIGINT) AS dsir_bp
+  FROM h JOIN lam USING (bucket) GROUP BY h.doc_id)"""
+
+
+def dsir_weights_sql(n_buckets: int = _DSIR_B,
+                     target_mod: int = _DSIR_TARGET_MOD) -> str:
+    return f"""
+WITH {_dsir_scores_cte(n_buckets, target_mod)}
+SELECT doc_id, n_ngrams, dsir_bp FROM sc
+"""
+
+
+def dsir_select_sql(m: int = 100, n_buckets: int = _DSIR_B,
+                    target_mod: int = _DSIR_TARGET_MOD) -> str:
+    return f"""
+WITH {_dsir_scores_cte(n_buckets, target_mod)},
+r AS (SELECT doc_id, dsir_bp,
+             row_number() OVER (ORDER BY dsir_bp DESC, doc_id ASC) AS rnk
+      FROM sc)
+SELECT CAST(rnk AS BIGINT) AS rank, doc_id, dsir_bp
+FROM r WHERE rnk <= {m}
+"""
