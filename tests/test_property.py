@@ -65,7 +65,12 @@ def test_analyzer_terms_invariants(text):
         assert t == t.lower() and 1 <= len(t) <= 64
 
 
-@given(st.text(alphabet="0123456789.,", min_size=1, max_size=20))
+# Domain = NUM_RE matches ([0-9][0-9_]*(\.[0-9_]+)?) — the only
+# strings the analyzer ever feeds canonicalize_number. Outside that
+# domain the rule chain is NOT a fixed point ('..' -> '.' -> ''), and
+# hardening it would have to change the SQL oracle's identical chain
+# for inputs that cannot occur.
+@given(st.from_regex(r"[0-9][0-9_]*(?:\.[0-9_]+)?", fullmatch=True))
 def test_canonicalize_number_idempotent(tok):
     once = canonicalize_number(tok)
     assert canonicalize_number(once) == once
