@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_search": docsearch.boolean_search,
         "prefix_search": docsearch.prefix_search,
         "more_like_this": docsearch.more_like_this,
+        "prf_search": docsearch.prf_search,
         # --- tokenizer / aggregation surface (SURVEY §2.2/§2.5) ---
         "term_df": ts.term_df,
         "doc_token_stats": ts.doc_token_stats,
@@ -168,6 +169,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "boolean_search": docsearch.boolean_search_sql(),
         "prefix_search": docsearch.prefix_search_sql(),
         "more_like_this": docsearch.more_like_this_sql(),
+        "prf_search": docsearch.prf_search_sql(),
         "image_decode_features": multimodal.image_decode_features_sql(),
         "distinct_terms_hll_registers": ts.distinct_terms_hll_registers_sql(),
         "term_df": ts.term_df_sql(),

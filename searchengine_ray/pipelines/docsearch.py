@@ -598,3 +598,159 @@ SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
        CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_bp
 FROM ranked WHERE rnk <= {MLT_K}
 """
+
+
+# ---- pseudo-relevance feedback (RM3-style query expansion) ----
+
+PRF_FB_K = 5       # feedback depth: round-1 docs mined per query
+PRF_FB_TERMS = 5   # expansion terms appended per query
+
+
+def prf_search(sf_dir: str):
+    """(query_id, rank, doc_id, score_bp) — two-round BM25 with
+    pseudo-relevance feedback (Rocchio 1971 / RM3): round 1 retrieves
+    each DOC_QUERIES query's top PRF_FB_K docs, the feedback docs'
+    terms are scored sum-tf x BM25-idf (basis-pointed, term-asc ties
+    — the more_like_this selection rule), the top PRF_FB_TERMS terms
+    NOT already in the query are appended with weight 1, and round 2
+    ranks the expanded bag. Queries with no round-1 hits pass through
+    unexpanded (and stay empty).
+
+    Scale shape: both retrieval rounds run through the shared-index
+    actor pool exactly like bm25_topk; the only driver-side state is
+    bounded at |queries| x PRF_FB_K feedback texts (predicate-pushdown
+    pick) and their candidate terms' dictionary rows (column-pruned
+    isin read) — corpus-size-independent, the more_like_this shape."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.query import search_queries
+
+    paths = ensure_doc_index(sf_dir)
+    cfg = doc_index_config()
+    analyzer = Analyzer(cfg)
+    n_docs = paths.meta()["N"]
+
+    r1 = search_queries(paths, DOC_QUERIES, k=PRF_FB_K, config=cfg,
+                        concurrency=(1, 2)).to_pandas()
+    fb_ids = sorted({int(d) for d in r1["doc_id"]})
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, fb_ids)))
+
+    fb = read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(pick, batch_format="pyarrow").take_all()
+    fb_tf = {int(r["doc_id"]): Counter(analyzer.terms(r["text"]))
+             for r in fb}
+
+    cand_terms = sorted({t for c in fb_tf.values() for t in c})
+    from pathlib import Path as _P
+
+    dict_files = sorted(str(f) for f in _P(paths.dictionary).glob("*.parquet"))
+    dtab = pq.read_table(dict_files, columns=["term", "df"],
+                         filters=[("term", "in", cand_terms)])
+    df_map = dict(zip(dtab.column("term").to_pylist(),
+                      (int(x) for x in dtab.column("df").to_pylist())))
+
+    expanded = []
+    for qid, text in DOC_QUERIES:
+        orig = set(analyzer.terms(text))
+        agg: Counter = Counter()
+        for d in r1.loc[r1["query_id"] == qid, "doc_id"]:
+            agg.update(fb_tf[int(d)])
+        scored = []
+        for term, tf in agg.items():
+            if term in orig:
+                continue
+            idf = math.log((n_docs - df_map[term] + 0.5)
+                           / (df_map[term] + 0.5) + 1.0)
+            scored.append((-int(np.floor(tf * idf * 10000 + 0.5)), term))
+        top = [t for _, t in sorted(scored)[:PRF_FB_TERMS]]
+        expanded.append((qid, " ".join([text] + top)))
+
+    res = search_queries(paths, expanded, k=K, config=cfg,
+                         concurrency=(1, 2)).to_pandas()
+    res["score_bp"] = np.floor(
+        res["score"].to_numpy() * 10000 + 0.5).astype(np.int64)
+    res["rank"] = res["rank"].astype(np.int64)
+    out = res[["query_id", "rank", "doc_id", "score_bp"]]
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def prf_search_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    analyzer = Analyzer(doc_index_config())
+    values = []
+    for qid, text in DOC_QUERIES:
+        for term, qtf in sorted(Counter(analyzer.terms(text)).items()):
+            values.append(f"({qid}, '{term}', {qtf})")
+    values_sql = ",\n        ".join(values)
+    idf = "ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)"
+    bm25 = (f"sum(q.qtf * ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)"
+            f" * tf.tf * ({k1} + 1.0)"
+            f" / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / st.avgdl)))")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks WHERE term <> '' GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+queries(query_id, qterm, qtf) AS (VALUES
+        {values_sql}),
+scores1 AS (
+  SELECT q.query_id, tf.doc_id, {bm25} AS score
+  FROM queries q
+  JOIN df ON df.term = q.qterm
+  JOIN tf ON tf.term = q.qterm
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats st
+  GROUP BY q.query_id, tf.doc_id),
+fbdocs AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM scores1) WHERE rnk <= {PRF_FB_K}),
+fbterm AS (
+  SELECT f.query_id, tf.term,
+         CAST(floor(sum(tf.tf) * {idf} * 10000 + 0.5) AS BIGINT) AS sel_bp
+  FROM fbdocs f
+  JOIN tf ON tf.doc_id = f.doc_id
+  JOIN df ON df.term = tf.term
+  CROSS JOIN stats st
+  WHERE NOT EXISTS (SELECT 1 FROM queries q
+                    WHERE q.query_id = f.query_id AND q.qterm = tf.term)
+  GROUP BY f.query_id, tf.term, df.df, st.n),
+expterms AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sel_bp DESC, term ASC) AS rn
+    FROM fbterm) WHERE rn <= {PRF_FB_TERMS}),
+q2 AS (
+  SELECT query_id, qterm, qtf FROM queries
+  UNION ALL
+  SELECT query_id, term AS qterm, 1 AS qtf FROM expterms),
+scores2 AS (
+  SELECT q.query_id, tf.doc_id, {bm25} AS score
+  FROM q2 q
+  JOIN df ON df.term = q.qterm
+  JOIN tf ON tf.term = q.qterm
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats st
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scores2)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_bp
+FROM ranked WHERE rnk <= {K}
+"""
