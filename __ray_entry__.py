@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": ts.char_entropy,
         "dsir_weights": ts.dsir_weights,
         "dsir_select": ts.dsir_select,
+        "source_divergence": ts.source_divergence,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
@@ -180,6 +181,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "char_entropy": ts.char_entropy_sql(),
         "dsir_weights": ts.dsir_weights_sql(),
         "dsir_select": ts.dsir_select_sql(),
+        "source_divergence": ts.source_divergence_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup_sql(),
         "simhash_near_dups": dedup.simhash_near_dups_sql(),

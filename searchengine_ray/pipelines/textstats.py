@@ -3485,3 +3485,115 @@ r AS (SELECT doc_id, dsir_bp,
 SELECT CAST(rnk AS BIGINT) AS rank, doc_id, dsir_bp
 FROM r WHERE rnk <= {m}
 """
+
+
+# ---- per-source KL divergence: corpus drift / mixture monitoring ----
+
+
+class _SourceBucketPartial(_DsirNgramKernel):
+    """batch -> (source, bucket, c_p) hashed-bigram occurrence counts —
+    bounded at n_sources x min(distinct_pairs, B) rows per batch, the
+    mergeable-partial layout again."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        srcs = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        dococc, bkocc = self.occurrences(batch.column("text").to_pylist())
+        if not len(dococc):
+            return pa.table({"source": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int64()),
+                             "c_p": pa.array([], pa.int64())})
+        scodes, svals = pd.factorize(srcs[dococc])
+        key = scodes.astype(np.int64) * self.B + bkocc
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "source": pa.array(svals[(uk // self.B)].tolist(), pa.string()),
+            "bucket": int64_col(uk % self.B),
+            "c_p": int64_col(cnt.astype(np.int64))})
+
+
+def source_divergence(sf_dir: str, n_buckets: int = _DSIR_B):
+    """(source, n_ngrams, kl_bp) — KL divergence of each source's
+    hashed-bigram distribution from the whole corpus's, in basis-point
+    nats: the mixture-drift monitor a multi-source training pipeline
+    watches (a source whose KL jumps changed its content mix).
+    kl_bp = (sum_b c_sb * [ln c_sb - ln T_s - ln c_b + ln T]_bp) // T_s
+    with every ln floor-quantized separately, so the statistic is an
+    exact integer function of occurrence counts (the char_entropy /
+    DSIR rule) — present buckets only, and c_b >= c_sb > 0 means no
+    smoothing is needed.
+
+    Shape for 100 TB: one scan of (source, bucket) partials (bounded
+    n_sources x B=4096 rows per batch), ONE groupby, and a driver pull
+    bounded at n_sources x B rows — corpus-size-independent given the
+    curated-handful-of-sources assumption every mixture pipeline makes
+    (dataset_mixture documents the same)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    rows = read(sf_dir, "documents", ["doc_id", "text", "source"]) \
+        .map_batches(_SourceBucketPartial, batch_format="pyarrow",
+                     batch_size=1024, concurrency=(1, 4),
+                     fn_constructor_args=(n_buckets,)) \
+        .groupby(["source", "bucket"]) \
+        .aggregate(Sum("c_p", alias_name="c")).take_all()
+
+    def flq(x: float) -> int:
+        return int(math.floor(x * 10000 + 0.5))
+
+    tot = sum(r["c"] for r in rows)
+    ts: dict[str, int] = {}
+    cg: dict[int, int] = {}
+    for r in rows:
+        ts[r["source"]] = ts.get(r["source"], 0) + r["c"]
+        cg[r["bucket"]] = cg.get(r["bucket"], 0) + r["c"]
+    acc: dict[str, int] = {s: 0 for s in ts}
+    lq_tot = flq(math.log(tot))
+    for r in rows:
+        c = r["c"]
+        acc[r["source"]] += c * (flq(math.log(c))
+                                 - flq(math.log(ts[r["source"]]))
+                                 - flq(math.log(cg[r["bucket"]])) + lq_tot)
+    srcs = sorted(ts)
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_ngrams": int64_col(np.array([ts[s] for s in srcs], np.int64)),
+        "kl_bp": int64_col(np.array([acc[s] // ts[s] for s in srcs],
+                                    np.int64))})
+
+
+def source_divergence_sql(n_buckets: int = _DSIR_B) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+b AS (
+  SELECT source, unnest([t[i] || ' ' || t[i + 1]
+                         for i in generate_series(1, len(t) - 1)]) AS bigram
+  FROM s),
+h AS (
+  SELECT source,
+         CAST(CAST(md5_number_lower(bigram) AS UHUGEINT) % {n_buckets}
+              AS BIGINT) AS bucket
+  FROM b),
+sb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS c
+       FROM h GROUP BY source, bucket),
+ts AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM sb GROUP BY source),
+g AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS cg FROM sb GROUP BY bucket),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM sb),
+terms AS (
+  SELECT sb.source,
+         sb.c * (CAST(floor(ln(CAST(sb.c AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+                 - CAST(floor(ln(CAST(ts.t AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+                 - CAST(floor(ln(CAST(g.cg AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+                 + CAST(floor(ln(CAST(tot.tt AS DOUBLE)) * 10000 + 0.5)
+                        AS BIGINT)) AS term,
+         ts.t
+  FROM sb JOIN ts USING (source) JOIN g USING (bucket) CROSS JOIN tot)
+SELECT source, CAST(any_value(t) AS BIGINT) AS n_ngrams,
+       CAST(sum(term) // any_value(t) AS BIGINT) AS kl_bp
+FROM terms GROUP BY source
+ORDER BY source
+"""
