@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_histogram": events.value_quantiles_histogram,
         "hopping_window_counts": events.hopping_window_counts,
         "window_user_hll": events.window_user_hll,
+        "event_funnel": events.event_funnel,
         "window_user_hll_violations": events.window_user_hll_violations,
         "order_lineitem_join": rel.order_lineitem_join,
         "customers_without_orders": rel.customers_without_orders,
@@ -216,6 +217,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "value_quantiles_histogram": events.value_quantiles_histogram_sql(),
         "hopping_window_counts": events.hopping_window_counts_sql(),
         "window_user_hll": events.window_user_hll_sql(),
+        "event_funnel": events.event_funnel_sql(),
         "window_user_hll_violations": events.window_user_hll_violations_sql(),
         "order_lineitem_join": rel.order_lineitem_join_sql(),
         "customers_without_orders": rel.customers_without_orders_sql(),

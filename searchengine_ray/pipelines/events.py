@@ -727,3 +727,89 @@ SELECT CAST(NULL AS BIGINT) AS window_start_us,
        CAST(NULL AS BIGINT) AS n_exact, CAST(NULL AS BIGINT) AS n_est
 WHERE FALSE
 """
+
+
+# ---- funnel analysis (ordered step conversion) ----
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_FUNNEL_WINDOW_MIN = 4320      # 3-day conversion window from first
+# touch — chosen so every step converts a strict nonzero subset on the
+# synthetic event stream (15/10/5 at sf0.001), keeping all three join
+# paths exercised by the oracle gate
+
+
+def _funnel_part(steps: tuple[str, str, str], window_us: int):
+    def body(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64")
+        d = pd.DataFrame({"user_id": df["user_id"].astype(np.int64),
+                          "et": df["event_type"], "ts": ts_us})
+        s1 = d.loc[d["et"] == steps[0]].groupby("user_id")["ts"].min()
+        e2 = d.loc[d["et"] == steps[1]].copy()
+        e2["t1"] = e2["user_id"].map(s1)
+        e2 = e2[(e2["ts"] > e2["t1"]) & (e2["ts"] - e2["t1"] <= window_us)]
+        s2 = e2.groupby("user_id")["ts"].min()
+        e3 = d.loc[d["et"] == steps[2]].copy()
+        e3["t1"] = e3["user_id"].map(s1)
+        e3["t2"] = e3["user_id"].map(s2)
+        e3 = e3[(e3["ts"] > e3["t2"]) & (e3["ts"] - e3["t1"] <= window_us)]
+        s3 = e3.groupby("user_id")["ts"].min()
+        return pd.DataFrame({
+            "step": np.array([1, 2, 3], np.int64),
+            "event_type": list(steps),
+            "n_p": np.array([len(s1), len(s2), len(s3)], np.int64)})
+
+    return body
+
+
+def event_funnel(sf_dir: str, steps: tuple[str, str, str] = _FUNNEL_STEPS,
+                 window_minutes: int = _FUNNEL_WINDOW_MIN):
+    """(step, event_type, n_users) — first-touch funnel conversion:
+    users whose first ``steps[0]`` is followed STRICTLY later by a
+    ``steps[1]``, then that by a ``steps[2]``, every later step within
+    ``window_minutes`` of the first touch. The product-analytics
+    ordered-sequence operator (each step's count is the classic funnel
+    bar; consecutive ratios are the drop-offs).
+
+    Same shape as sessionize: ONE hash shuffle on user_id co-locates
+    each user's history, the per-group body is all pandas C kernels
+    (per-user first-touch mins + NaN-propagating map joins — no Python
+    row loop), and each group emits a 3-row partial that one tiny
+    groupby sums. Column pruning drops value/props at the read."""
+    from ray.data.aggregate import Sum
+
+    window_us = window_minutes * 60 * 1_000_000
+    ds = read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    parts = ds.map_batches(_add_upart, batch_format="pyarrow")
+    return parts.groupby("upart").map_groups(
+        _funnel_part(steps, window_us), batch_format="pandas") \
+        .groupby(["step", "event_type"]) \
+        .aggregate(Sum("n_p", alias_name="n_users"))
+
+
+def event_funnel_sql(steps: tuple[str, str, str] = _FUNNEL_STEPS,
+                     window_minutes: int = _FUNNEL_WINDOW_MIN) -> str:
+    w_us = window_minutes * 60 * 1_000_000
+    s1, s2, s3 = steps
+    return f"""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{s1}' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = '{s2}' AND e.ts > t1.t1
+    AND epoch_us(e.ts) - epoch_us(t1.t1) <= {w_us}
+  GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t2 USING (user_id) JOIN t1 USING (user_id)
+  WHERE e.event_type = '{s3}' AND e.ts > t2.t2
+    AND epoch_us(e.ts) - epoch_us(t1.t1) <= {w_us}
+  GROUP BY e.user_id)
+SELECT 1 AS step, '{s1}' AS event_type,
+       CAST(count(*) AS BIGINT) AS n_users FROM t1
+UNION ALL
+SELECT 2, '{s2}', CAST(count(*) AS BIGINT) FROM t2
+UNION ALL
+SELECT 3, '{s3}', CAST(count(*) AS BIGINT) FROM t3
+"""
