@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_counts": events.hopping_window_counts,
         "window_user_hll": events.window_user_hll,
         "event_funnel": events.event_funnel,
+        "user_retention": events.user_retention,
         "window_user_hll_violations": events.window_user_hll_violations,
         "order_lineitem_join": rel.order_lineitem_join,
         "customers_without_orders": rel.customers_without_orders,
@@ -218,6 +219,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "hopping_window_counts": events.hopping_window_counts_sql(),
         "window_user_hll": events.window_user_hll_sql(),
         "event_funnel": events.event_funnel_sql(),
+        "user_retention": events.user_retention_sql(),
         "window_user_hll_violations": events.window_user_hll_violations_sql(),
         "order_lineitem_join": rel.order_lineitem_join_sql(),
         "customers_without_orders": rel.customers_without_orders_sql(),

@@ -813,3 +813,65 @@ SELECT 2, '{s2}', CAST(count(*) AS BIGINT) FROM t2
 UNION ALL
 SELECT 3, '{s3}', CAST(count(*) AS BIGINT) FROM t3
 """
+
+
+# ---- cohort retention ----
+
+_DAY_US = 86400 * 1_000_000
+
+
+def _retention_part(df: pd.DataFrame) -> pd.DataFrame:
+    ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    uid = df["user_id"].to_numpy(np.int64)
+    w = ts_us // _DAY_US
+    d = pd.DataFrame({"user_id": uid, "w": w})
+    cw = d.groupby("user_id")["w"].min()
+    pairs = d.drop_duplicates()
+    off = pairs["w"].to_numpy() - pairs["user_id"].map(cw).to_numpy()
+    out = pd.DataFrame({"cohort_day": pairs["user_id"].map(cw).to_numpy(),
+                        "day_offset": off}) \
+        .groupby(["cohort_day", "day_offset"], as_index=False).size()
+    return pd.DataFrame({
+        "cohort_day": out["cohort_day"].to_numpy(np.int64),
+        "day_offset": out["day_offset"].to_numpy(np.int64),
+        "n_p": out["size"].to_numpy(np.int64)})
+
+
+def user_retention(sf_dir: str):
+    """(cohort_day, day_offset, n_users) — daily cohort retention:
+    users are cohorted by the epoch-day of their FIRST event
+    (epoch_us // one-day-in-µs, the exact integer convention shared
+    with the oracle), and n_users counts the cohort's distinct users
+    active again day_offset days later (offset 0 = cohort size).
+    The companion read-out to event_funnel: funnels measure ordered
+    conversion, retention measures coming back.
+
+    One user_id hash shuffle (a user's whole history co-locates, so
+    per-group distinct users ARE globally distinct); per-group body is
+    a groupby-min + drop_duplicates in pandas C kernels; each group
+    emits (cohort, offset, n_p) partials — at most n_days² rows —
+    that one tiny groupby sums."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "events", ["user_id", "ts"])
+    parts = ds.map_batches(_add_upart, batch_format="pyarrow")
+    return parts.groupby("upart").map_groups(
+        _retention_part, batch_format="pandas") \
+        .groupby(["cohort_day", "day_offset"]) \
+        .aggregate(Sum("n_p", alias_name="n_users"))
+
+
+def user_retention_sql() -> str:
+    return f"""
+WITH f AS (
+  SELECT user_id, min(epoch_us(ts)) // {_DAY_US} AS cw
+  FROM events GROUP BY user_id),
+a AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS w
+  FROM events)
+SELECT CAST(f.cw AS BIGINT) AS cohort_day,
+       CAST(a.w - f.cw AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY f.cw, a.w - f.cw
+"""
