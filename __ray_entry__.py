@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_user_hll": events.window_user_hll,
         "event_funnel": events.event_funnel,
         "user_retention": events.user_retention,
+        "event_rate_anomaly": events.event_rate_anomaly,
         "window_user_hll_violations": events.window_user_hll_violations,
         "order_lineitem_join": rel.order_lineitem_join,
         "customers_without_orders": rel.customers_without_orders,
@@ -220,6 +221,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "window_user_hll": events.window_user_hll_sql(),
         "event_funnel": events.event_funnel_sql(),
         "user_retention": events.user_retention_sql(),
+        "event_rate_anomaly": events.event_rate_anomaly_sql(),
         "window_user_hll_violations": events.window_user_hll_violations_sql(),
         "order_lineitem_join": rel.order_lineitem_join_sql(),
         "customers_without_orders": rel.customers_without_orders_sql(),

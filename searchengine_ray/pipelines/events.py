@@ -875,3 +875,94 @@ SELECT CAST(f.cw AS BIGINT) AS cohort_day,
 FROM a JOIN f USING (user_id)
 GROUP BY f.cw, a.w - f.cw
 """
+
+
+# ---- event-rate anomaly flags (all-integer z-test) ----
+
+_ANOM_K = 2          # flag days beyond k sample standard deviations
+
+
+class _TypeDayPartial:
+    """batch -> (event_type, day, c_p) partial counts — bounded at
+    n_types x n_days rows per batch."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_pandas().astype("datetime64[us]") \
+            .astype("int64").to_numpy()
+        day = ts // _DAY_US
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        tcodes, tvals = pd.factorize(et)
+        dcodes, dvals = pd.factorize(day)
+        key = tcodes.astype(np.int64) * len(dvals) + dcodes
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(tvals[(uk // len(dvals))].tolist(),
+                                   pa.string()),
+            "day": int64_col(dvals[(uk % len(dvals))]),
+            "c_p": int64_col(cnt.astype(np.int64))})
+
+
+def _anomaly_group(k: int):
+    def body(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["count"].to_numpy(np.int64)
+        n = len(c)
+        s = int(c.sum())
+        q = int((c * c).sum())
+        dev_n = n * c - s                   # n·(c_d − mean), exact
+        # |c_d − mean| > k·σ  ⟺  (n·c_d − S)² > k²·n·(nQ − S²)/n
+        #                     ⟺  dev_n² · 1 > k² · (nQ − S²)   [×n²/n]
+        thr = k * k * (n * q - s * s)       # n²·k²·σ², exact
+        flag = dev_n * dev_n > thr
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "day": df["day"].to_numpy(np.int64),
+            "count": c,
+            "dev_n": dev_n,
+            "is_anomaly": flag})
+
+    body.__name__ = "anomaly_group"
+    return body
+
+
+def event_rate_anomaly(sf_dir: str, k: int = _ANOM_K):
+    """(event_type, day, count, dev_n, is_anomaly) — daily event-rate
+    anomaly detection: a (type, day) cell is anomalous when its count
+    deviates from the type's own daily mean by more than k sample
+    standard deviations. The pipeline-health monitor every ingestion
+    stack runs (a collapsed or doubled feed shows up as a flagged day).
+
+    ALL-integer math: the z-test |c−µ| > kσ is evaluated as
+    (n·c − S)² > k²·(nQ − S²) over exact integer sums S=Σc, Q=Σc² —
+    no float, no sqrt, so engine and oracle agree bit-for-bit by
+    construction (dev_n = n·c − S is emitted for inspection). Shape:
+    per-batch (type, day) partials -> ONE groupby sum (cells are
+    types × days, corpus-size-independent per unit time) -> per-type
+    map_groups over day rows (bounded groups)."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "events", ["ts", "event_type"])
+    cells = ds.map_batches(_TypeDayPartial, batch_format="pyarrow",
+                           concurrency=(1, 4)) \
+        .groupby(["event_type", "day"]) \
+        .aggregate(Sum("c_p", alias_name="count"))
+    return cells.groupby("event_type").map_groups(
+        _anomaly_group(k), batch_format="pandas")
+
+
+def event_rate_anomaly_sql(k: int = _ANOM_K) -> str:
+    return f"""
+WITH cells AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+         CAST(count(*) AS BIGINT) AS count
+  FROM events GROUP BY event_type, epoch_us(ts) // {_DAY_US}),
+stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(count) AS BIGINT) AS s,
+         CAST(sum(count * count) AS BIGINT) AS q
+  FROM cells GROUP BY event_type)
+SELECT c.event_type, CAST(c.day AS BIGINT) AS day, c.count,
+       CAST(st.n * c.count - st.s AS BIGINT) AS dev_n,
+       (st.n * c.count - st.s) * (st.n * c.count - st.s)
+         > {k * k} * (st.n * st.q - st.s * st.s) AS is_anomaly
+FROM cells c JOIN stats st USING (event_type)
+"""

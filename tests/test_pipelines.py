@@ -43,7 +43,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "bpe_train", "bpe_apply", "bigram_pmi", "pair_triangles",
                "more_like_this", "window_user_hll", "window_user_hll_violations",
                "char_entropy", "dsir_weights", "dsir_select", "prf_search",
-               "source_divergence", "event_funnel", "user_retention"]
+               "source_divergence", "event_funnel", "user_retention",
+               "event_rate_anomaly"]
 
 
 @pytest.fixture(scope="module")
