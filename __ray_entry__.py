@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": ts.dsir_weights,
         "dsir_select": ts.dsir_select,
         "source_divergence": ts.source_divergence,
+        "doclen_quantiles_by_lang": ts.doclen_quantiles_by_lang,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
@@ -185,6 +186,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "dsir_weights": ts.dsir_weights_sql(),
         "dsir_select": ts.dsir_select_sql(),
         "source_divergence": ts.source_divergence_sql(),
+        "doclen_quantiles_by_lang": ts.doclen_quantiles_by_lang_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup_sql(),
         "simhash_near_dups": dedup.simhash_near_dups_sql(),

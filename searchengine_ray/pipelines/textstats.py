@@ -3597,3 +3597,94 @@ SELECT source, CAST(any_value(t) AS BIGINT) AS n_ngrams,
 FROM terms GROUP BY source
 ORDER BY source
 """
+
+
+# ---- per-language doc-length quantiles (histogram-exact) -------------
+
+
+class _LangLenPartial:
+    """batch -> (lang, n_tokens, c_p) histogram partials — the bins ARE
+    the integer token counts, so the downstream selection is exact, and
+    partials are bounded at langs x distinct-lengths per batch."""
+
+    def __init__(self):
+        import re
+
+        self.tok = re.compile(r"[a-z0-9_]+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        n = np.fromiter((len(self.tok.findall(t.lower()))
+                         for t in batch.column("text").to_pylist()),
+                        np.int64, len(langs))
+        lcodes, lvals = pd.factorize(langs)
+        width = int(n.max()) + 1 if len(n) else 1
+        key = lcodes.astype(np.int64) * width + n
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "lang": pa.array(lvals[(uk // width)].tolist(), pa.string()),
+            "n_tokens": int64_col(uk % width),
+            "c_p": int64_col(cnt.astype(np.int64))})
+
+
+def _make_len_quantile_group(qs: tuple[float, ...]):
+    def body(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("n_tokens")
+        c = df["count"].to_numpy(np.int64)
+        v = df["n_tokens"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        out = {"lang": [df["lang"].iloc[0]], "n": np.array([n], np.int64)}
+        for q in qs:
+            # quantile_disc: the element at rank ceil(q*n) of the
+            # value multiset == first bin whose cumulative count
+            # reaches that rank
+            r = min(int(np.ceil(q * n)), n)
+            out[f"p{int(q * 100)}_tokens"] = np.array(
+                [v[int(np.searchsorted(cum, r))]], np.int64)
+        return pd.DataFrame(out)
+
+    body.__name__ = "len_quantile_group"
+    return body
+
+
+def doclen_quantiles_by_lang(sf_dir: str,
+                             qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """(lang, n, p50/p90/p99_tokens) — exact discrete quantiles of
+    document token length per language: the length-profile read every
+    curation dashboard carries (and the knob source for pack_sequences
+    budgets). This is the two-pass histogram-refine selection the
+    event_value_quantiles docstring promises for 100 TB, collapsed to
+    one pass because token counts ARE small integers: per-batch
+    (lang, n_tokens) histogram partials (bounded langs x distinct
+    lengths), ONE groupby sum, then a per-lang cumulative-count
+    selection over bin rows — nothing ever sorts or holds a
+    corpus-scale group, and quantile_disc's rank rule on the multiset
+    is replayed exactly."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", ["text", "lang"])
+    hist = ds.map_batches(_LangLenPartial, batch_format="pyarrow",
+                          batch_size=1024, concurrency=(1, 4)) \
+        .groupby(["lang", "n_tokens"]) \
+        .aggregate(Sum("c_p", alias_name="count"))
+    return hist.groupby("lang").map_groups(
+        _make_len_quantile_group(qs), batch_format="pandas")
+
+
+def doclen_quantiles_by_lang_sql(
+        qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> str:
+    picks = ",\n       ".join(
+        f"CAST(quantile_disc(n_tokens, {q}) AS BIGINT)"
+        f" AS p{int(q * 100)}_tokens" for q in qs)
+    return f"""
+WITH lens AS (
+  SELECT lang,
+         CAST(len(list_filter(regexp_split_to_array(lower(text),
+                                                    '[^a-z0-9_]+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       {picks}
+FROM lens GROUP BY lang
+"""
