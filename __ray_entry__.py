@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": ts.dsir_select,
         "source_divergence": ts.source_divergence,
         "doclen_quantiles_by_lang": ts.doclen_quantiles_by_lang,
+        "nb_lang_confusion": ts.nb_lang_confusion,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
@@ -187,6 +188,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "dsir_select": ts.dsir_select_sql(),
         "source_divergence": ts.source_divergence_sql(),
         "doclen_quantiles_by_lang": ts.doclen_quantiles_by_lang_sql(),
+        "nb_lang_confusion": ts.nb_lang_confusion_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup_sql(),
         "simhash_near_dups": dedup.simhash_near_dups_sql(),

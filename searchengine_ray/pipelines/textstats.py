@@ -3688,3 +3688,195 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n,
        {picks}
 FROM lens GROUP BY lang
 """
+
+
+# ---- multinomial Naive Bayes lang classifier (train + apply) ---------
+
+
+class _LangBucketPartial(_DsirNgramKernel):
+    """batch -> (lang, bucket, c_p) hashed-bigram counts per LABEL —
+    the Naive Bayes sufficient statistics, bounded at
+    n_langs x B rows per batch (the _SourceBucketPartial shape keyed
+    by the label column)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        labs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        dococc, bkocc = self.occurrences(batch.column("text").to_pylist())
+        if not len(dococc):
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int64()),
+                             "c_p": pa.array([], pa.int64())})
+        lcodes, lvals = pd.factorize(labs[dococc])
+        key = lcodes.astype(np.int64) * self.B + bkocc
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "lang": pa.array(lvals[(uk // self.B)].tolist(), pa.string()),
+            "bucket": int64_col(uk % self.B),
+            "c_p": int64_col(cnt.astype(np.int64))})
+
+
+class _NbApply(_DsirNgramKernel):
+    """batch -> (lang, pred_lang, n_p) confusion partials: per doc,
+    score per class = prior_bp + sum lam_c[bucket] over its bigram
+    occurrences (exact int64), argmax with (score desc, lang asc)
+    ties. Docs without bigrams emit nothing (both sides)."""
+
+    def __init__(self, model_ref, n_buckets: int = _DSIR_B):
+        import ray
+
+        super().__init__(n_buckets)
+        langs, priors, lam = ray.get(model_ref) \
+            if not isinstance(model_ref, tuple) else model_ref
+        self.langs = langs                   # sorted class names
+        self.priors = priors                 # int64[c]
+        self.lam = lam                       # int64[c, B]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        labs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        dococc, bkocc = self.occurrences(batch.column("text").to_pylist())
+        if not len(dococc):
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "pred_lang": pa.array([], pa.string()),
+                             "n_p": pa.array([], pa.int64())})
+        nd = len(labs)
+        scores = np.empty((len(self.langs), nd), np.int64)
+        for ci in range(len(self.langs)):
+            scores[ci] = self.priors[ci] + np.bincount(
+                dococc, weights=self.lam[ci][bkocc],
+                minlength=nd).astype(np.int64)
+        # argmax, ties to the lexicographically-smallest lang: classes
+        # iterate in sorted order, strict > keeps the first maximum
+        pred = np.zeros(nd, np.int64)
+        best = scores[0].copy()
+        for ci in range(1, len(self.langs)):
+            m = scores[ci] > best
+            pred[m] = ci
+            best[m] = scores[ci][m]
+        has = np.zeros(nd, bool)
+        has[np.unique(dococc)] = True
+        tl = labs[has]
+        pl = np.asarray(self.langs, dtype=object)[pred[has]]
+        tcodes, tvals = pd.factorize(tl)
+        pcodes, pvals = pd.factorize(pl)
+        key = tcodes.astype(np.int64) * len(pvals) + pcodes
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "lang": pa.array(tvals[(uk // len(pvals))].tolist(),
+                             pa.string()),
+            "pred_lang": pa.array(pvals[(uk % len(pvals))].tolist(),
+                                  pa.string()),
+            "n_p": int64_col(cnt.astype(np.int64))})
+
+
+def nb_lang_confusion(sf_dir: str, n_buckets: int = _DSIR_B):
+    """(lang, pred_lang, n_docs) — confusion matrix of a multinomial
+    Naive Bayes language classifier trained ON the corpus's own lang
+    labels over hashed-bigram features and applied back to every
+    document: the distributed train-a-model-then-score-the-corpus
+    loop (label auditing / weak-label bootstrapping; self-train
+    self-eval is the documented simplification — split the read by
+    dataset_split for a held-out variant).
+
+    Train = ONE scan of (lang, bucket) count partials (bounded
+    n_langs x B=4096) + a tiny per-lang doc-count aggregate; the model
+    (priors + per-class add-one log-likelihood over buckets, every ln
+    floor-quantized to bp separately — exact integers) broadcasts once
+    via ray.put; apply = ONE zero-shuffle scan emitting <=n_langs²-row
+    confusion partials. Ties break to the lexicographically smallest
+    class on both sides."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    rows = ds.map_batches(_LangBucketPartial, batch_format="pyarrow",
+                          batch_size=1024, concurrency=(1, 4),
+                          fn_constructor_args=(n_buckets,)) \
+        .groupby(["lang", "bucket"]) \
+        .aggregate(Sum("c_p", alias_name="c")).take_all()
+    ndocs = {r["lang"]: r["n"] for r in
+             ds.groupby("lang").count().rename_columns(
+                 {"count()": "n"}).take_all()}
+
+    def flq(x: float) -> int:
+        return int(math.floor(x * 10000 + 0.5))
+
+    langs = sorted(ndocs)
+    n_total = sum(ndocs.values())
+    priors = np.array([flq(math.log(ndocs[c])) - flq(math.log(n_total))
+                       for c in langs], np.int64)
+    tc = {c: 0 for c in langs}
+    for r in rows:
+        tc[r["lang"]] += r["c"]
+    lam = np.empty((len(langs), n_buckets), np.int64)
+    for ci, c in enumerate(langs):
+        lam[ci, :] = -flq(math.log(tc[c] + n_buckets))
+    for r in rows:
+        ci = langs.index(r["lang"])
+        lam[ci, r["bucket"]] = flq(math.log(r["c"] + 1)) \
+            - flq(math.log(tc[r["lang"]] + n_buckets))
+    model_ref = ray.put((langs, priors, lam))
+    return ds.map_batches(_NbApply, batch_format="pyarrow",
+                          batch_size=1024, concurrency=(1, 4),
+                          fn_constructor_args=(model_ref, n_buckets)) \
+        .groupby(["lang", "pred_lang"]) \
+        .aggregate(Sum("n_p", alias_name="n_docs"))
+
+
+def nb_lang_confusion_sql(n_buckets: int = _DSIR_B) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+b AS (
+  SELECT doc_id, lang, unnest([t[i] || ' ' || t[i + 1]
+                               for i in generate_series(1, len(t) - 1)])
+           AS bigram
+  FROM s),
+h AS (
+  SELECT doc_id, lang,
+         CAST(CAST(md5_number_lower(bigram) AS UHUGEINT) % {n_buckets}
+              AS BIGINT) AS bucket
+  FROM b),
+nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+       GROUP BY lang),
+ntot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM nd),
+pri AS (
+  SELECT lang,
+         CAST(floor(ln(CAST(nd.n AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+         - CAST(floor(ln(CAST(ntot.n AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+           AS prior_bp
+  FROM nd CROSS JOIN ntot),
+cb AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS c
+       FROM h GROUP BY lang, bucket),
+tc AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cb GROUP BY lang),
+-- per-(doc, class) score: prior + sum over the doc's occurrences of
+-- lam_c[bucket], where absent (class, bucket) cells contribute the
+-- smoothing floor -ln(T_c + B)
+docc AS (SELECT doc_id, lang, bucket, CAST(count(*) AS BIGINT) AS k
+         FROM h GROUP BY doc_id, lang, bucket),
+sc AS (
+  SELECT d.doc_id, d.lang AS true_lang, tc.lang AS cls,
+         any_value(p.prior_bp)
+         + CAST(sum(d.k * (
+             CAST(floor(ln(CAST(COALESCE(cb.c, 0) + 1 AS DOUBLE))
+                        * 10000 + 0.5) AS BIGINT)
+             - CAST(floor(ln(CAST(tc.t + {n_buckets} AS DOUBLE))
+                          * 10000 + 0.5) AS BIGINT))) AS BIGINT) AS score
+  FROM docc d
+  CROSS JOIN tc
+  JOIN pri p ON p.lang = tc.lang
+  LEFT JOIN cb ON cb.lang = tc.lang AND cb.bucket = d.bucket
+  GROUP BY d.doc_id, d.lang, tc.lang),
+pred AS (
+  SELECT doc_id, true_lang, cls FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, cls ASC) AS rn
+    FROM sc) WHERE rn = 1)
+SELECT true_lang AS lang, cls AS pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY true_lang, cls
+"""

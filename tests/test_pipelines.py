@@ -44,7 +44,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "more_like_this", "window_user_hll", "window_user_hll_violations",
                "char_entropy", "dsir_weights", "dsir_select", "prf_search",
                "source_divergence", "event_funnel", "user_retention",
-               "event_rate_anomaly", "doclen_quantiles_by_lang"]
+               "event_rate_anomaly", "doclen_quantiles_by_lang",
+               "nb_lang_confusion"]
 
 
 @pytest.fixture(scope="module")
