@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
+        "ann_recall_audit": ann.ann_recall_audit,
         "ann_ivf_topk": ann.ann_ivf_topk,
         # --- text analysis (non-SQL) ---
         "lang_id": ts.lang_id,
@@ -150,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
     # break every static entry in this dict
     for name, gen in (("ann_lsh_topk", ann.ann_lsh_topk_sql),
                       ("ann_ivf_topk", ann.ann_ivf_topk_sql),
+                      ("ann_recall_audit", ann.ann_recall_audit_sql),
                       ("embedding_near_dups_lsh",
                        dedup.embedding_near_dups_lsh_sql)):
         try:

@@ -783,3 +783,51 @@ FROM c{iters} LEFT JOIN (
   SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
   FROM s{iters} GROUP BY cluster) m USING (cluster)
 """
+
+
+def ann_recall_audit(sf_dir: str, k: int = 10):
+    """(query_vec_id, n_exact, n_approx, n_hits) — recall@k audit of
+    the LSH-bucketed ANN path against the exact brute-force top-k:
+    n_hits / n_exact IS recall@k, the acceptance metric every
+    approximate index ships with. Composes the two existing pipelines
+    unchanged; both results are |queries| x k rows, so the comparison
+    is driver-side on bounded data (never corpus-scale). The oracle
+    nests both generated SQLs and replays the same join-count."""
+    import pandas as pd
+
+    ex = ann_topk(sf_dir, k=k).to_pandas()
+    ap = ann_lsh_topk(sf_dir, k=k).to_pandas()
+    ne = ex.groupby("query_vec_id", as_index=False).size() \
+        .rename(columns={"size": "n_exact"})
+    na = ap.groupby("query_vec_id", as_index=False).size() \
+        .rename(columns={"size": "n_approx"})
+    hits = ex.merge(ap, on=["query_vec_id", "vec_id"]) \
+        .groupby("query_vec_id", as_index=False).size() \
+        .rename(columns={"size": "n_hits"})
+    out = ne.merge(na, on="query_vec_id", how="left") \
+        .merge(hits, on="query_vec_id", how="left")
+    for c in ("n_approx", "n_hits"):
+        out[c] = out[c].fillna(0).astype(np.int64)
+    out["n_exact"] = out["n_exact"].astype(np.int64)
+    out["query_vec_id"] = out["query_vec_id"].astype(np.int64)
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def ann_recall_audit_sql(k: int = 10) -> str:
+    return f"""
+WITH ex AS ({ann_topk_sql(k=k)}),
+ap AS ({ann_lsh_topk_sql(k=k)}),
+ne AS (SELECT query_vec_id, CAST(count(*) AS BIGINT) AS n_exact
+       FROM ex GROUP BY query_vec_id),
+na AS (SELECT query_vec_id, CAST(count(*) AS BIGINT) AS n_approx
+       FROM ap GROUP BY query_vec_id),
+hits AS (SELECT ex.query_vec_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM ex JOIN ap ON ap.query_vec_id = ex.query_vec_id
+                        AND ap.vec_id = ex.vec_id
+         GROUP BY ex.query_vec_id)
+SELECT ne.query_vec_id, ne.n_exact,
+       CAST(COALESCE(na.n_approx, 0) AS BIGINT) AS n_approx,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+FROM ne LEFT JOIN na USING (query_vec_id) LEFT JOIN hits h USING (query_vec_id)
+"""

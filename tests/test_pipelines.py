@@ -45,7 +45,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "char_entropy", "dsir_weights", "dsir_select", "prf_search",
                "source_divergence", "event_funnel", "user_retention",
                "event_rate_anomaly", "doclen_quantiles_by_lang",
-               "nb_lang_confusion"]
+               "nb_lang_confusion", "ann_recall_audit"]
 
 
 @pytest.fixture(scope="module")
