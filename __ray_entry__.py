@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": dedup.embedding_near_dups,
         "embedding_near_dups_lsh": dedup.embedding_near_dups_lsh,
         "dedup_survivors": dedup.dedup_survivors,
+        "dedup_component_sizes": dedup.dedup_component_sizes,
+        "dedup_method_overlap": dedup.dedup_method_overlap,
         "dedup_apply": dedup.dedup_apply,
         "dedup_spans": dedup.dedup_spans,
         "decontaminate": dedup.decontaminate,
@@ -196,6 +198,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "simhash_near_dups": dedup.simhash_near_dups_sql(),
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup_sql(),
         "dedup_survivors": dedup.dedup_survivors_sql(),
+        "dedup_component_sizes": dedup.dedup_component_sizes_sql(),
+        "dedup_method_overlap": dedup.dedup_method_overlap_sql(),
         "dedup_apply": dedup.dedup_apply_sql(),
         "dedup_spans": dedup.dedup_spans_sql(),
         "decontaminate": dedup.decontaminate_sql(),

@@ -2034,3 +2034,110 @@ SELECT deg.u AS doc_id, deg.d AS degree,
             ELSE 0 END AS lcc_bp
 FROM deg LEFT JOIN tc ON tc.n = deg.u
 """
+
+
+def dedup_component_sizes(sf_dir: str, threshold_bp: int = 5000):
+    """(size, n_components) — the size histogram of the verified
+    near-dup connected components: the duplication-structure read
+    (a heavy tail of giant components means template families /
+    mirrors; all-2 components mean isolated pairs) that sizes the
+    star-cap and Hash-to-Min round-count knobs. Two pair-scale
+    groupbys over the `dedup_survivors` labels; the histogram is at
+    most max-component-size rows. Oracle nests the recursive-CTE
+    closure."""
+    cc = connected_components(minhash_lsh_dedup(sf_dir, threshold_bp))
+    sizes = cc.groupby("component").count() \
+        .rename_columns({"count()": "size"})
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        s = batch.column("size").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uq, cnt = np.unique(s, return_counts=True)
+        return pa.table({"size": int64_col(uq),
+                         "n_p": int64_col(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    return sizes.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("size").aggregate(Sum("n_p", alias_name="n_components"))
+
+
+def dedup_component_sizes_sql(threshold_bp: int = 5000) -> str:
+    return f"""
+WITH s AS ({dedup_survivors_sql(threshold_bp)}),
+g AS (SELECT component, CAST(count(*) AS BIGINT) AS size
+      FROM s GROUP BY component)
+SELECT size, CAST(count(*) AS BIGINT) AS n_components
+FROM g GROUP BY size
+"""
+
+
+def dedup_method_overlap(sf_dir: str):
+    """One row (n_minhash, n_simhash, n_both) — agreement audit of the
+    two syntactic near-dup detectors over their canonical pair sets:
+    the go/no-go read when choosing (or cross-checking) a dedup method
+    on a new corpus. Both pair streams stay distributed — canonical
+    (min, max) keys union under side tags into ONE pair-keyed groupby,
+    each group collapses to membership flags, and per-batch partial
+    counts sum to the single report row; nothing pair-scale ever
+    reaches the driver."""
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            a = batch.column("doc_a").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            b = batch.column("doc_b").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            m = np.full(len(a), 1 - side, np.int64)
+            s = np.full(len(a), side, np.int64)
+            return pa.table({"a": int64_col(np.minimum(a, b)),
+                             "b": int64_col(np.maximum(a, b)),
+                             "m": int64_col(m), "s": int64_col(s)})
+
+        f.__name__ = f"tag_side{side}"
+        return f
+
+    mh = minhash_lsh_dedup(sf_dir).map_batches(tag(0),
+                                               batch_format="pyarrow")
+    sh = simhash_near_dups(sf_dir).map_batches(tag(1),
+                                               batch_format="pyarrow")
+    flags = mh.union(sh).groupby(["a", "b"]).aggregate(
+        Max("m", alias_name="in_m"), Max("s", alias_name="in_s"))
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        im = batch.column("in_m").to_numpy(zero_copy_only=False)
+        isv = batch.column("in_s").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_minhash_p": int64_col(np.array([int(im.sum())], np.int64)),
+            "n_simhash_p": int64_col(np.array([int(isv.sum())], np.int64)),
+            "n_both_p": int64_col(np.array([int((im & isv).sum())],
+                                           np.int64))})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    out = flags.map_batches(count_partial, batch_format="pyarrow") \
+        .aggregate(_Sum("n_minhash_p", alias_name="n_minhash"),
+                   _Sum("n_simhash_p", alias_name="n_simhash"),
+                   _Sum("n_both_p", alias_name="n_both"))
+    return pa.table({"n_minhash": int64_col([out["n_minhash"]]),
+                     "n_simhash": int64_col([out["n_simhash"]]),
+                     "n_both": int64_col([out["n_both"]])})
+
+
+def dedup_method_overlap_sql() -> str:
+    return f"""
+WITH m AS (SELECT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b
+           FROM ({minhash_lsh_dedup_sql()}) mm),
+s AS (SELECT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b
+      FROM ({simhash_near_dups_sql()}) ss),
+u AS (SELECT a, b, max(im) AS in_m, max(isv) AS in_s FROM (
+        SELECT a, b, 1 AS im, 0 AS isv FROM m
+        UNION ALL SELECT a, b, 0, 1 FROM s)
+      GROUP BY a, b)
+SELECT CAST(sum(in_m) AS BIGINT) AS n_minhash,
+       CAST(sum(in_s) AS BIGINT) AS n_simhash,
+       CAST(sum(in_m * in_s) AS BIGINT) AS n_both
+FROM u
+"""

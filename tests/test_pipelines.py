@@ -45,7 +45,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "char_entropy", "dsir_weights", "dsir_select", "prf_search",
                "source_divergence", "event_funnel", "user_retention",
                "event_rate_anomaly", "doclen_quantiles_by_lang",
-               "nb_lang_confusion", "ann_recall_audit"]
+               "nb_lang_confusion", "ann_recall_audit",
+               "dedup_component_sizes", "dedup_method_overlap"]
 
 
 @pytest.fixture(scope="module")
