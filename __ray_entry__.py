@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups_lsh": dedup.embedding_near_dups_lsh,
         "dedup_survivors": dedup.dedup_survivors,
         "dedup_component_sizes": dedup.dedup_component_sizes,
+        "span_dup_fraction": dedup.span_dup_fraction,
         "dedup_method_overlap": dedup.dedup_method_overlap,
         "dedup_apply": dedup.dedup_apply,
         "dedup_spans": dedup.dedup_spans,
@@ -199,6 +200,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup_sql(),
         "dedup_survivors": dedup.dedup_survivors_sql(),
         "dedup_component_sizes": dedup.dedup_component_sizes_sql(),
+        "span_dup_fraction": dedup.span_dup_fraction_sql(),
         "dedup_method_overlap": dedup.dedup_method_overlap_sql(),
         "dedup_apply": dedup.dedup_apply_sql(),
         "dedup_spans": dedup.dedup_spans_sql(),

@@ -2141,3 +2141,81 @@ SELECT CAST(sum(in_m) AS BIGINT) AS n_minhash,
        CAST(sum(in_m * in_s) AS BIGINT) AS n_both
 FROM u
 """
+
+
+def _span_frac_group(df: pd.DataFrame) -> pa.Table:
+    """gkey co-group body: a position is duplicated iff its k-gram hash
+    occurs in >= 2 DISTINCT docs (cross-doc verbatim copy — intra-doc
+    repeats belong to repetition_quality). O(group) work: membership
+    only, never pair enumeration, so boilerplate-scale hashes cost
+    linear time here (no pos_cap needed)."""
+    d = df.groupby("h")["doc_id"].nunique()
+    dup = df["h"].map(d).ge(2)
+    out = df.assign(dup=dup.astype(np.int64)).groupby(
+        "doc_id", as_index=False).agg(n_pos_p=("pos", "size"),
+                                      n_dup_p=("dup", "sum"))
+    return pa.table({"doc_id": int64_col(out["doc_id"].to_numpy(np.int64)),
+                     "n_pos_p": int64_col(out["n_pos_p"].to_numpy(np.int64)),
+                     "n_dup_p": int64_col(out["n_dup_p"].to_numpy(np.int64))})
+
+
+def span_dup_fraction(sf_dir: str, k: int = _SPAN_K):
+    """(doc_id, n_windows, n_dup_windows, dup_frac_bp) — per-document
+    duplicated-text fraction: the share of the doc's length-k character
+    windows that appear VERBATIM in at least one other document, in
+    basis points — the Lee et al. 2022 policy signal ("drop or trim
+    docs that are mostly copies") as a per-doc score, the terminal
+    read of the dedup_spans machinery.
+
+    Shape: the same anchor stage and ONE gkey-bucketed shuffle as
+    dedup_spans, but the group body is membership-counting (linear),
+    not pair enumeration — so no boilerplate cutoff is needed and the
+    result is exact at any skew; per-doc partials then sum under one
+    doc-keyed groupby and the fraction is integer floor-division.
+    Docs shorter than k emit nothing on both sides."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    anchors = ds.map_batches(SpanAnchorStage, fn_constructor_args=(k, 1),
+                             batch_format="pyarrow", batch_size=512,
+                             concurrency=(1, 4))
+    per = anchors.groupby("gkey").map_groups(
+        _span_frac_group, batch_format="pandas") \
+        .groupby("doc_id").aggregate(Sum("n_pos_p", alias_name="n_windows"),
+                                     Sum("n_dup_p",
+                                         alias_name="n_dup_windows"))
+
+    def frac(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_windows").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = batch.column("n_dup_windows").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return batch.append_column(
+            "dup_frac_bp", pa.array(d * 10000 // n, pa.int64()))
+
+    return per.map_batches(frac, batch_format="pyarrow")
+
+
+def span_dup_fraction_sql(k: int = _SPAN_K) -> str:
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - {k} + 1)) AS p
+  FROM documents WHERE length(text) >= {k}),
+hashes AS (
+  SELECT doc_id, p - 1 AS pos,
+         CAST(list_reduce(
+                list_transform(
+                  [substr(text, p + j, 1) for j in generate_series(0, {k - 1})],
+                  c -> CAST(ord(c) AS HUGEINT)),
+                (a, x) -> (a * {_SPAN_B} + x) % {_SPAN_M}) AS BIGINT) AS h
+  FROM pos),
+hd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM hashes GROUP BY h)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN hd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_windows,
+       CAST(sum(CASE WHEN hd.nd >= 2 THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS dup_frac_bp
+FROM hashes JOIN hd USING (h)
+GROUP BY doc_id
+"""

@@ -46,7 +46,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "source_divergence", "event_funnel", "user_retention",
                "event_rate_anomaly", "doclen_quantiles_by_lang",
                "nb_lang_confusion", "ann_recall_audit",
-               "dedup_component_sizes", "dedup_method_overlap"]
+               "dedup_component_sizes", "dedup_method_overlap",
+               "span_dup_fraction"]
 
 
 @pytest.fixture(scope="module")
