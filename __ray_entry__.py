@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": ts.token_count_bpe,
         # --- multimodal plumbing ---
         "multimodal_meta": multimodal.multimodal_meta,
+        "media_dedup_exact": multimodal.media_dedup_exact,
         "image_decode_features": multimodal.image_decode_features_checked,
         "frame_sample": multimodal.frame_sample,
         # --- relational operator surface (joins/aggs/sort/limit) ---
@@ -219,6 +220,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "token_count_bpe": ts.token_count_bpe_sql(),
         "ann_topk": ann.ann_topk_sql(),
         "multimodal_meta": multimodal.multimodal_meta_sql(),
+        "media_dedup_exact": multimodal.media_dedup_exact_sql(),
         "frame_sample": multimodal.frame_sample_sql(),
         "pricing_summary": rel.pricing_summary_sql(),
         "top_orders_by_revenue": rel.top_orders_by_revenue_sql(),

@@ -197,3 +197,55 @@ SELECT doc_id AS item_id,
        {feat_cols}
 FROM documents
 """
+
+
+_MEDIA_DUP_MOD = 97      # registry-row dup injection: the synthetic
+_MEDIA_DUP_PAYLOAD = b"MEDIA-DUP-SENTINEL"  # pure ASCII: utf-8 == raw bytes
+# corpus has no byte-identical payloads at gate scale, so every
+# doc_id % 97 == 0 item carries the same sentinel payload (mirrored in
+# the oracle — the pii_scrub seeded-injection convention); production
+# callers run the digest groupby over their real payload column.
+
+
+def media_dedup_exact(sf_dir: str):
+    """(item_id, n_copies) — exact dedup over the opaque BINARY payload
+    column: payloads group by content digest, the min item_id survives
+    and carries the copy count. The dedup_exact policy extended to
+    multimodal tables — byte-identical images/audio collapse without
+    any decode (the first pass every media pipeline runs before
+    perceptual hashing). One digest-keyed groupby over (digest,
+    item_id) metadata rows; payload bytes never ride the shuffle."""
+    import hashlib as _hl
+
+    from ray.data.aggregate import Count, Min
+
+    sent = _hl.sha256(_MEDIA_DUP_PAYLOAD).hexdigest()
+
+    def digest(batch: pa.Table) -> pa.Table:
+        ids = batch.column("item_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hs = [sent if i % _MEDIA_DUP_MOD == 0
+              else _hl.sha256(p).hexdigest()
+              for i, p in zip(ids.tolist(),
+                              batch.column("payload").to_pylist())]
+        return pa.table({"item_id": int64_col(ids),
+                         "sha256": pa.array(hs, pa.string())})
+
+    meta = multimodal_table(sf_dir).map_batches(digest,
+                                                batch_format="pyarrow",
+                                                batch_size=256)
+    surv = meta.groupby("sha256").aggregate(
+        Min("item_id", alias_name="item_id"),
+        Count(alias_name="n_copies"))
+    return surv.select_columns(["item_id", "n_copies"])
+
+
+def media_dedup_exact_sql() -> str:
+    return f"""
+SELECT CAST(min(doc_id) AS BIGINT) AS item_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY sha256(CASE WHEN doc_id % {_MEDIA_DUP_MOD} = 0
+                     THEN '{_MEDIA_DUP_PAYLOAD.decode("latin-1")}'
+                     ELSE text END)
+"""
