@@ -43,6 +43,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--positions", action="store_true",
                    help="store per-posting token positions (phrase queries)")
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--format", choices=["parquet", "jsonl", "csv"],
+                   default="parquet",
+                   help="corpus file format (jsonl/csv normalize into "
+                        "the corpus schema; missing metadata defaults)")
 
     s = sub.add_parser("search", help="run one query")
     s.add_argument("index_dir")
@@ -193,8 +197,18 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "build":
             from searchengine_ray.pipelines.build import build_index
 
-            paths = build_index(args.corpus, args.index_dir, cfg,
-                                resume=not args.no_resume)
+            src = args.corpus
+            if args.format != "parquet":
+                from searchengine_ray.sources.corpus_files import (
+                    corpus_from_csv, corpus_from_jsonl)
+
+                reader = (corpus_from_jsonl if args.format == "jsonl"
+                          else corpus_from_csv)
+                src = reader(args.corpus)
+            paths = build_index(src, args.index_dir, cfg,
+                                resume=not args.no_resume,
+                                source_tag=(None if args.format == "parquet"
+                                            else f"{args.format}:{args.corpus}"))
             print(paths.meta())
         elif args.cmd == "add":
             from searchengine_ray.pipelines.build import add_documents

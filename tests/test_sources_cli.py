@@ -86,3 +86,48 @@ def test_cli_prefix(ray_session, t1_index, small_config):
            for ln in out.stdout.splitlines() if "\t" in ln]
     assert got == want
     assert got  # prefix actually matched something at test scale
+
+
+def test_corpus_file_sources_build_parity(ray_session, tmp_path):
+    """An index built from a JSONL dump and from a CSV dump of the same
+    rows answers queries identically to one built from the in-memory
+    corpus: the format readers are pure ingestion, invisible to
+    ranking."""
+    import json
+
+    import pandas as pd
+    import ray.data
+
+    from searchengine_ray import IndexConfig
+    from searchengine_ray.corpus import generate_corpus
+    from searchengine_ray.pipelines.build import build_index
+    from searchengine_ray.pipelines.query import search_queries
+    from searchengine_ray.sources.corpus_files import (corpus_from_csv,
+                                                       corpus_from_jsonl)
+
+    corpus_dir = generate_corpus(300, tmp_path / "corpus", seed=11,
+                                 n_files=2)
+    rows = ray.data.read_parquet(corpus_dir).take_all()
+    for r in rows:
+        r["content"] = r["content"]
+    with open(tmp_path / "docs.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    pd.DataFrame(rows).to_csv(tmp_path / "docs.csv", index=False)
+
+    cfg = IndexConfig(num_doc_parts=2, num_term_parts=4)
+    qs = [(1, "parse buffer"), (2, "table scan merge")]
+    results = {}
+    for name, src in (
+            ("parquet", ray.data.read_parquet(corpus_dir)),
+            ("jsonl", corpus_from_jsonl(tmp_path / "docs.jsonl")),
+            ("csv", corpus_from_csv(tmp_path / "docs.csv"))):
+        paths = build_index(src, tmp_path / f"idx_{name}", cfg,
+                            source_tag=f"test-{name}")
+        assert paths.meta()["N"] == len(
+            {(r["repo"], r["path"], r["commit"]) for r in rows})
+        res = search_queries(paths, qs, k=5, config=cfg,
+                             concurrency=(1, 2)).to_pandas()
+        results[name] = res.reset_index(drop=True)
+    pd.testing.assert_frame_equal(results["parquet"], results["jsonl"])
+    pd.testing.assert_frame_equal(results["parquet"], results["csv"])
