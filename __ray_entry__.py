@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_search": docsearch.prefix_search,
         "more_like_this": docsearch.more_like_this,
         "prf_search": docsearch.prf_search,
+        "percolate": docsearch.percolate,
         # --- tokenizer / aggregation surface (SURVEY §2.2/§2.5) ---
         "term_df": ts.term_df,
         "doc_token_stats": ts.doc_token_stats,
@@ -182,6 +183,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "prefix_search": docsearch.prefix_search_sql(),
         "more_like_this": docsearch.more_like_this_sql(),
         "prf_search": docsearch.prf_search_sql(),
+        "percolate": docsearch.percolate_sql(),
         "image_decode_features": multimodal.image_decode_features_sql(),
         "distinct_terms_hll_registers": ts.distinct_terms_hll_registers_sql(),
         "term_df": ts.term_df_sql(),

@@ -754,3 +754,98 @@ SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
        CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_bp
 FROM ranked WHERE rnk <= {K}
 """
+
+
+# ---- percolation: standing queries over a document stream ----
+
+PERC_QUERIES: list[tuple[int, str]] = [
+    (1, "hash join"),
+    (2, "customer order line"),
+    (3, "window agg"),
+    (4, "zzznosuchterm stream"),      # can never match
+    (5, "value"),
+]
+
+
+class _PercolateStage:
+    """Zero-shuffle standing-query matcher: the bounded query set
+    compiles once per actor into (term -> query bitmask) over the
+    SHARED analyzer; each batch tokenizes once and a doc matches query
+    q iff q's term mask is a subset of the doc's. The reverse-search /
+    alerting primitive (Elasticsearch percolator) in batch form."""
+
+    def __init__(self, queries: list[tuple[int, str]]):
+        self.analyzer = Analyzer(doc_index_config())
+        self.qids: list[int] = []
+        self.masks: list[frozenset] = []
+        for qid, text in queries:
+            terms = frozenset(self.analyzer.terms(text))
+            if terms:
+                self.qids.append(qid)
+                self.masks.append(terms)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        texts = batch.column("text").to_pylist()
+        codes, docs, tfs, info = self.analyzer.tokenize_batch(
+            texts, np.arange(len(texts), dtype=np.int64))
+        out_q: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        if len(codes):
+            vidx = {t: i for i, t in enumerate(info["vocab"])}
+            for qid, mask in zip(self.qids, self.masks):
+                qcodes = [vidx[t] for t in mask if t in vidx]
+                if len(qcodes) != len(mask):
+                    continue          # a term absent from the batch vocab
+                sel = np.isin(codes, qcodes)
+                cnt = np.bincount(docs[sel], minlength=len(texts))
+                hit = ids[cnt == len(qcodes)]
+                out_q.append(np.full(len(hit), qid, np.int64))
+                out_d.append(hit)
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        return pa.table({"query_id": int64_col(np.concatenate(out_q)),
+                         "doc_id": int64_col(np.concatenate(out_d))})
+
+
+def percolate(sf_dir: str, queries: list[tuple[int, str]] | None = None):
+    """(query_id, doc_id) — every standing query each document matches
+    (all of the query's analyzed terms present): the percolator /
+    alerting primitive that routes a document STREAM against a bounded
+    registered-query set. ONE zero-shuffle map_batches scan — the
+    query masks compile once per actor, documents never leave their
+    blocks, so this composes with any ingest pipeline as a side tap.
+    Queries with unindexable or absent terms simply never match."""
+    return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _PercolateStage, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, 4),
+        fn_constructor_args=(queries or PERC_QUERIES,))
+
+
+def percolate_sql(queries: list[tuple[int, str]] | None = None) -> str:
+    analyzer = Analyzer(doc_index_config())
+    values, nterms = [], []
+    for qid, text in (queries or PERC_QUERIES):
+        terms = sorted(set(analyzer.terms(text)))
+        for t in terms:
+            values.append(f"({qid}, '{t}')")
+        if terms:
+            nterms.append(f"({qid}, {len(terms)})")
+    values_sql = ",\n        ".join(values)
+    nterms_sql = ",".join(nterms)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents),
+q(query_id, term) AS (VALUES
+        {values_sql}),
+qn(query_id, n_terms) AS (VALUES {nterms_sql})
+SELECT q.query_id, toks.doc_id
+FROM q JOIN toks USING (term) JOIN qn USING (query_id)
+WHERE term <> ''
+GROUP BY q.query_id, toks.doc_id, qn.n_terms
+HAVING count(DISTINCT term) = qn.n_terms
+"""

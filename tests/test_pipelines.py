@@ -47,7 +47,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "event_rate_anomaly", "doclen_quantiles_by_lang",
                "nb_lang_confusion", "ann_recall_audit",
                "dedup_component_sizes", "dedup_method_overlap",
-               "span_dup_fraction", "media_dedup_exact"]
+               "span_dup_fraction", "media_dedup_exact", "percolate"]
 
 
 @pytest.fixture(scope="module")
