@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": docsearch.more_like_this,
         "prf_search": docsearch.prf_search,
         "percolate": docsearch.percolate,
+        "index_fsck": docsearch.index_fsck,
         # --- tokenizer / aggregation surface (SURVEY §2.2/§2.5) ---
         "term_df": ts.term_df,
         "doc_token_stats": ts.doc_token_stats,
@@ -184,6 +185,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "more_like_this": docsearch.more_like_this_sql(),
         "prf_search": docsearch.prf_search_sql(),
         "percolate": docsearch.percolate_sql(),
+        "index_fsck": docsearch.index_fsck_sql(),
         "image_decode_features": multimodal.image_decode_features_sql(),
         "distinct_terms_hll_registers": ts.distinct_terms_hll_registers_sql(),
         "term_df": ts.term_df_sql(),

@@ -849,3 +849,105 @@ WHERE term <> ''
 GROUP BY q.query_id, toks.doc_id, qn.n_terms
 HAVING count(DISTINCT term) = qn.n_terms
 """
+
+
+# ---- index fsck: distributed integrity check ----
+
+
+def _fsck_batch(batch: pa.Table) -> pa.Table:
+    """One postings-parquet row group -> violation rows. Per term row:
+    rebuild the PostingBlocks, decode, and check every structural
+    invariant the query path RELIES on instead of re-verifying."""
+    from searchengine_ray.codec import PostingBlocks, decode_blocks
+
+    terms: list[str] = []
+    kinds: list[str] = []
+    df_col = batch.column("df").to_numpy(zero_copy_only=False)
+    for i in range(batch.num_rows):
+        term = batch.column("term")[i].as_py()
+        df = int(df_col[i])
+        counts = np.asarray(batch.column("counts")[i].as_py(), np.int32)
+        last_docs = np.asarray(batch.column("last_docs")[i].as_py(), np.int64)
+        max_tfs = np.asarray(batch.column("max_tfs")[i].as_py(), np.int32)
+        dsz = np.asarray(batch.column("doc_sizes")[i].as_py(), np.int64)
+        tsz = np.asarray(batch.column("tf_sizes")[i].as_py(), np.int64)
+        doc_offsets = np.zeros(len(dsz) + 1, np.int64)
+        tf_offsets = np.zeros(len(tsz) + 1, np.int64)
+        np.cumsum(dsz, out=doc_offsets[1:])
+        np.cumsum(tsz, out=tf_offsets[1:])
+        pb = PostingBlocks(batch.column("doc_bytes")[i].as_py(),
+                           batch.column("tf_bytes")[i].as_py(),
+                           counts, last_docs, max_tfs,
+                           doc_offsets, tf_offsets)
+
+        def flag(kind: str) -> None:
+            terms.append(term)
+            kinds.append(kind)
+
+        try:
+            doc_ids, tfs = decode_blocks(pb)
+        except Exception:
+            flag("decode_error")
+            continue
+        if int(counts.sum()) != df:
+            flag("block_count_mismatch")
+        if len(doc_ids) != df:
+            flag("df_mismatch")
+        if len(doc_ids) > 1 and not bool(np.all(np.diff(doc_ids) > 0)):
+            flag("docs_not_ascending")
+        if len(tfs) and int(tfs.min()) < 1:
+            flag("nonpositive_tf")
+        ends = np.cumsum(counts) - 1
+        if len(doc_ids) == df and len(ends) and (
+                len(last_docs) != len(counts)
+                or not bool(np.array_equal(doc_ids[ends], last_docs))):
+            flag("last_doc_mismatch")
+        if len(tfs) == df and len(ends):
+            starts = np.r_[0, np.cumsum(counts)[:-1]]
+            bmax = np.maximum.reduceat(tfs, starts) if len(tfs) else max_tfs
+            if not bool(np.array_equal(bmax.astype(np.int64),
+                                       max_tfs.astype(np.int64))):
+                flag("blockmax_mismatch")
+    return pa.table({"term": pa.array(terms, pa.string()),
+                     "kind": pa.array(kinds, pa.string())})
+
+
+def index_fsck(sf_dir: str):
+    """(term, kind) — structural-integrity violations across the whole
+    compressed index, expected EMPTY: every posting row must decode,
+    carry exactly df docid-ascending postings, and agree with its block
+    metadata (per-block counts, last-doc fences, WAND block maxima —
+    the fields the pruned scorers TRUST without re-checking). The
+    distributed fsck every long-lived index deployment runs after
+    compactions/migrations; one map_batches pass over the postings
+    parquet, no shuffle, violations-only output (the
+    window_user_hll_violations convention — a corrupt index
+    hash-mismatches the gate by producing rows)."""
+    from pathlib import Path as _P
+
+    import ray.data
+
+    paths = ensure_doc_index(sf_dir)
+    # the dir holds per-part resume manifests beside the parquet
+    files = sorted(str(f) for f in _P(paths.postings).glob("*.parquet"))
+    ds = ray.data.read_parquet(
+        files,
+        columns=["term", "df", "counts", "last_docs", "max_tfs",
+                 "doc_sizes", "tf_sizes", "doc_bytes", "tf_bytes"])
+    out = ds.map_batches(_fsck_batch, batch_format="pyarrow",
+                         batch_size=512)
+    # materialize with an EXPLICIT schema: the expected result is empty
+    # and an all-empty Dataset loses column types on to_pandas (the
+    # *_violations precedent); take_all is bounded by violation count
+    rows = out.take_all()
+    return pa.table({
+        "term": pa.array([r["term"] for r in rows], pa.string()),
+        "kind": pa.array([r["kind"] for r in rows], pa.string())})
+
+
+def index_fsck_sql() -> str:
+    """A healthy index yields no violations: empty set."""
+    return """
+SELECT CAST(NULL AS VARCHAR) AS term, CAST(NULL AS VARCHAR) AS kind
+WHERE FALSE
+"""

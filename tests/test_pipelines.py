@@ -47,7 +47,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "event_rate_anomaly", "doclen_quantiles_by_lang",
                "nb_lang_confusion", "ann_recall_audit",
                "dedup_component_sizes", "dedup_method_overlap",
-               "span_dup_fraction", "media_dedup_exact", "percolate"]
+               "span_dup_fraction", "media_dedup_exact", "percolate",
+               "index_fsck"]
 
 
 @pytest.fixture(scope="module")
@@ -671,3 +672,45 @@ def test_bigram_pmi_hot_path(ray_session, duck):
     got = _canon(bigram_pmi(SF_DIR, head_cnt=2).to_pandas())
     want = _canon(duck.sql(bigram_pmi_sql()).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_index_fsck_catches_corruption(ray_session, tmp_path):
+    """fsck is empty on a healthy index and FLAGS a logically corrupted
+    posting row (df bumped, block max lowered) — the checker checks."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.docsearch import (_fsck_batch,
+                                                      ensure_doc_index,
+                                                      index_fsck)
+
+    assert index_fsck(SF_DIR).num_rows == 0
+
+    src = ensure_doc_index(SF_DIR)
+    broken = tmp_path / "postings"
+    shutil.copytree(src.postings, broken)
+    f = sorted(broken.glob("*.parquet"))[0]
+    t = pq.read_table(str(f))
+    df = t.column("df").to_pylist()
+    df[0] += 1                                  # df no longer matches
+    mx = t.column("max_tfs").to_pylist()
+    mx[1] = [v + 1 for v in mx[1]]              # block maxima lie
+    t = t.set_column(t.schema.get_field_index("df"), "df",
+                     pa.array(df, pa.int64()))
+    t = t.set_column(t.schema.get_field_index("max_tfs"), "max_tfs",
+                     pa.array(mx, t.schema.field("max_tfs").type))
+    pq.write_table(t, str(f))
+
+    import ray.data
+
+    pfiles = sorted(str(x) for x in broken.glob("*.parquet"))
+    viol = ray.data.read_parquet(
+        pfiles,
+        columns=["term", "df", "counts", "last_docs", "max_tfs",
+                 "doc_sizes", "tf_sizes", "doc_bytes", "tf_bytes"]) \
+        .map_batches(_fsck_batch, batch_format="pyarrow").to_pandas()
+    kinds = set(viol["kind"])
+    assert "df_mismatch" in kinds
+    assert "blockmax_mismatch" in kinds
