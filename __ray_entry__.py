@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_divergence": ts.source_divergence,
         "doclen_quantiles_by_lang": ts.doclen_quantiles_by_lang,
         "nb_lang_confusion": ts.nb_lang_confusion,
+        "term_bloom_bits": ts.term_bloom_bits,
+        "term_bloom_check": ts.term_bloom_check,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
@@ -199,6 +201,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "source_divergence": ts.source_divergence_sql(),
         "doclen_quantiles_by_lang": ts.doclen_quantiles_by_lang_sql(),
         "nb_lang_confusion": ts.nb_lang_confusion_sql(),
+        "term_bloom_bits": ts.term_bloom_bits_sql(),
+        "term_bloom_check": ts.term_bloom_check_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup_sql(),
         "simhash_near_dups": dedup.simhash_near_dups_sql(),

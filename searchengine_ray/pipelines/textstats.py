@@ -3880,3 +3880,112 @@ SELECT true_lang AS lang, cls AS pred_lang,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM pred GROUP BY true_lang, cls
 """
+
+
+# ---- Bloom filter: mergeable term-membership sketch ------------------
+
+_BLOOM_K = 4                      # hash functions (salted md5 rows)
+_BLOOM_M = 8192                   # bits
+
+
+def _bloom_bit(j: int, term: str) -> int:
+    """Bit of ``term`` under hash ``j`` — the _cms_col construction
+    (salted md5 low-64, == DuckDB ``md5_number_lower(j || ':' || t)``)
+    mod the filter size."""
+    import hashlib
+
+    h = hashlib.md5(f"{j}:{term}".encode("utf-8")).digest()
+    return int.from_bytes(h[8:16], "little") % _BLOOM_M
+
+
+class TermBloomPartial(_SimpleTokenStage):
+    """batch -> ONE fixed m-bit row: the batch's distinct-term Bloom
+    filter (Bloom 1970). Fourth member of the mergeable-sketch family:
+    HLL merges by max, Misra-Gries by count-sum, CMS by cell sum,
+    Bloom by bitwise OR — order-independent, so the merged filter is
+    bit-identical on any partitioning and replays exactly in SQL. The
+    shuffle carries one m/8-byte row per batch, never the vocabulary.
+    Guarantee: NO false negatives — every indexed term probes all-ones
+    (false positives bounded by (1-e^{-kn/m})^k)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = np.arange(len(texts), dtype=np.int64)
+        codes, _, tfs, info = self.analyzer.tokenize_batch(texts, ids)
+        bits = np.zeros(_BLOOM_M, dtype=bool)
+        for t in info["vocab"]:
+            for j in range(_BLOOM_K):
+                bits[_bloom_bit(j, t)] = True
+        return pa.table({"bits": pa.array([np.packbits(bits).tobytes()],
+                                          pa.binary())})
+
+
+def _merged_bloom(sf_dir: str) -> np.ndarray:
+    partial = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        TermBloomPartial, batch_format="pyarrow", batch_size=512,
+        concurrency=(1, 4))
+    acc = np.zeros(_BLOOM_M // 8, dtype=np.uint8)
+    for b in partial.iter_batches(batch_format="pyarrow"):
+        for buf in b.column("bits").to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint8)
+    return np.unpackbits(acc).astype(bool)
+
+
+def term_bloom_bits(sf_dir: str):
+    """(bit,) — every set position of the corpus's merged term Bloom
+    filter: the integer-exact face of the sketch, hash-verified
+    position for position against the SQL replay of the salted-md5
+    placement over distinct terms."""
+    bits = _merged_bloom(sf_dir)
+    return pa.table({"bit": int64_col(np.flatnonzero(bits).astype(np.int64))})
+
+
+def term_bloom_bits_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents),
+terms AS (SELECT DISTINCT term FROM toks WHERE term <> '')
+SELECT DISTINCT
+       CAST(CAST(md5_number_lower(CAST(j.j AS VARCHAR) || ':' || term)
+                 AS UHUGEINT) % {_BLOOM_M} AS BIGINT) AS bit
+FROM terms CROSS JOIN range(0, {_BLOOM_K}) j(j)
+"""
+
+
+def term_bloom_check(sf_dir: str):
+    """(term, maybe_present) for the fixed probe set — a term is
+    maybe-present iff ALL k probe bits are set. Present probes MUST
+    read true (the no-false-negative guarantee); the absent probe's
+    answer is a deterministic function of the data, so even it
+    hash-verifies against the SQL replay."""
+    bits = _merged_bloom(sf_dir)
+    vals = [bool(all(bits[_bloom_bit(j, t)] for j in range(_BLOOM_K)))
+            for t in _CMS_PROBES]
+    return pa.table({"term": pa.array(_CMS_PROBES, pa.string()),
+                     "maybe_present": pa.array(vals, pa.bool_())})
+
+
+def term_bloom_check_sql() -> str:
+    probes = ", ".join(f"('{t}')" for t in _CMS_PROBES)
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents),
+terms AS (SELECT DISTINCT term FROM toks WHERE term <> ''),
+bits AS (
+  SELECT DISTINCT
+         CAST(CAST(md5_number_lower(CAST(j.j AS VARCHAR) || ':' || term)
+                   AS UHUGEINT) % {_BLOOM_M} AS BIGINT) AS bit
+  FROM terms CROSS JOIN range(0, {_BLOOM_K}) j(j)),
+probes(term) AS (VALUES {probes}),
+pb AS (
+  SELECT p.term,
+         CAST(CAST(md5_number_lower(CAST(j.j AS VARCHAR) || ':' || p.term)
+                   AS UHUGEINT) % {_BLOOM_M} AS BIGINT) AS bit
+  FROM probes p CROSS JOIN range(0, {_BLOOM_K}) j(j))
+SELECT pb.term,
+       bool_and(bits.bit IS NOT NULL) AS maybe_present
+FROM pb LEFT JOIN bits USING (bit)
+GROUP BY pb.term
+"""
