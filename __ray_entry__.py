@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": events.event_funnel,
         "user_retention": events.user_retention,
         "event_rate_anomaly": events.event_rate_anomaly,
+        "event_transitions": events.event_transitions,
         "window_user_hll_violations": events.window_user_hll_violations,
         "order_lineitem_join": rel.order_lineitem_join,
         "customers_without_orders": rel.customers_without_orders,
@@ -244,6 +245,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "event_funnel": events.event_funnel_sql(),
         "user_retention": events.user_retention_sql(),
         "event_rate_anomaly": events.event_rate_anomaly_sql(),
+        "event_transitions": events.event_transitions_sql(),
         "window_user_hll_violations": events.window_user_hll_violations_sql(),
         "order_lineitem_join": rel.order_lineitem_join_sql(),
         "customers_without_orders": rel.customers_without_orders_sql(),

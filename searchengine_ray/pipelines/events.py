@@ -966,3 +966,55 @@ SELECT c.event_type, CAST(c.day AS BIGINT) AS day, c.count,
          > {k * k} * (st.n * st.q - st.s * st.s) AS is_anomaly
 FROM cells c JOIN stats st USING (event_type)
 """
+
+
+# ---- event-type transition matrix (behavioral Markov counts) ----
+
+
+def _transitions_part(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    uid = df["user_id"].to_numpy(np.int64)
+    et = df["event_type"].to_numpy()
+    same = uid[1:] == uid[:-1]
+    src = et[:-1][same]
+    dst = et[1:][same]
+    scodes, svals = pd.factorize(src)
+    dcodes, dvals = pd.factorize(dst)
+    key = scodes.astype(np.int64) * max(len(dvals), 1) + dcodes
+    uk, cnt = np.unique(key, return_counts=True)
+    return pd.DataFrame({
+        "from_type": svals[(uk // max(len(dvals), 1))],
+        "to_type": dvals[(uk % max(len(dvals), 1))],
+        "n_p": cnt.astype(np.int64)})
+
+
+def event_transitions(sf_dir: str):
+    """(from_type, to_type, n) — the first-order Markov transition
+    counts of consecutive same-user events ordered by (ts, event_id):
+    the behavioral-flow matrix behind funnel design ("what actually
+    follows a view?") and session modeling. Same one-user-shuffle
+    shape as sessionize; the per-group body is one mergesort +
+    factorized pair counting, each group emitting at most
+    n_types² partial rows that one tiny groupby sums."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    parts = ds.map_batches(_add_upart, batch_format="pyarrow")
+    return parts.groupby("upart").map_groups(
+        _transitions_part, batch_format="pandas") \
+        .groupby(["from_type", "to_type"]) \
+        .aggregate(Sum("n_p", alias_name="n"))
+
+
+def event_transitions_sql() -> str:
+    return """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""

@@ -48,7 +48,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "nb_lang_confusion", "ann_recall_audit",
                "dedup_component_sizes", "dedup_method_overlap",
                "span_dup_fraction", "media_dedup_exact", "percolate",
-               "index_fsck", "term_bloom_bits", "term_bloom_check"]
+               "index_fsck", "term_bloom_bits", "term_bloom_check",
+               "event_transitions"]
 
 
 @pytest.fixture(scope="module")
