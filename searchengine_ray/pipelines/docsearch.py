@@ -951,3 +951,133 @@ def index_fsck_sql() -> str:
 SELECT CAST(NULL AS VARCHAR) AS term, CAST(NULL AS VARCHAR) AS kind
 WHERE FALSE
 """
+
+
+# ---- MMR diversified re-ranking ----
+
+MMR_M = 5          # diversified results returned per query
+MMR_LAMBDA10 = 7   # relevance weight x10 (lambda = 0.7)
+
+
+def mmr_rerank(sf_dir: str, m: int = MMR_M):
+    """(query_id, rank, doc_id, mmr_bp) — Maximal Marginal Relevance
+    re-ranking (Carbonell & Goldstein 1998) of the BM25 top-K: greedily
+    pick the doc maximizing 7·relevance − 3·max-similarity-to-selected
+    (λ=0.7 in integer tenths), where similarity is the bp'd Jaccard of
+    the two docs' distinct term sets — the standard redundancy-killer
+    for template-heavy corpora. All-integer scoring with
+    (mmr desc, doc_id asc) ties, so the greedy trajectory is exact on
+    both sides; the oracle unrolls the m selection rounds as CTEs.
+
+    Scale shape: candidates are the bounded |queries|×K BM25 result
+    (the pool-scored path), their term sets a predicate-pushdown read —
+    the greedy loop runs on K=10 candidates per query, driver-side by
+    design (MMR is sequential; its input is already top-k-small)."""
+    ex = bm25_topk(sf_dir).to_pandas()
+    cand_ids = sorted({int(d) for d in ex["doc_id"]})
+    analyzer = Analyzer(doc_index_config())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, cand_ids)))
+
+    rows = read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(pick, batch_format="pyarrow").take_all()
+    tsets = {int(r["doc_id"]): frozenset(analyzer.terms(r["text"]))
+             for r in rows}
+
+    def sim_bp(a: int, b: int) -> int:
+        sa, sb = tsets[a], tsets[b]
+        i = len(sa & sb)
+        return i * 10000 // (len(sa) + len(sb) - i) if i else 0
+
+    out_q: list[int] = []
+    out_r: list[int] = []
+    out_d: list[int] = []
+    out_s: list[int] = []
+    for qid, g in ex.groupby("query_id"):
+        cands = list(zip(g["doc_id"].astype(int), g["score_bp"].astype(int)))
+        selected: list[int] = []
+        for rank in range(1, min(m, len(cands)) + 1):
+            best = None
+            for did, score in cands:
+                if did in selected:
+                    continue
+                ms = max((sim_bp(did, s) for s in selected), default=0)
+                mmr = MMR_LAMBDA10 * score - (10 - MMR_LAMBDA10) * ms
+                key = (-mmr, did)
+                if best is None or key < best[0]:
+                    best = (key, did, mmr)
+            selected.append(best[1])
+            out_q.append(int(qid))
+            out_r.append(rank)
+            out_d.append(best[1])
+            out_s.append(best[2])
+    return pa.table({"query_id": int64_col(out_q),
+                     "rank": int64_col(out_r),
+                     "doc_id": int64_col(out_d),
+                     "mmr_bp": int64_col(out_s)})
+
+
+def mmr_rerank_sql(m: int = MMR_M) -> str:
+    lam, mu = MMR_LAMBDA10, 10 - MMR_LAMBDA10
+    rounds = []
+    for r in range(2, m + 1):
+        rounds.append(f"""
+p{r} AS (
+  SELECT e.query_id, e.doc_id, e.score_bp,
+         {lam} * e.score_bp - {mu} * COALESCE(mx.ms, 0) AS mmr_bp
+  FROM ex e
+  LEFT JOIN (SELECT s.query_id, sim.db AS doc_id,
+                    max(sim.sim_bp) AS ms
+             FROM sel{r - 1} s
+             JOIN sim ON sim.query_id = s.query_id AND sim.da = s.doc_id
+             GROUP BY s.query_id, sim.db) mx
+    ON mx.query_id = e.query_id AND mx.doc_id = e.doc_id
+  WHERE NOT EXISTS (SELECT 1 FROM sel{r - 1} s2
+                    WHERE s2.query_id = e.query_id
+                      AND s2.doc_id = e.doc_id)),
+s{r} AS (
+  SELECT query_id, doc_id, score_bp, mmr_bp, {r} AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mmr_bp DESC, doc_id ASC) AS rn
+    FROM p{r}) WHERE rn = 1),
+sel{r} AS MATERIALIZED (SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM s{r})""")
+    rounds_sql = ",".join(rounds)
+    return f"""
+WITH ex AS MATERIALIZED ({bm25_topk_sql()}),
+toks2 AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+'))
+    AS term
+  FROM documents),
+cterms AS MATERIALIZED (
+  SELECT DISTINCT e.query_id, e.doc_id, t.term
+  FROM (SELECT DISTINCT query_id, doc_id FROM ex) e
+  JOIN toks2 t USING (doc_id) WHERE t.term <> ''),
+sz AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n
+       FROM cterms GROUP BY query_id, doc_id),
+inter AS (
+  SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+         CAST(count(*) AS BIGINT) AS i
+  FROM cterms a
+  JOIN cterms b ON b.query_id = a.query_id AND b.term = a.term
+               AND b.doc_id <> a.doc_id
+  GROUP BY a.query_id, a.doc_id, b.doc_id),
+sim AS MATERIALIZED (
+  SELECT i.query_id, i.da, i.db,
+         CAST(i.i * 10000 // (sa.n + sb.n - i.i) AS BIGINT) AS sim_bp
+  FROM inter i
+  JOIN sz sa ON sa.query_id = i.query_id AND sa.doc_id = i.da
+  JOIN sz sb ON sb.query_id = i.query_id AND sb.doc_id = i.db),
+s1 AS (
+  SELECT query_id, doc_id, score_bp,
+         CAST({lam} * score_bp AS BIGINT) AS mmr_bp, 1 AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_bp DESC, doc_id ASC) AS rn
+    FROM ex) WHERE rn = 1),
+sel1 AS MATERIALIZED (SELECT query_id, doc_id, score_bp, mmr_bp, rank FROM s1),
+{rounds_sql}
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(mmr_bp AS BIGINT) AS mmr_bp
+FROM sel{m}
+"""
