@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_quantiles_by_lang": ts.doclen_quantiles_by_lang,
         "nb_lang_confusion": ts.nb_lang_confusion,
         "term_bloom_bits": ts.term_bloom_bits,
+        "zipf_slope": ts.zipf_slope,
         "term_bloom_check": ts.term_bloom_check,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
@@ -205,6 +206,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "doclen_quantiles_by_lang": ts.doclen_quantiles_by_lang_sql(),
         "nb_lang_confusion": ts.nb_lang_confusion_sql(),
         "term_bloom_bits": ts.term_bloom_bits_sql(),
+        "zipf_slope": ts.zipf_slope_sql(),
         "term_bloom_check": ts.term_bloom_check_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup_sql(),

@@ -3989,3 +3989,86 @@ SELECT pb.term,
 FROM pb LEFT JOIN bits USING (bit)
 GROUP BY pb.term
 """
+
+
+# ---- Zipf slope: corpus rank-frequency exponent ----------------------
+
+_ZIPF_K = 500      # head terms fitted
+
+
+def zipf_slope(sf_dir: str, k: int = _ZIPF_K):
+    """One row (n_terms, slope_bp) — the least-squares slope of
+    ln(count) against ln(rank) over the k most frequent terms: the
+    corpus's Zipf exponent (natural text sits near −1; templated or
+    synthetic corpora drift toward 0) — a one-number corpus-health
+    read beside the sketch family. Per-term ln values floor-quantize
+    to bp BEFORE the sums and the slope is the n²-scaled all-integer
+    form (n·Σxy − ΣxΣy) · 10⁴ // (n·Σx² − (Σx)²), so no float ever
+    forms on either side. Shape: the pre-aggregated term_df shuffle,
+    per-block local top-k, one k-row merge — vocabulary never
+    collects."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    summed = ds.map_batches(TermDFPartial, batch_format="pyarrow",
+                            batch_size=512, concurrency=(1, 4)) \
+        .groupby("term").aggregate(Sum("tf_p", alias_name="tf"))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(["tf", "term"],
+                                       ascending=[False, True]).head(k)
+        return pa.table({"g": int64_col(np.zeros(len(df), np.int64)),
+                         "term": pa.array(df["term"].tolist(), pa.string()),
+                         "tf": int64_col(df["tf"].to_numpy(np.int64))})
+
+    rows = summed.map_batches(local_topk, batch_format="pyarrow") \
+        .groupby("g").map_groups(
+            lambda df: df.sort_values(["tf", "term"],
+                                      ascending=[False, True]).head(k),
+            batch_format="pandas").take_all()
+    rows.sort(key=lambda r: (-r["tf"], r["term"]))
+
+    def flq(v: float) -> int:
+        return int(math.floor(v * 10000 + 0.5))
+
+    n = len(rows)
+    x = np.array([flq(math.log(i + 1)) for i in range(n)], np.int64)
+    y = np.array([flq(math.log(r["tf"])) for r in rows], np.int64)
+    num = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+    den = n * int((x * x).sum()) - int(x.sum()) ** 2
+    # TRUNCATING division toward zero: DuckDB's integer `//` truncates
+    # on negative numerators (-7 // 2 == -3) while Python floors (-4);
+    # the slope is negative, so this is the one registry op where the
+    # distinction bites — mirror DuckDB explicitly
+    scaled = num * 10000
+    slope = abs(scaled) // den * (1 if scaled >= 0 else -1)
+    return pa.table({"n_terms": int64_col([n]),
+                     "slope_bp": int64_col([slope])})
+
+
+def zipf_slope_sql(k: int = _ZIPF_K) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents),
+tfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS tf
+          FROM toks WHERE term <> '' GROUP BY term),
+head AS (
+  SELECT tf, row_number() OVER (ORDER BY tf DESC, term ASC) AS rnk
+  FROM tfreq QUALIFY rnk <= {k}),
+pts AS (
+  SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(tf AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS y
+  FROM head),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pts)
+SELECT n AS n_terms,
+       CAST((n * sxy - sx * sy) * 10000 // (n * sxx - sx * sx) AS BIGINT)
+         AS slope_bp
+FROM sums
+"""
