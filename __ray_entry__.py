@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords": ts.tfidf_keywords,
         "top_parts": rel.top_parts,
         "suppliers_by_nation": rel.suppliers_by_nation,
+        "rfm_segments": rel.rfm_segments,
         "segment_counts": rel.segment_counts,
     }
 
@@ -277,5 +278,6 @@ def _oracle_sql_static() -> dict[str, str]:
         "tfidf_keywords": ts.tfidf_keywords_sql(),
         "top_parts": rel.top_parts_sql(),
         "suppliers_by_nation": rel.suppliers_by_nation_sql(),
+        "rfm_segments": rel.rfm_segments_sql(),
         "segment_counts": rel.segment_counts_sql(),
     }

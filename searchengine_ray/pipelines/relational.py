@@ -572,3 +572,143 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                   AND o.o_orderdate >= TIMESTAMP '{cutoff}')
 GROUP BY c_mktsegment
 """
+
+
+# ---- RFM customer segmentation ----
+
+_RFM_QS = (0.2, 0.4, 0.6, 0.8)
+_RFM_DAY_US = 86400 * 1_000_000
+
+
+def _rfm_partial(batch: pa.Table) -> pa.Table:
+    df = batch.to_pandas()
+    df["last_us"] = df["o_orderdate"].astype("datetime64[us]") \
+        .astype("int64")
+    df["m_c"] = cents(df["o_totalprice"].to_numpy())
+    g = df.groupby("o_custkey", as_index=False).agg(
+        last_p=("last_us", "max"), f_p=("o_orderkey", "size"),
+        m_p=("m_c", "sum"))
+    return pa.table({"ck": int64_col(g["o_custkey"].to_numpy(np.int64)),
+                     "last_p": int64_col(g["last_p"].to_numpy(np.int64)),
+                     "f_p": int64_col(g["f_p"].to_numpy(np.int64)),
+                     "m_p": int64_col(g["m_p"].to_numpy(np.int64))})
+
+
+def _disc_thresholds(vals: np.ndarray, cnts: np.ndarray,
+                     qs=_RFM_QS) -> list[int]:
+    """quantile_disc thresholds from a (value, count) histogram — the
+    doclen_quantiles selection rule (rank ceil(q*n) over the ascending
+    multiset)."""
+    order = np.argsort(vals)
+    v, c = vals[order], cnts[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    return [int(v[int(np.searchsorted(cum, min(int(np.ceil(q * n)), n)))])
+            for q in qs]
+
+
+def rfm_segments(sf_dir: str):
+    """(r_q, f_q, m_q, n_customers) — RFM segmentation: every customer
+    bucketed into quintiles of Recency (days since their last order,
+    relative to the corpus's max order date), Frequency (order count)
+    and Monetary (lifetime spend in cents), counted per (r,f,m) cell —
+    the classic CRM segmentation cube (5³ cells max). Buckets are
+    VALUE-based against exact quantile_disc thresholds (values equal
+    to a threshold fall in the lower bucket), so no global rank sort
+    exists anywhere: one custkey groupby builds per-customer
+    aggregates from per-batch partials, per-dimension histograms
+    reduce to 4 thresholds each via the doclen_quantiles selection,
+    the 12 ints broadcast, and a final partial-count pass emits the
+    cube. All integer (days, counts, cents) end to end."""
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                                 "o_totalprice"])
+    cust = ds.map_batches(_rfm_partial, batch_format="pyarrow",
+                          batch_size=65536) \
+        .groupby("ck").aggregate(Max("last_p", alias_name="last_us"),
+                                 Sum("f_p", alias_name="f"),
+                                 Sum("m_p", alias_name="m")) \
+        .materialize()
+    mx = int(cust.max("last_us"))
+
+    def add_r(batch: pa.Table) -> pa.Table:
+        last = batch.column("last_us").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "r_days", pa.array((mx - last) // _RFM_DAY_US, pa.int64()))
+
+    cust = cust.map_batches(add_r, batch_format="pyarrow").materialize()
+
+    def hist(col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            v = batch.column(col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            uq, cnt = np.unique(v, return_counts=True)
+            return pa.table({"v": int64_col(uq),
+                             "c_p": int64_col(cnt.astype(np.int64))})
+
+        f.__name__ = f"hist_{col}"
+        return f
+
+    ths = {}
+    for col in ("r_days", "f", "m"):
+        rows = cust.map_batches(hist(col), batch_format="pyarrow") \
+            .groupby("v").aggregate(Sum("c_p", alias_name="c")).take_all()
+        vals = np.array([r["v"] for r in rows], np.int64)
+        cnts = np.array([r["c"] for r in rows], np.int64)
+        ths[col] = _disc_thresholds(vals, cnts)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        out = {}
+        for col, name in (("r_days", "r_q"), ("f", "f_q"), ("m", "m_q")):
+            v = batch.column(col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            q = np.ones(len(v), np.int64)
+            for t in ths[col]:
+                q += (v > t)
+            out[name] = q
+        # base-6 packing: quintiles are 1..5, so base 5 would collide
+        key = out["r_q"] * 36 + out["f_q"] * 6 + out["m_q"]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"r_q": int64_col(uk // 36),
+                         "f_q": int64_col((uk % 36) // 6),
+                         "m_q": int64_col(uk % 6),
+                         "n_p": int64_col(cnt.astype(np.int64))})
+
+    return cust.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby(["r_q", "f_q", "m_q"]) \
+        .aggregate(Sum("n_p", alias_name="n_customers"))
+
+
+def rfm_segments_sql() -> str:
+    qs = ", ".join(str(q) for q in _RFM_QS)
+
+    def bucket(col: str, th: str) -> str:
+        return (f"1 + CAST({col} > {th}[1] AS BIGINT)"
+                f" + CAST({col} > {th}[2] AS BIGINT)"
+                f" + CAST({col} > {th}[3] AS BIGINT)"
+                f" + CAST({col} > {th}[4] AS BIGINT)")
+
+    return f"""
+WITH c AS (
+  SELECT o_custkey AS ck, max(epoch_us(o_orderdate)) AS last_us,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS m
+  FROM orders GROUP BY o_custkey),
+mx AS (SELECT max(last_us) AS mu FROM c),
+d AS (SELECT ck, (mx.mu - last_us) // {_RFM_DAY_US} AS r_days, f, m
+      FROM c CROSS JOIN mx),
+th AS (SELECT quantile_disc(r_days, [{qs}]) AS tr,
+              quantile_disc(f, [{qs}]) AS tf,
+              quantile_disc(m, [{qs}]) AS tm
+       FROM d),
+seg AS (
+  SELECT CAST({bucket("d.r_days", "th.tr")} AS BIGINT) AS r_q,
+         CAST({bucket("d.f", "th.tf")} AS BIGINT) AS f_q,
+         CAST({bucket("d.m", "th.tm")} AS BIGINT) AS m_q
+  FROM d CROSS JOIN th)
+SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers
+FROM seg GROUP BY r_q, f_q, m_q
+"""

@@ -49,7 +49,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "dedup_component_sizes", "dedup_method_overlap",
                "span_dup_fraction", "media_dedup_exact", "percolate",
                "index_fsck", "term_bloom_bits", "term_bloom_check",
-               "event_transitions", "mmr_rerank", "zipf_slope"]
+               "event_transitions", "mmr_rerank", "zipf_slope",
+               "rfm_segments"]
 
 
 @pytest.fixture(scope="module")
