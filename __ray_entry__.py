@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.ann_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_recall_audit": ann.ann_recall_audit,
+        "label_cohesion": ann.label_cohesion,
         "ann_ivf_topk": ann.ann_ivf_topk,
         # --- text analysis (non-SQL) ---
         "lang_id": ts.lang_id,
@@ -233,6 +234,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "numeric_literals": ts.numeric_literals_sql(),
         "token_count_bpe": ts.token_count_bpe_sql(),
         "ann_topk": ann.ann_topk_sql(),
+        "label_cohesion": ann.label_cohesion_sql(),
         "multimodal_meta": multimodal.multimodal_meta_sql(),
         "media_dedup_exact": multimodal.media_dedup_exact_sql(),
         "frame_sample": multimodal.frame_sample_sql(),

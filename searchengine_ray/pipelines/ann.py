@@ -831,3 +831,41 @@ SELECT ne.query_vec_id, ne.n_exact,
        CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
 FROM ne LEFT JOIN na USING (query_vec_id) LEFT JOIN hits h USING (query_vec_id)
 """
+
+
+def label_cohesion(sf_dir: str):
+    """(label, n_vecs, resultant2_micro2) — per-class cohesion as the
+    SQUARED resultant length: the squared L2 norm of the class's mean
+    embedding in micro²-units. For unit-norm embeddings this is the
+    circular-statistics concentration read — a tight class has
+    ||mean|| near 1 (resultant2 near 1e12), a label whose vectors
+    scatter has it near 0 — the class-quality audit beside
+    label_centroids and nb_lang_confusion. Reported SQUARED so the
+    whole statistic stays exact integer arithmetic on the already
+    hash-verified mean_micro values (a bp'd root would hang parity on
+    float sqrt rounding). Shape: the label_centroids partial flow plus
+    one bounded labels×d reduction."""
+    from ray.data.aggregate import Max, Sum
+
+    cent = label_centroids(sf_dir)
+
+    def sq(batch: pa.Table) -> pa.Table:
+        m = batch.column("mean_micro").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"label": batch.column("label"),
+                         "n_vecs": batch.column("n_vecs"),
+                         "sq_p": int64_col(m * m)})
+
+    return cent.map_batches(sq, batch_format="pyarrow") \
+        .groupby("label").aggregate(
+            Max("n_vecs", alias_name="n_vecs"),
+            Sum("sq_p", alias_name="resultant2_micro2"))
+
+
+def label_cohesion_sql() -> str:
+    return f"""
+WITH cent AS ({label_centroids_sql()})
+SELECT label, CAST(max(n_vecs) AS BIGINT) AS n_vecs,
+       CAST(sum(mean_micro * mean_micro) AS BIGINT) AS resultant2_micro2
+FROM cent GROUP BY label
+"""
