@@ -1081,3 +1081,121 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
        CAST(mmr_bp AS BIGINT) AS mmr_bp
 FROM sel{m}
 """
+
+
+# ---- faceted search: per-query facet counts over the match set ----
+
+_FACET_JPARTS = 32
+
+
+def facet_search(sf_dir: str):
+    """(query_id, facet, value, n_docs) — faceted retrieval: for every
+    DOC_QUERY, the distribution of its OR-match set (docs containing at
+    least one query term) over the ``lang`` and ``source`` doc-value
+    dimensions — the Lucene-facets / e-commerce-sidebar capability the
+    reference's ranked-only path has no analog for.
+
+    Scale shape: the match set comes from the same actor-pool union
+    executors as ``prefix_search`` (``terms_union_queries``), so postings
+    decode once per query term; facet values are a two-narrow-column
+    projection of the corpus (the doc-values file of a real index — never
+    the text). Matches and doc values co-locate via ONE metadata-only
+    ``groupby(doc_id % _FACET_JPARTS)`` exchange (the ``dedup_apply``
+    anti-join shape, here as an inner join), each group emits bounded
+    (query_id, facet, value) partials, and a tiny final groupby folds
+    them. Nothing query-scale or corpus-scale ever lands on the driver.
+    """
+    import pandas as pd
+
+    from searchengine_ray.pipelines.query import terms_union_queries
+
+    paths = ensure_doc_index(sf_dir)
+    analyzer = Analyzer(doc_index_config())
+    expanded = [(qid, " ".join(sorted(set(analyzer.terms(text)))))
+                for qid, text in DOC_QUERIES]
+    matches = terms_union_queries(paths, [(q, t) for q, t in expanded if t],
+                                  config=doc_index_config(),
+                                  concurrency=(1, 2))
+
+    def match_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        return pa.table({
+            "jpart": int64_col(ids % _FACET_JPARTS),
+            "doc_id": int64_col(ids),
+            "query_id": batch.column("query_id").cast(pa.int64()),
+            "lang": pa.array([""] * n, pa.string()),
+            "source": pa.array([""] * n, pa.string()),
+            "side": int64_col(np.ones(n, np.int64))})
+
+    def value_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        return pa.table({
+            "jpart": int64_col(ids % _FACET_JPARTS),
+            "doc_id": int64_col(ids),
+            "query_id": int64_col(np.zeros(n, np.int64)),
+            "lang": batch.column("lang"),
+            "source": batch.column("source"),
+            "side": int64_col(np.zeros(n, np.int64))})
+
+    def facet_group(df: "pd.DataFrame") -> pa.Table:
+        vals = df[df["side"] == 0]
+        hits = df[df["side"] == 1]
+        if vals.empty or hits.empty:
+            return pa.table({"query_id": int64_col([]),
+                             "facet": pa.array([], pa.string()),
+                             "value": pa.array([], pa.string()),
+                             "n_p": int64_col([])})
+        j = hits[["query_id", "doc_id"]].merge(
+            vals[["doc_id", "lang", "source"]], on="doc_id")
+        parts = []
+        for facet in ("lang", "source"):
+            g = j.groupby(["query_id", facet], as_index=False) \
+                 .agg(n_p=("doc_id", "size"))
+            g["facet"] = facet
+            parts.append(g.rename(columns={facet: "value"}))
+        out = pd.concat(parts, ignore_index=True)
+        return pa.table({
+            "query_id": int64_col(out["query_id"].to_numpy(np.int64)),
+            "facet": pa.array(out["facet"].astype(str), pa.string()),
+            "value": pa.array(out["value"].astype(str), pa.string()),
+            "n_p": int64_col(out["n_p"].to_numpy(np.int64))})
+
+    m = matches.map_batches(match_side, batch_format="pyarrow")
+    v = read(sf_dir, "documents", ["doc_id", "lang", "source"]).map_batches(
+        value_side, batch_format="pyarrow", batch_size=65536)
+    partial = m.union(v).groupby("jpart").map_groups(
+        facet_group, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    return partial.groupby(["query_id", "facet", "value"]).aggregate(
+        Sum("n_p", alias_name="n_docs"))
+
+
+def facet_search_sql() -> str:
+    analyzer = Analyzer(doc_index_config())
+    values = []
+    for qid, text in DOC_QUERIES:
+        for term in sorted(set(analyzer.terms(text))):
+            values.append(f"({qid}, '{term}')")
+    values_sql = ",\n        ".join(values)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+'))
+    AS term
+  FROM documents),
+tf AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''),
+queries(query_id, term) AS (VALUES
+        {values_sql}),
+matches AS (
+  SELECT DISTINCT q.query_id, tf.doc_id
+  FROM queries q JOIN tf ON tf.term = q.term)
+SELECT CAST(m.query_id AS BIGINT) AS query_id, f.facet, f.value,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM matches m
+JOIN documents d ON d.doc_id = m.doc_id
+CROSS JOIN LATERAL (VALUES ('lang', d.lang), ('source', d.source))
+  AS f(facet, value)
+GROUP BY m.query_id, f.facet, f.value
+"""
