@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts": rel.top_parts,
         "suppliers_by_nation": rel.suppliers_by_nation,
         "rfm_segments": rel.rfm_segments,
+        "nation_volume": rel.nation_volume,
         "segment_counts": rel.segment_counts,
     }
 
@@ -283,5 +284,6 @@ def _oracle_sql_static() -> dict[str, str]:
         "top_parts": rel.top_parts_sql(),
         "suppliers_by_nation": rel.suppliers_by_nation_sql(),
         "rfm_segments": rel.rfm_segments_sql(),
+        "nation_volume": rel.nation_volume_sql(),
         "segment_counts": rel.segment_counts_sql(),
     }

@@ -712,3 +712,170 @@ seg AS (
 SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers
 FROM seg GROUP BY r_q, f_q, m_q
 """
+
+
+# ---- TPC-H Q5 shape: multi-way join (2 co-group shuffles + broadcasts) ----
+
+_Q5_REGION = "ASIA"
+_Q5_FROM = "1997-01-01"
+_Q5_TO = "1998-01-01"
+
+
+def nation_volume(sf_dir: str, region: str = _Q5_REGION,
+                  date_from: str = _Q5_FROM, date_to: str = _Q5_TO):
+    """(n_name, revenue_c) — local-supplier volume (TPC-H Q5 shape):
+    revenue of lineitems in ``region`` whose customer and supplier share
+    a nation, for orders inside the date window. The 6-table join class
+    (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region) the
+    two-table joins above don't exercise.
+
+    Scale shape: nation/region and supplier broadcast once via
+    ``ray.put`` (supplier is ~1e-4 of lineitem at TPC-H ratios; if it
+    outgrows broadcast, the lineitem map's suppkey lookup becomes a
+    third co-group exchange with the same body). The two BIG joins are
+    co-group shuffles: (1) region-filtered customers ∪ date-filtered
+    orders co-locate on custkey — qualifying orders re-key by orderkey
+    carrying the customer's nation; (2) those ∪ lineitem revenue
+    partials co-locate on orderkey — lineitem rows map suppkey →
+    supplier nation from the broadcast, drop non-region suppliers AT
+    THE SOURCE, and pre-aggregate to (orderkey, supp_nation, cents)
+    per batch, so the exchange never carries raw line items. The
+    c_nationkey = s_nationkey predicate is the in-group merge key
+    beside orderkey; a tiny final groupby folds per-nation cents
+    (exact integers, order-free)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nat = read(sf_dir, "nation",
+               ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(reg.loc[reg.r_name == region, "r_regionkey"].tolist())
+    nat = nat[nat.n_regionkey.isin(rkeys)]
+    order = np.argsort(nat.n_nationkey.to_numpy())
+    region_nk = nat.n_nationkey.to_numpy()[order].astype(np.int64)
+    region_names = nat.n_name.to_numpy()[order].astype(object)
+
+    sup = read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sorder = np.argsort(sup.s_suppkey.to_numpy())
+    sup_ref = ray.put((sup.s_suppkey.to_numpy()[sorder].astype(np.int64),
+                       sup.s_nationkey.to_numpy()[sorder].astype(np.int64)))
+    t_from = np.datetime64(date_from, "us").astype(np.int64)
+    t_to = np.datetime64(date_to, "us").astype(np.int64)
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        nk = batch.column("c_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = np.isin(nk, region_nk)
+        ck, nk = ck[keep], nk[keep]
+        z = np.zeros(len(ck), np.int64)
+        return pa.table({"jpart": int64_col(ck % _N_JPARTS),
+                         "key": int64_col(ck), "nk": int64_col(nk),
+                         "okey": int64_col(z),
+                         "side": int64_col(z)})
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = (d >= t_from) & (d < t_to)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)[keep]
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"jpart": int64_col(ck % _N_JPARTS),
+                         "key": int64_col(ck),
+                         "nk": int64_col(np.zeros(len(ck), np.int64)),
+                         "okey": int64_col(ok),
+                         "side": int64_col(np.ones(len(ck), np.int64))})
+
+    def cust_order_group(df: pd.DataFrame) -> pa.Table:
+        cust = df[df["side"] == 0]
+        orders = df[df["side"] == 1]
+        j = orders[["key", "okey"]].merge(cust[["key", "nk"]], on="key")
+        ok = j["okey"].to_numpy(np.int64)
+        return pa.table({"jpart": int64_col(ok % _N_JPARTS),
+                         "key": int64_col(ok),
+                         "nk": int64_col(j["nk"].to_numpy(np.int64)),
+                         "rev_c": int64_col(np.zeros(len(ok), np.int64)),
+                         "side": int64_col(np.zeros(len(ok), np.int64))})
+
+    class LineitemSide:
+        def __init__(self, ref):
+            self.skeys, self.snk = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            price = batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False)
+            disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(self.skeys, sk),
+                             len(self.skeys) - 1)
+            if not np.array_equal(self.skeys[pos], sk):
+                raise KeyError("l_suppkey missing from supplier table")
+            nk = self.snk[pos]
+            keep = np.isin(nk, region_nk)
+            rc = cents((price * (1.0 - disc)))[keep]
+            key = ok[keep] * 32 + nk[keep]       # nationkey < 25 < 32
+            uniq, inv = np.unique(key, return_inverse=True)
+            sums = np.bincount(inv, weights=rc).astype(np.int64)
+            uok, unk = uniq // 32, uniq % 32
+            return pa.table({"jpart": int64_col(uok % _N_JPARTS),
+                             "key": int64_col(uok),
+                             "nk": int64_col(unk),
+                             "rev_c": int64_col(sums),
+                             "side": int64_col(np.ones(len(uok), np.int64))})
+
+    def rev_group(df: pd.DataFrame) -> pd.DataFrame:
+        orders = df[df["side"] == 0]
+        items = df[df["side"] == 1]
+        if orders.empty or items.empty:
+            return pd.DataFrame({"nk": np.array([], np.int64),
+                                 "rev_p": np.array([], np.int64)})
+        j = items[["key", "nk", "rev_c"]].merge(
+            orders[["key", "nk"]], on=["key", "nk"])
+        out = j.groupby("nk", as_index=False).agg(rev_p=("rev_c", "sum"))
+        return out.astype({"nk": np.int64, "rev_p": np.int64})
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_side, batch_format="pyarrow", batch_size=65536)
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_side, batch_format="pyarrow", batch_size=65536)
+    qual = cust.union(orders).groupby("jpart").map_groups(
+        cust_order_group, batch_format="pandas")
+    items = read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_extendedprice",
+                  "l_discount"]).map_batches(
+        LineitemSide, fn_constructor_args=(sup_ref,),
+        batch_format="pyarrow", batch_size=65536, concurrency=(1, 4))
+    partial = qual.union(items).groupby("jpart").map_groups(
+        rev_group, batch_format="pandas")
+    total = partial.groupby("nk").aggregate(Sum("rev_p", alias_name="revenue_c"))
+
+    def to_name(batch: pa.Table) -> pa.Table:
+        nk = batch.column("nk").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(region_nk, nk), len(region_nk) - 1)
+        return pa.table({"n_name": pa.array(region_names[pos], pa.string()),
+                         "revenue_c": batch.column("revenue_c").cast(
+                             pa.int64())})
+
+    return total.map_batches(to_name, batch_format="pyarrow")
+
+
+def nation_volume_sql(region: str = _Q5_REGION, date_from: str = _Q5_FROM,
+                      date_to: str = _Q5_TO) -> str:
+    return f"""
+SELECT n.n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_c
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = '{region}'
+  AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '{date_from}'
+  AND o.o_orderdate < TIMESTAMP '{date_to}'
+GROUP BY n.n_name
+"""

@@ -50,7 +50,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "span_dup_fraction", "media_dedup_exact", "percolate",
                "index_fsck", "term_bloom_bits", "term_bloom_check",
                "event_transitions", "mmr_rerank", "zipf_slope",
-               "rfm_segments", "label_cohesion", "facet_search"]
+               "rfm_segments", "label_cohesion", "facet_search",
+               "nation_volume"]
 
 
 @pytest.fixture(scope="module")
