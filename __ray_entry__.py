@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_counts_cms_cells": ts.term_counts_cms_cells,
         "term_counts_cms_violations": ts.term_counts_cms_violations,
         "doc_fingerprint": ts.doc_fingerprint,
+        "winnow_fingerprints": ts.winnow_fingerprints,
         "numeric_literals": ts.numeric_literals,
         "token_count_bpe": ts.token_count_bpe,
         # --- multimodal plumbing ---
@@ -234,6 +235,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "embedding_near_dups": dedup.embedding_near_dups_sql(),
         "lang_id": ts.lang_id_sql(),
         "doc_fingerprint": ts.doc_fingerprint_sql(),
+        "winnow_fingerprints": ts.winnow_fingerprints_sql(),
         "numeric_literals": ts.numeric_literals_sql(),
         "token_count_bpe": ts.token_count_bpe_sql(),
         "ann_topk": ann.ann_topk_sql(),

@@ -4072,3 +4072,141 @@ SELECT n AS n_terms,
          AS slope_bp
 FROM sums
 """
+
+
+# ---- winnowing fingerprints (MOSS document fingerprinting) ----
+
+_WIN_K = 8    # k-gram width (chars)
+_WIN_W = 4    # winnowing window (k-gram hashes per window)
+
+
+def _winnow_select(texts: list[str], k: int = _WIN_K, w: int = _WIN_W):
+    """Core winnowing selection over a batch of texts: returns
+    (doc_idx, hash) per distinct selected position — one vectorized
+    pass over the batch-concatenated codepoint array, boundary-crossing
+    windows masked. Shared by the pipeline stage and the guarantee
+    property test."""
+    from searchengine_ray.pipelines.dedup import _span_hashes
+
+    cps = [np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+           for t in texts]
+    lens = np.fromiter((len(c) for c in cps), np.int64, len(cps))
+    n = int(lens.sum())
+    if n < k + w - 1:
+        return np.array([], np.int64), np.array([], np.uint64)
+    cp = np.concatenate(cps).astype(np.uint64)
+    h = _span_hashes(cp, k)
+    doc_of = np.repeat(np.arange(len(cps), dtype=np.int64), lens)
+    m = len(h) - w + 1               # window starts over the h array
+    if m <= 0:
+        return np.array([], np.int64), np.array([], np.uint64)
+    # full window: chars s .. s+w+k-2 must stay inside one doc
+    valid = doc_of[:m] == doc_of[w + k - 2:]
+    starts = np.flatnonzero(valid)
+    if len(starts) == 0:
+        return np.array([], np.int64), np.array([], np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(h, w)[starts]
+    # rightmost min: argmin over the reversed window finds the FIRST
+    # min there, i.e. the LAST in the original order
+    idx = w - 1 - np.argmin(win[:, ::-1], axis=1)
+    sel = np.unique(starts + idx)    # distinct selected positions
+    return doc_of[sel], h[sel]
+
+
+def winnow_fingerprints(sf_dir: str, k: int = _WIN_K, w: int = _WIN_W):
+    """(doc_id, n_fp, fp_sum) — winnowing fingerprint selection
+    (Schleimer, Wilkerson & Aiken 2003, the MOSS algorithm): every
+    ``w``-window of consecutive ``k``-gram rolling hashes selects its
+    minimum hash (rightmost on ties), the classic guarantee-bearing
+    document fingerprint (any shared substring of length >= k + w - 1
+    yields a shared fingerprint). Emits the distinct-selection count
+    and the order-free mod-2^61-1 hash sum per doc, so the SELECTED SET
+    itself is value-verified, not just its size. Docs with fewer than
+    ``w`` k-grams emit nothing (no full window exists).
+
+    Scale shape: one embarrassingly-parallel ``map_batches`` pass, zero
+    shuffle — each batch concatenates its docs into a single codepoint
+    array, computes all rolling hashes in k vectorized modmul passes
+    (shared with ``dedup_spans``), and the window min runs as ONE
+    sliding-window argmin over the batch with boundary-crossing windows
+    masked. Fingerprint density is ~2/(w+1) per char — the downstream
+    index volume knob."""
+    M = np.uint64((1 << 61) - 1)
+
+    class WinnowStage:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            ids = batch.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            d, hv = _winnow_select(texts, k, w)
+            if len(d) == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "n_fp": pa.array([], pa.int64()),
+                                 "fp_sum": pa.array([], pa.int64())})
+            uniq_d, inv = np.unique(d, return_inverse=True)
+            n_fp = np.bincount(inv).astype(np.int64)
+            # order-free exact checksum: per-doc sum of selected hashes
+            # mod 2^61-1. h < 2^61 would overflow a uint64 running sum,
+            # so the vectorized path splits each h into 32-bit halves,
+            # group-sums both exactly in int64 (hi < 2^29, lo < 2^32 per
+            # element — no overflow below 2^35 selections per doc), and
+            # folds the mod per DOC in Python ints (a #docs-bounded loop,
+            # not a #selections one)
+            hi = np.zeros(len(uniq_d), dtype=np.int64)
+            lo = np.zeros(len(uniq_d), dtype=np.int64)
+            np.add.at(hi, inv, (hv >> np.uint64(32)).astype(np.int64))
+            np.add.at(lo, inv, (hv & np.uint64(0xFFFFFFFF)).astype(np.int64))
+            mod = int(M)
+            fp_sum = np.fromiter(
+                (((int(a) << 32) + int(b)) % mod for a, b in zip(hi, lo)),
+                np.int64, len(uniq_d))
+            return pa.table({"doc_id": int64_col(ids[uniq_d]),
+                             "n_fp": int64_col(n_fp),
+                             "fp_sum": int64_col(fp_sum)})
+
+    return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        WinnowStage, batch_format="pyarrow", batch_size=512,
+        concurrency=(1, 4))
+
+
+def winnow_fingerprints_sql(k: int = _WIN_K, w: int = _WIN_W) -> str:
+    """SQL twin: same rolling hash as ``dedup_spans``; the rightmost-min
+    tie-break packs (h, reversed pos) into one HUGEINT so a plain
+    frame MIN replays the selection exactly."""
+    from searchengine_ray.pipelines.dedup import _SPAN_B, _SPAN_M
+
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - {k} + 1)) AS p
+  FROM documents WHERE length(text) >= {k}),
+hashes AS (
+  SELECT doc_id, p - 1 AS pos,
+         CAST(list_reduce(
+                list_transform(
+                  [substr(text, p + j, 1) for j in generate_series(0, {k - 1})],
+                  c -> CAST(ord(c) AS HUGEINT)),
+                (a, x) -> (a * {_SPAN_B} + x) % {_SPAN_M}) AS BIGINT) AS h
+  FROM pos),
+m AS (SELECT doc_id, count(*) AS n_h FROM hashes GROUP BY doc_id),
+keys AS (
+  SELECT h.doc_id, h.pos, h.h,
+         CAST(h.h AS HUGEINT) * 4294967296
+           + (4294967295 - h.pos) AS key,
+         m.n_h
+  FROM hashes h JOIN m ON m.doc_id = h.doc_id),
+wins AS (
+  SELECT doc_id, pos, n_h,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+           AS min_key
+  FROM keys),
+sel AS (
+  SELECT DISTINCT doc_id,
+         4294967295 - CAST(min_key % 4294967296 AS BIGINT) AS sel_pos,
+         CAST(min_key // 4294967296 AS BIGINT) AS sel_h
+  FROM wins WHERE pos <= n_h - {w})
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+       CAST(sum(CAST(sel_h AS HUGEINT)) % {_SPAN_M} AS BIGINT) AS fp_sum
+FROM sel GROUP BY doc_id
+"""

@@ -51,7 +51,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "index_fsck", "term_bloom_bits", "term_bloom_check",
                "event_transitions", "mmr_rerank", "zipf_slope",
                "rfm_segments", "label_cohesion", "facet_search",
-               "nation_volume"]
+               "nation_volume", "winnow_fingerprints"]
 
 
 @pytest.fixture(scope="module")
@@ -717,3 +717,47 @@ def test_index_fsck_catches_corruption(ray_session, tmp_path):
     kinds = set(viol["kind"])
     assert "df_mismatch" in kinds
     assert "blockmax_mismatch" in kinds
+
+
+def test_winnow_selection_vs_naive():
+    """Vectorized winnowing == brute-force reference (same Horner hash,
+    rightmost-min windows, distinct positions); plus the MOSS guarantee:
+    docs sharing a substring of length >= k + w - 1 share a fingerprint."""
+    from searchengine_ray.pipelines.dedup import _SPAN_B, _SPAN_M
+    from searchengine_ray.pipelines.textstats import (_WIN_K, _WIN_W,
+                                                      _winnow_select)
+
+    def naive(text: str, k: int, w: int) -> list[int]:
+        cps = [ord(c) for c in text]
+        m = len(cps) - k + 1
+        hs = []
+        for p in range(max(m, 0)):
+            h = 0
+            for j in range(k):
+                h = (h * _SPAN_B + cps[p + j]) % _SPAN_M
+            hs.append(h)
+        sel = set()
+        for s in range(len(hs) - w + 1):
+            win = hs[s:s + w]
+            mn = min(win)
+            right = max(i for i, v in enumerate(win) if v == mn)
+            sel.add(s + right)
+        return sorted(hs[p] for p in sel)
+
+    import random
+
+    rng = random.Random(13)
+    texts = ["".join(rng.choice("abcd") for _ in range(n))
+             for n in (12, 40, 200)]
+    d, h = _winnow_select(texts, _WIN_K, _WIN_W)
+    for i, t in enumerate(texts):
+        got = sorted(int(x) for x in h[d == i])
+        assert got == naive(t, _WIN_K, _WIN_W), f"doc {i}"
+
+    shared = "the quick brown fox"            # len 19 >= k + w - 1 = 11
+    a = "aaaaaaaaaaaa" + shared + "zzzzzzzz"
+    b = "qqqqqqqq" + shared + "pppppppppppp"
+    d2, h2 = _winnow_select([a, b], _WIN_K, _WIN_W)
+    fa = {int(x) for x in h2[d2 == 0]}
+    fb = {int(x) for x in h2[d2 == 1]}
+    assert fa & fb, "shared substring must yield a shared fingerprint"
