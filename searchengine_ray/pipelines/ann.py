@@ -869,3 +869,255 @@ SELECT label, CAST(max(n_vecs) AS BIGINT) AS n_vecs,
        CAST(sum(mean_micro * mean_micro) AS BIGINT) AS resultant2_micro2
 FROM cent GROUP BY label
 """
+
+
+# ---- product quantization (PQ) with asymmetric-distance queries ----
+
+_PQ_M = 8        # subspaces
+_PQ_KS = 16      # codes per subspace (4-bit codebooks)
+_PQ_SEED = 42
+_PQ_MICRO = 1_000_000
+
+
+def _pq_train(sample: np.ndarray, m: int, ks: int, seed: int,
+              iters: int = 12) -> np.ndarray:
+    """Deterministic per-subspace Lloyd's k-means over integer-micro
+    data (Jégou, Douze & Schmid 2011). Input vectors quantize to
+    floor(v * 1e6 + 0.5) BEFORE training and the trained centroids
+    round back to integers, so every distance the encoder or the ADC
+    scorer ever computes is exact integer arithmetic — bit-replayable
+    in SQL with no float summation-order hazard. Returns (m, ks, dsub)
+    int64 codebooks."""
+    n, d = sample.shape
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    dsub = d // m
+    micro = np.floor(sample * _PQ_MICRO + 0.5)        # int-valued float64
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, ks, dsub), np.int64)
+    for s in range(m):
+        x = micro[:, s * dsub:(s + 1) * dsub]
+        c = x[rng.choice(n, size=min(ks, n), replace=False)].copy()
+        for _ in range(iters):
+            # exact: products/sums of int-valued f64 stay < 2^53 here
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            best = d2[np.arange(n), assign]
+            new_c = np.zeros_like(c)
+            np.add.at(new_c, assign, x)
+            counts = np.bincount(assign, minlength=len(c))
+            worst = np.argsort(-best, kind="stable")  # worst-covered first
+            wi = 0
+            nz = counts > 0
+            new_c[nz] = np.floor(new_c[nz] / counts[nz, None] + 0.5)
+            for j in np.flatnonzero(~nz):
+                new_c[j] = x[worst[wi]]               # deterministic reseed
+                wi += 1
+            c = new_c
+        books[s] = c.astype(np.int64)
+    return books
+
+
+@_lru(maxsize=16)
+def _pq_codebooks(sf_dir: str, m: int = _PQ_M, ks: int = _PQ_KS,
+                  seed: int = _PQ_SEED, local: bool = False) -> np.ndarray:
+    sample = (_ivf_sample_local(sf_dir) if local else _ivf_sample(sf_dir))
+    return _pq_train(sample, m, ks, seed)
+
+
+def _pq_encode(emb: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) raw float embeddings -> (n, m) uint8 codes: per subspace,
+    argmin integer L2 to the codebook (ties -> lowest code, np.argmin).
+    Distances expand to ||x||^2 - 2 x.c + ||c||^2 via float64 BLAS —
+    exact, every term an integer < 2^53 at micro scale."""
+    m, ks, dsub = books.shape
+    micro = np.floor(emb * _PQ_MICRO + 0.5)
+    codes = np.zeros((len(emb), m), np.uint8)
+    for s in range(m):
+        x = micro[:, s * dsub:(s + 1) * dsub]
+        c = books[s].astype(np.float64)
+        d2 = ((x * x).sum(axis=1, keepdims=True)
+              - 2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :])
+        codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+class PqEncodeStage:
+    """vec -> m-byte PQ code row (one exact-int assignment per batch)."""
+
+    def __init__(self, books_ref):
+        import ray
+
+        self.books = ray.get(books_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = emb_matrix(batch.column("embedding"))
+        codes = _pq_encode(emb, self.books)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "codes": pa.array(list(codes), pa.list_(pa.uint8()))})
+
+
+def ensure_pq_index(sf_dir: str, m: int = _PQ_M, ks: int = _PQ_KS,
+                    seed: int = _PQ_SEED) -> tuple[str, np.ndarray]:
+    """Build (once) the persisted PQ layout: every embedding compressed
+    to m uint8 codes (64x smaller than the 64-dim float payload here;
+    the point of PQ at 100 TB — the scan set becomes codes, not
+    vectors). Codebooks train on the bounded deterministic sample
+    (corpus-size-independent) and persist beside the codes. Resumable
+    via done-marker."""
+    import hashlib
+    import json
+    from pathlib import Path
+
+    import ray
+
+    tag = hashlib.blake2b(f"{sf_dir}|pq|{m}|{ks}|{seed}".encode(),
+                          digest_size=6).hexdigest()
+    root = Path(f"/tmp/graft_pq_index/{tag}")
+    marker = root / "_DONE.json"
+    if marker.is_file():
+        return str(root), np.load(root / "codebooks.npy")
+    if root.exists():
+        import shutil
+
+        shutil.rmtree(root)
+    books = _pq_codebooks(sf_dir, m, ks, seed)
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    bref = ray.put(books)
+    encoded = ds.map_batches(PqEncodeStage, fn_constructor_args=(bref,),
+                             batch_format="pyarrow", batch_size=1024,
+                             concurrency=(1, 2))
+    root.mkdir(parents=True, exist_ok=True)
+    encoded.write_parquet(str(root / "codes"))
+    np.save(root / "codebooks.npy", books)
+    marker.write_text(json.dumps({"sf_dir": sf_dir, "m": m, "ks": ks,
+                                  "seed": seed}))
+    return str(root), books
+
+
+class AdcTopK:
+    """Asymmetric-distance top-k per batch: each query's subspace
+    distance table (m x ks integers, built ONCE from the broadcast
+    codebooks) scores a code row as m table lookups — the scan never
+    touches a float or a full vector."""
+
+    def __init__(self, qids_ref, dtab_ref, k: int):
+        import ray
+
+        self.qids = ray.get(qids_ref)
+        self.dtab = ray.get(dtab_ref)       # (q, m, ks) int64
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        codes = np.stack(batch.column("codes").to_numpy(
+            zero_copy_only=False)).astype(np.int64)     # (b, m)
+        q, m, _ = self.dtab.shape
+        dist = np.zeros((q, len(ids)), np.int64)
+        for s in range(m):
+            dist += self.dtab[:, s, :][:, codes[:, s]]
+        out_q, out_v, out_d = [], [], []
+        k = min(self.k, len(ids))
+        for qi in range(q):
+            row = dist[qi]
+            top = np.lexsort((ids, row))[:k]     # (dist asc, vec_id asc)
+            out_q.append(np.full(k, self.qids[qi], np.int64))
+            out_v.append(ids[top])
+            out_d.append(row[top])
+        return pa.table({"query_vec_id": int64_col(np.concatenate(out_q)),
+                         "vec_id": int64_col(np.concatenate(out_v)),
+                         "adc_d": int64_col(np.concatenate(out_d))})
+
+
+def _merge_topk_asc_factory(k: int):
+    def merge_topk_asc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["adc_d", "vec_id"],
+                          ascending=[True, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_vec_id", "rank", "vec_id", "adc_d"]]
+
+    merge_topk_asc.__name__ = "merge_topk_asc"
+    return merge_topk_asc
+
+
+def ann_pq_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
+                m: int = _PQ_M, ks: int = _PQ_KS, seed: int = _PQ_SEED):
+    """(query_vec_id, rank, vec_id, adc_d) — approximate top-k by
+    asymmetric PQ distance over the persisted code layout: queries stay
+    full-precision, the corpus is scanned as m-byte codes with
+    table-lookup scoring (the memory-bandwidth path that makes
+    billion-vector scans feasible). All-integer micro-unit distances,
+    (adc_d asc, vec_id asc) ties — exact SQL replay; recall vs the
+    exact baseline is tested."""
+    import ray
+
+    qids_list = query_ids or DEFAULT_QUERY_IDS
+    qids, qmat = _query_matrix(sf_dir, qids_list)
+    root, books = ensure_pq_index(sf_dir, m, ks, seed)
+    qmicro = np.floor(qmat * _PQ_MICRO + 0.5)
+    mm, kss, dsub = books.shape
+    dtab = np.zeros((len(qids), mm, kss), np.int64)
+    for s in range(mm):
+        qs = qmicro[:, s * dsub:(s + 1) * dsub]        # (q, dsub)
+        diff = qs[:, None, :] - books[s][None, :, :].astype(np.float64)
+        dtab[:, s, :] = (diff * diff).sum(axis=2).astype(np.int64)
+    qids_ref, dtab_ref = ray.put(qids), ray.put(dtab)
+    from pathlib import Path
+
+    files = sorted(str(f) for f in (Path(root) / "codes").glob("*.parquet"))
+    local = ray.data.read_parquet(files).map_batches(
+        AdcTopK, fn_constructor_args=(qids_ref, dtab_ref, k),
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 2))
+    return local.groupby("query_vec_id").map_groups(
+        _merge_topk_asc_factory(k), batch_format="pandas")
+
+
+def ann_pq_topk_sql(sf_dir: str = _SF_ORACLE_DEFAULT,
+                    query_ids: list[int] | None = None, k: int = 10,
+                    m: int = _PQ_M, ks: int = _PQ_KS,
+                    seed: int = _PQ_SEED) -> str:
+    """Exact DuckDB replay: codebooks retrain from the same
+    deterministic sample (no-Ray twin) and inline as BIGINT[] literals;
+    encoding = per-subspace integer-L2 argmin (ties to the lowest code
+    like np.argmin); ADC = the same m table lookups, summed."""
+    books = _pq_codebooks(sf_dir, m, ks, seed, local=True)
+    mm, kss, dsub = books.shape
+    cent_rows = ",".join(
+        f"({s},{c},[{','.join(str(int(x)) for x in books[s][c])}]::BIGINT[])"
+        for s in range(mm) for c in range(kss))
+    ids = ",".join(map(str, query_ids or DEFAULT_QUERY_IDS))
+    return f"""
+WITH cents(sub, code, v) AS (VALUES {cent_rows}),
+sub_d AS (
+  SELECT e.vec_id, ct.sub, ct.code,
+         list_sum(list_transform(generate_series(1, {dsub}), j ->
+           (CAST(floor(CAST(e.embedding[ct.sub * {dsub} + j] AS DOUBLE) * {_PQ_MICRO} + 0.5)
+                 AS BIGINT) - ct.v[j])
+           * (CAST(floor(CAST(e.embedding[ct.sub * {dsub} + j] AS DOUBLE) * {_PQ_MICRO} + 0.5)
+                   AS BIGINT) - ct.v[j]))) AS d2
+  FROM embeddings e CROSS JOIN cents ct),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d2 ASC, code ASC) AS rn
+    FROM sub_d) WHERE rn = 1),
+qd AS (
+  SELECT e.vec_id AS query_vec_id, ct.sub, ct.code,
+         list_sum(list_transform(generate_series(1, {dsub}), j ->
+           (CAST(floor(CAST(e.embedding[ct.sub * {dsub} + j] AS DOUBLE) * {_PQ_MICRO} + 0.5)
+                 AS BIGINT) - ct.v[j])
+           * (CAST(floor(CAST(e.embedding[ct.sub * {dsub} + j] AS DOUBLE) * {_PQ_MICRO} + 0.5)
+                   AS BIGINT) - ct.v[j]))) AS d2
+  FROM embeddings e CROSS JOIN cents ct WHERE e.vec_id IN ({ids})),
+adc AS (
+  SELECT qd.query_vec_id, c.vec_id, CAST(sum(qd.d2) AS BIGINT) AS adc_d
+  FROM codes c JOIN qd ON qd.sub = c.sub AND qd.code = c.code
+  GROUP BY qd.query_vec_id, c.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_vec_id
+                               ORDER BY adc_d ASC, vec_id ASC) AS rnk
+  FROM adc)
+SELECT query_vec_id, CAST(rnk AS BIGINT) AS rank, vec_id, adc_d
+FROM ranked WHERE rnk <= {k}
+"""

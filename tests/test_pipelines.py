@@ -761,3 +761,40 @@ def test_winnow_selection_vs_naive():
     fa = {int(x) for x in h2[d2 == 0]}
     fb = {int(x) for x in h2[d2 == 1]}
     assert fa & fb, "shared substring must yield a shared fingerprint"
+
+
+def test_ann_pq_matches_oracle(ray_session, duck):
+    """PQ's oracle SQL embeds DATA-DEPENDENT codebooks (retrained from
+    this sf_dir's sample); regenerate for the test scale."""
+    from searchengine_ray.pipelines import ann
+
+    got = _canon(_to_pandas(ann.ann_pq_topk(SF_DIR)))
+    want = _canon(duck.sql(ann.ann_pq_topk_sql(SF_DIR)).df())
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_ann_pq_recall_and_exact_encode(ray_session):
+    """PQ recall@10 vs the exact baseline is far above chance (random =
+    k/n = 2%), and a vector equal to a codebook reconstruction encodes
+    losslessly to exactly those codes (ADC distance 0)."""
+    import numpy as np
+
+    from searchengine_ray.pipelines import ann
+
+    exact = _to_pandas(ann.ann_topk(SF_DIR))
+    pq = _to_pandas(ann.ann_pq_topk(SF_DIR))
+    recalls = []
+    for q in exact.query_vec_id.unique():
+        e = set(exact[exact.query_vec_id == q].vec_id)
+        p = set(pq[pq.query_vec_id == q].vec_id)
+        recalls.append(len(e & p) / len(e))
+    assert min(recalls) >= 0.1 and np.mean(recalls) >= 0.2, recalls
+
+    books = ann._pq_codebooks(SF_DIR, local=True)
+    m, ks, dsub = books.shape
+    want_codes = np.arange(m) % ks
+    vec = np.concatenate([books[s][want_codes[s]] / ann._PQ_MICRO
+                          for s in range(m)])
+    codes = ann._pq_encode(vec[None, :], books)[0]
+    assert codes.tolist() == want_codes.tolist()
