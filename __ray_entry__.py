@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_counts_cms_violations": ts.term_counts_cms_violations,
         "doc_fingerprint": ts.doc_fingerprint,
         "winnow_fingerprints": ts.winnow_fingerprints,
+        "winnow_dup_pairs": ts.winnow_dup_pairs,
         "numeric_literals": ts.numeric_literals,
         "token_count_bpe": ts.token_count_bpe,
         # --- multimodal plumbing ---
@@ -238,6 +239,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "lang_id": ts.lang_id_sql(),
         "doc_fingerprint": ts.doc_fingerprint_sql(),
         "winnow_fingerprints": ts.winnow_fingerprints_sql(),
+        "winnow_dup_pairs": ts.winnow_dup_pairs_sql(),
         "numeric_literals": ts.numeric_literals_sql(),
         "token_count_bpe": ts.token_count_bpe_sql(),
         "ann_topk": ann.ann_topk_sql(),

@@ -4210,3 +4210,132 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
        CAST(sum(CAST(sel_h AS HUGEINT)) % {_SPAN_M} AS BIGINT) AS fp_sum
 FROM sel GROUP BY doc_id
 """
+
+
+_WIN_FP_CAP = 256      # boilerplate cutoff: fingerprints shared by more
+                       # than this many docs are dropped (oracle-replicated)
+_WIN_MIN_SHARED = 8    # pair survives with >= this many shared fingerprints
+_WDP_K = 16            # pair-detection k-gram width: 8-char shingles of
+                       # common words make the pair graph near-complete on
+                       # template-heavy corpora (measured: k=8 emitted 20%
+                       # of ALL doc pairs at sf0.001; k=16 emits the ~27
+                       # true near-dups) — guarantee span k + w - 1 = 23
+_WDP_W = 8
+
+
+def winnow_dup_pairs(sf_dir: str, k: int = _WDP_K, w: int = _WDP_W,
+                     fp_cap: int = _WIN_FP_CAP,
+                     min_shared: int = _WIN_MIN_SHARED):
+    """(doc_a, doc_b, n_shared) — MOSS-style similarity pairs: docs
+    sharing >= ``min_shared`` distinct winnowing fingerprints, with the
+    shared-fingerprint count (the winnowing guarantee makes this a
+    sound detector for shared substrings >= k + w - 1 chars). The
+    consumer of ``winnow_fingerprints``'s selection — the plagiarism /
+    template-detection operator of the fingerprint family, at ~2/(w+1)
+    the anchor density of ``dedup_spans``.
+
+    Scale shape: selection is the same zero-shuffle vectorized pass;
+    (fingerprint, doc) rows — already per-doc DISTINCT, so volume is
+    bounded by fingerprint density — hash-bucket into ONE groupby where
+    per-fingerprint doc lists self-join into pairs (boilerplate
+    fingerprints above ``fp_cap`` docs dropped, same cutoff in the
+    oracle); a second pair-keyed groupby folds shared counts. No
+    all-pairs step anywhere."""
+    empty = pa.table({"gkey": pa.array([], pa.int64()),
+                      "h": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64())})
+
+    class WinnowFpStage:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            ids = batch.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            d, hv = _winnow_select(texts, k, w)
+            if len(d) == 0:
+                return empty
+            # distinct (doc, fingerprint): repeated in-doc content
+            # selects the same hash at several positions
+            pairs = np.unique(np.stack([ids[d], hv.astype(np.int64)],
+                                       axis=1), axis=0)
+            return pa.table({"gkey": int64_col(pairs[:, 1] % 64),
+                             "h": int64_col(pairs[:, 1]),
+                             "doc_id": int64_col(pairs[:, 0])})
+
+    def fp_pairs(df: pd.DataFrame) -> pa.Table:
+        sizes = df.groupby("h")["doc_id"].transform("size")
+        df = df[sizes <= fp_cap]
+        m = df.merge(df, on="h")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if not len(m):
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "n_p": pa.array([], pa.int64())})
+        g = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).size()
+        return pa.table({"doc_a": int64_col(g["doc_id_x"].to_numpy(np.int64)),
+                         "doc_b": int64_col(g["doc_id_y"].to_numpy(np.int64)),
+                         "n_p": int64_col(g["size"].to_numpy(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    fps = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        WinnowFpStage, batch_format="pyarrow", batch_size=512,
+        concurrency=(1, 4))
+    pairs = fps.groupby("gkey").map_groups(fp_pairs, batch_format="pandas")
+    out = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Sum("n_p", alias_name="n_shared"))
+
+    def trim(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.greater_equal(batch.column("n_shared"),
+                                              min_shared))
+        return pa.table({"doc_a": batch.column("doc_a"),
+                         "doc_b": batch.column("doc_b"),
+                         "n_shared": batch.column("n_shared").cast(pa.int64())})
+
+    return out.map_batches(trim, batch_format="pyarrow")
+
+
+def winnow_dup_pairs_sql(k: int = _WDP_K, w: int = _WDP_W,
+                         fp_cap: int = _WIN_FP_CAP,
+                         min_shared: int = _WIN_MIN_SHARED) -> str:
+    from searchengine_ray.pipelines.dedup import _SPAN_B, _SPAN_M
+
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - {k} + 1)) AS p
+  FROM documents WHERE length(text) >= {k}),
+hashes AS (
+  SELECT doc_id, p - 1 AS pos,
+         CAST(list_reduce(
+                list_transform(
+                  [substr(text, p + j, 1) for j in generate_series(0, {k - 1})],
+                  c -> CAST(ord(c) AS HUGEINT)),
+                (a, x) -> (a * {_SPAN_B} + x) % {_SPAN_M}) AS BIGINT) AS h
+  FROM pos),
+m AS (SELECT doc_id, count(*) AS n_h FROM hashes GROUP BY doc_id),
+keys AS (
+  SELECT h.doc_id, h.pos, h.h,
+         CAST(h.h AS HUGEINT) * 4294967296
+           + (4294967295 - h.pos) AS key,
+         m.n_h
+  FROM hashes h JOIN m ON m.doc_id = h.doc_id),
+wins AS (
+  SELECT doc_id, pos, n_h,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+           AS min_key
+  FROM keys),
+sel AS (
+  SELECT DISTINCT doc_id,
+         CAST(min_key // 4294967296 AS BIGINT) AS h
+  FROM wins WHERE pos <= n_h - {w}),
+capped AS (
+  SELECT * FROM sel QUALIFY count(*) OVER (PARTITION BY h) <= {fp_cap})
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM capped x JOIN capped y ON x.h = y.h AND x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id
+HAVING count(*) >= {min_shared}
+"""
