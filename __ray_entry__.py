@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_cohesion": ann.label_cohesion,
         "ann_ivf_topk": ann.ann_ivf_topk,
         "ann_pq_topk": ann.ann_pq_topk,
+        "ann_ivfpq_topk": ann.ann_ivfpq_topk,
         # --- text analysis (non-SQL) ---
         "lang_id": ts.lang_id,
         "distinct_terms_hll": ts.distinct_terms_hll,
@@ -170,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
     for name, gen in (("ann_lsh_topk", ann.ann_lsh_topk_sql),
                       ("ann_ivf_topk", ann.ann_ivf_topk_sql),
                       ("ann_pq_topk", ann.ann_pq_topk_sql),
+                      ("ann_ivfpq_topk", ann.ann_ivfpq_topk_sql),
                       ("ann_recall_audit", ann.ann_recall_audit_sql),
                       ("embedding_near_dups_lsh",
                        dedup.embedding_near_dups_lsh_sql)):

@@ -1121,3 +1121,183 @@ ranked AS (
 SELECT query_vec_id, CAST(rnk AS BIGINT) AS rank, vec_id, adc_d
 FROM ranked WHERE rnk <= {k}
 """
+
+
+# ---- IVF + PQ: coarse lists for I/O pruning, codes for scan bandwidth ----
+
+
+def ensure_ivfpq_index(sf_dir: str, n_centroids: int = 16, m: int = _PQ_M,
+                       ks: int = _PQ_KS, seed: int = _PQ_SEED
+                       ) -> tuple[str, np.ndarray, np.ndarray]:
+    """Build (once) the persisted IVF-PQ layout (the FAISS IVFPQ shape,
+    ``by_residual=False``): every embedding assigned to its nearest
+    coarse centroid AND compressed to m uint8 codes, written as
+    ``list=<c>/`` parquet of code rows. Queries then prune I/O to
+    ``nprobe`` lists and scan only m-byte codes — both levers of the
+    billion-vector layout at once. Coarse centroids and codebooks train
+    on the same bounded deterministic sample. Resumable via marker."""
+    import hashlib
+    import json
+    from pathlib import Path
+
+    import ray
+
+    tag = hashlib.blake2b(
+        f"{sf_dir}|ivfpq|{n_centroids}|{m}|{ks}|{seed}".encode(),
+        digest_size=6).hexdigest()
+    root = Path(f"/tmp/graft_ivfpq_index/{tag}")
+    marker = root / "_DONE.json"
+    if marker.is_file():
+        return (str(root), np.load(root / "centroids.npy"),
+                np.load(root / "codebooks.npy"))
+    if root.exists():
+        import shutil
+
+        shutil.rmtree(root)
+    sample = _ivf_sample(sf_dir)
+    centroids = _spherical_kmeans(sample, n_centroids, seed)
+    books = _pq_train(sample, m, ks, seed)
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cref, bref = ray.put(centroids), ray.put(books)
+
+    class AssignEncode:
+        def __init__(self, cref, bref):
+            self.centroids = ray.get(cref)
+            self.books = ray.get(bref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = emb_matrix(batch.column("embedding"))
+            assign = np.argmax(_normalize(emb) @ self.centroids.T, axis=1)
+            codes = _pq_encode(emb, self.books)
+            return pa.table({
+                "vec_id": batch.column("vec_id"),
+                "list": int64_col(assign.astype(np.int64)),
+                "codes": pa.array(list(codes), pa.list_(pa.uint8()))})
+
+    encoded = ds.map_batches(AssignEncode, fn_constructor_args=(cref, bref),
+                             batch_format="pyarrow", batch_size=1024,
+                             concurrency=(1, 2))
+    encoded.write_parquet(str(root), partition_cols=["list"])
+    np.save(root / "centroids.npy", centroids)
+    np.save(root / "codebooks.npy", books)
+    marker.write_text(json.dumps({"sf_dir": sf_dir, "n_centroids": n_centroids,
+                                  "m": m, "ks": ks, "seed": seed}))
+    return str(root), centroids, books
+
+
+def ann_ivfpq_topk(sf_dir: str, query_ids: list[int] | None = None,
+                   k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+                   m: int = _PQ_M, ks: int = _PQ_KS, seed: int = _PQ_SEED):
+    """(query_vec_id, rank, vec_id, adc_d) — IVF-pruned, PQ-compressed
+    approximate top-k: each query reads only its ``nprobe`` nearest
+    lists' CODE rows (I/O pruning on top of the 32x payload compression)
+    and scores them by integer ADC lookups. ``nprobe = n_centroids``
+    reproduces ``ann_pq_topk`` exactly (tested)."""
+    from pathlib import Path
+
+    import ray
+
+    qids_list = query_ids or DEFAULT_QUERY_IDS
+    qids, qmat = _query_matrix(sf_dir, qids_list)
+    root, centroids, books = ensure_ivfpq_index(sf_dir, n_centroids, m, ks,
+                                                seed)
+    sims = _normalize(qmat) @ centroids.T
+    nprobe = min(nprobe, sims.shape[1])
+    probe = set()
+    for qi in range(len(qids)):
+        for c in np.argsort(-sims[qi], kind="stable")[:nprobe]:
+            probe.add(int(c))
+    paths = [str(f) for c in sorted(probe)
+             for p in [Path(root) / f"list={c}"] if p.is_dir()
+             for f in sorted(p.glob("*.parquet"))]
+    if not paths:
+        return pa.table({"query_vec_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "adc_d": pa.array([], pa.int64())})
+    qmicro = np.floor(qmat * _PQ_MICRO + 0.5)
+    mm, kss, dsub = books.shape
+    dtab = np.zeros((len(qids), mm, kss), np.int64)
+    for s in range(mm):
+        qs = qmicro[:, s * dsub:(s + 1) * dsub]
+        diff = qs[:, None, :] - books[s][None, :, :].astype(np.float64)
+        dtab[:, s, :] = (diff * diff).sum(axis=2).astype(np.int64)
+    qids_ref, dtab_ref = ray.put(qids), ray.put(dtab)
+    local = ray.data.read_parquet(paths, columns=["vec_id", "codes"]) \
+        .map_batches(AdcTopK, fn_constructor_args=(qids_ref, dtab_ref, k),
+                     batch_format="pyarrow", batch_size=4096,
+                     concurrency=(1, 2))
+    return local.groupby("query_vec_id").map_groups(
+        _merge_topk_asc_factory(k), batch_format="pandas")
+
+
+def ann_ivfpq_topk_sql(sf_dir: str = _SF_ORACLE_DEFAULT,
+                       query_ids: list[int] | None = None, k: int = 10,
+                       n_centroids: int = 16, nprobe: int = 4,
+                       m: int = _PQ_M, ks: int = _PQ_KS,
+                       seed: int = _PQ_SEED) -> str:
+    """Exact replay: the IVF probe CTEs (inlined DOUBLE[] coarse
+    centroids, argmax via DESC/ties-ASC row_number) restrict the
+    candidate set; the PQ CTEs (inlined BIGINT[] codebooks) encode and
+    ADC-score it — both retrained from the same deterministic sample."""
+    centroids = _oracle_centroids(sf_dir, n_centroids, seed)
+    books = _pq_codebooks(sf_dir, m, ks, seed, local=True)
+    mm, kss, dsub = books.shape
+    cent_rows = ",".join(f"({c},{_sql_vec(centroids[c])})"
+                         for c in range(len(centroids)))
+    book_rows = ",".join(
+        f"({s},{c},[{','.join(str(int(x)) for x in books[s][c])}]::BIGINT[])"
+        for s in range(mm) for c in range(kss))
+    ids = ",".join(map(str, query_ids or DEFAULT_QUERY_IDS))
+    nprobe = min(nprobe, len(centroids))
+    return f"""
+WITH cents(c, v) AS (VALUES {cent_rows}),
+books(sub, code, v) AS (VALUES {book_rows}),
+asg AS (
+  SELECT e.vec_id, ct.c,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding, ct.v) DESC, ct.c ASC) AS rn
+  FROM embeddings e CROSS JOIN cents ct),
+vl AS (SELECT vec_id, c AS list FROM asg WHERE rn = 1),
+qp AS (
+  SELECT e.vec_id AS query_vec_id, ct.c,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding, ct.v) DESC, ct.c ASC) AS rn
+  FROM embeddings e CROSS JOIN cents ct WHERE e.vec_id IN ({ids})),
+probe AS (SELECT DISTINCT c FROM qp WHERE rn <= {nprobe}),
+cand AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e JOIN vl ON vl.vec_id = e.vec_id
+  WHERE vl.list IN (SELECT c FROM probe)),
+sub_d AS (
+  SELECT e.vec_id, ct.sub, ct.code,
+         list_sum(list_transform(generate_series(1, {dsub}), j ->
+           (CAST(floor(CAST(e.embedding[ct.sub * {dsub} + j] AS DOUBLE)
+                       * {_PQ_MICRO} + 0.5) AS BIGINT) - ct.v[j])
+           * (CAST(floor(CAST(e.embedding[ct.sub * {dsub} + j] AS DOUBLE)
+                         * {_PQ_MICRO} + 0.5) AS BIGINT) - ct.v[j]))) AS d2
+  FROM cand e CROSS JOIN books ct),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d2 ASC, code ASC) AS rn
+    FROM sub_d) WHERE rn = 1),
+qd AS (
+  SELECT e.vec_id AS query_vec_id, ct.sub, ct.code,
+         list_sum(list_transform(generate_series(1, {dsub}), j ->
+           (CAST(floor(CAST(e.embedding[ct.sub * {dsub} + j] AS DOUBLE)
+                       * {_PQ_MICRO} + 0.5) AS BIGINT) - ct.v[j])
+           * (CAST(floor(CAST(e.embedding[ct.sub * {dsub} + j] AS DOUBLE)
+                         * {_PQ_MICRO} + 0.5) AS BIGINT) - ct.v[j]))) AS d2
+  FROM embeddings e CROSS JOIN books ct WHERE e.vec_id IN ({ids})),
+adc AS (
+  SELECT qd.query_vec_id, c.vec_id, CAST(sum(qd.d2) AS BIGINT) AS adc_d
+  FROM codes c JOIN qd ON qd.sub = c.sub AND qd.code = c.code
+  GROUP BY qd.query_vec_id, c.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_vec_id
+                               ORDER BY adc_d ASC, vec_id ASC) AS rnk
+  FROM adc)
+SELECT query_vec_id, CAST(rnk AS BIGINT) AS rank, vec_id, adc_d
+FROM ranked WHERE rnk <= {k}
+"""

@@ -798,3 +798,19 @@ def test_ann_pq_recall_and_exact_encode(ray_session):
                           for s in range(m)])
     codes = ann._pq_encode(vec[None, :], books)[0]
     assert codes.tolist() == want_codes.tolist()
+
+
+def test_ann_ivfpq_matches_oracle_and_full_probe(ray_session, duck):
+    """IVF-PQ oracle regenerates for this sf_dir; and probing ALL lists
+    must reproduce ann_pq_topk exactly (pruning only removes
+    candidates, never changes scores)."""
+    from searchengine_ray.pipelines import ann
+
+    got = _canon(_to_pandas(ann.ann_ivfpq_topk(SF_DIR)))
+    want = _canon(duck.sql(ann.ann_ivfpq_topk_sql(SF_DIR)).df())
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    full = _canon(_to_pandas(ann.ann_ivfpq_topk(SF_DIR, nprobe=16)))
+    pq = _canon(_to_pandas(ann.ann_pq_topk(SF_DIR)))
+    pd.testing.assert_frame_equal(full, pq, check_dtype=False)
