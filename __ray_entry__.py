@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": ts.doc_fingerprint,
         "winnow_fingerprints": ts.winnow_fingerprints,
         "winnow_dup_pairs": ts.winnow_dup_pairs,
+        "regex_search": ts.regex_search,
         "numeric_literals": ts.numeric_literals,
         "token_count_bpe": ts.token_count_bpe,
         # --- multimodal plumbing ---
@@ -242,6 +243,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "doc_fingerprint": ts.doc_fingerprint_sql(),
         "winnow_fingerprints": ts.winnow_fingerprints_sql(),
         "winnow_dup_pairs": ts.winnow_dup_pairs_sql(),
+        "regex_search": ts.regex_search_sql(),
         "numeric_literals": ts.numeric_literals_sql(),
         "token_count_bpe": ts.token_count_bpe_sql(),
         "ann_topk": ann.ann_topk_sql(),

@@ -4339,3 +4339,71 @@ FROM capped x JOIN capped y ON x.h = y.h AND x.doc_id < y.doc_id
 GROUP BY x.doc_id, y.doc_id
 HAVING count(*) >= {min_shared}
 """
+
+
+# ---- regex scan ("distributed grep") ----
+
+REGEX_QUERIES: list[tuple[int, str]] = [
+    (1, "[a-z]+ing"),                 # suffix class
+    (2, "(?:data|table) [a-z]+"),     # alternation + following word
+    (3, "ba[a-z]*"),                  # prefix expansion
+    (4, "[a-z]{6,} scan"),            # bounded repetition + literal
+    (5, "zzz[0-9]{3}"),               # no match anywhere
+]
+
+
+def regex_search(sf_dir: str):
+    """(query_id, doc_id, n_matches, first_match) — regex scan over the
+    corpus: per (pattern, doc), the non-overlapping match count and the
+    first match text; only matching docs emit. The distributed-grep
+    operator — the ad-hoc scan path beside the indexed retrieval
+    family (an index can't answer arbitrary regexes; a full scan with
+    compiled patterns per worker is the honest plan, and at 100 TB it
+    is one embarrassingly-parallel pruned-column pass, zero shuffle).
+
+    Patterns use explicit ASCII classes and non-capturing groups only,
+    so Python ``re`` and DuckDB RE2 agree byte-for-byte (the
+    ``pii_scrub`` portability discipline); both sides count
+    non-overlapping matches (``finditer`` == ``regexp_extract_all``)."""
+    import re
+
+    class RegexScanStage:
+        def __init__(self):
+            self.pats = [(qid, re.compile(p)) for qid, p in REGEX_QUERIES]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            ids = batch.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            out_q, out_d, out_n, out_f = [], [], [], []
+            for qid, pat in self.pats:
+                for i, t in enumerate(texts):
+                    it = pat.finditer(t)
+                    first = next(it, None)
+                    if first is None:
+                        continue
+                    out_q.append(qid)
+                    out_d.append(int(ids[i]))
+                    out_n.append(1 + sum(1 for _ in it))
+                    out_f.append(first.group(0))
+            return pa.table({"query_id": int64_col(out_q),
+                             "doc_id": int64_col(out_d),
+                             "n_matches": int64_col(out_n),
+                             "first_match": pa.array(out_f, pa.string())})
+
+    return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        RegexScanStage, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, 4))
+
+
+def regex_search_sql() -> str:
+    values = ",\n        ".join(f"({qid}, '{p}')" for qid, p in REGEX_QUERIES)
+    return f"""
+WITH pats(query_id, pat) AS (VALUES
+        {values})
+SELECT CAST(p.query_id AS BIGINT) AS query_id, d.doc_id,
+       CAST(len(regexp_extract_all(d.text, p.pat)) AS BIGINT) AS n_matches,
+       regexp_extract(d.text, p.pat) AS first_match
+FROM documents d CROSS JOIN pats p
+WHERE len(regexp_extract_all(d.text, p.pat)) > 0
+"""
