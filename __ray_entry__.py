@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": events.user_retention,
         "event_rate_anomaly": events.event_rate_anomaly,
         "event_transitions": events.event_transitions,
+        "event_pivot": events.event_pivot,
+        "user_running_total": events.user_running_total,
         "window_user_hll_violations": events.window_user_hll_violations,
         "order_lineitem_join": rel.order_lineitem_join,
         "customers_without_orders": rel.customers_without_orders,
@@ -266,6 +268,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "user_retention": events.user_retention_sql(),
         "event_rate_anomaly": events.event_rate_anomaly_sql(),
         "event_transitions": events.event_transitions_sql(),
+        "event_pivot": events.event_pivot_sql(),
+        "user_running_total": events.user_running_total_sql(),
         "window_user_hll_violations": events.window_user_hll_violations_sql(),
         "order_lineitem_join": rel.order_lineitem_join_sql(),
         "customers_without_orders": rel.customers_without_orders_sql(),

@@ -1018,3 +1018,122 @@ SELECT event_type AS from_type, next_type AS to_type,
 FROM seq WHERE next_type IS NOT NULL
 GROUP BY event_type, next_type
 """
+
+
+# ---- pivot: long -> wide daily type counts ----
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def event_pivot(sf_dir: str):
+    """(day, n_click, n_error, n_purchase, n_signup, n_view) — the
+    long→wide PIVOT operator: one row per day, one count column per
+    event type. The column set is the pipeline's declared type
+    vocabulary (``_PIVOT_TYPES``) — fixed up front like any schema, so
+    the wide schema is stable regardless of which types a given day
+    (or corpus slice) happens to contain; unknown types count nowhere.
+
+    Scale shape: each batch pivots locally (vectorized bincount over
+    day×type codes) into ONE wide partial row per day, so the single
+    day-keyed groupby carries days×types integers, never events."""
+    from ray.data.aggregate import Sum
+
+    tmap = {t: i for i, t in enumerate(_PIVOT_TYPES)}
+    T = len(_PIVOT_TYPES)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        day = df["ts"].dt.strftime("%Y-%m-%d").to_numpy()
+        code = df["event_type"].map(tmap).fillna(-1).to_numpy(np.int64)
+        keep = code >= 0
+        day, code = day[keep], code[keep]
+        udays, dinv = np.unique(day, return_inverse=True)
+        counts = np.bincount(dinv * T + code,
+                             minlength=len(udays) * T).reshape(-1, T)
+        cols = {"day": pa.array(udays, pa.string())}
+        for i, t in enumerate(_PIVOT_TYPES):
+            cols[f"n_{t}"] = int64_col(counts[:, i].astype(np.int64))
+        return pa.table(cols)
+
+    ds = read(sf_dir, "events", ["ts", "event_type"])
+    wide = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in _PIVOT_TYPES]
+    out = wide.groupby("day").aggregate(*aggs)
+
+    def cast(batch: pa.Table) -> pa.Table:
+        cols = {"day": batch.column("day")}
+        for t in _PIVOT_TYPES:
+            cols[f"n_{t}"] = batch.column(f"n_{t}").cast(pa.int64())
+        return pa.table(cols)
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def event_pivot_sql() -> str:
+    cols = ",\n       ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+        f" AS n_{t}" for t in _PIVOT_TYPES)
+    return f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       {cols}
+FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+"""
+
+
+# ---- window frame: per-user running value total ----
+
+
+def user_running_total(sf_dir: str):
+    """(event_id, user_id, cum_value_c) — each event's cumulative value
+    total within its user's history ordered by (ts, event_id): the
+    window-frame class (SUM OVER ... ROWS UNBOUNDED PRECEDING) beside
+    the gaps-and-islands (sessionize) and ranking classes. Exact
+    integer cents.
+
+    Scale shape: the sessionize shape — ONE ``user_id % 32`` co-group
+    shuffle, then a fully vectorized per-group body (lexsort + global
+    cumsum with per-user offsets subtracted, no per-user loop). Same
+    one-user-fits-one-group assumption, same range-split escape hatch
+    (events.py module docstring)."""
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "g": int64_col(batch.column("user_id").to_numpy(
+                zero_copy_only=False).astype(np.int64) % 32),
+            "event_id": batch.column("event_id").cast(pa.int64()),
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "ts_us": batch.column("ts").cast(pa.int64()),
+            "v_c": int64_col(cents(batch.column("value").to_numpy(
+                zero_copy_only=False)))})
+
+    def body(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        v = df["v_c"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid, v = u[order], ts[order], eid[order], v[order]
+        cum = np.cumsum(v)
+        # subtract each user's prefix (global cumsum just before the
+        # user's first row), mapped back via the run id — no per-user loop
+        is_first = np.r_[True, u[1:] != u[:-1]]
+        run_id = np.cumsum(is_first) - 1
+        first_idx = np.flatnonzero(is_first)
+        run_offset = cum[first_idx] - v[first_idx]
+        cum_user = cum - run_offset[run_id]
+        return pd.DataFrame({"event_id": eid, "user_id": u,
+                             "cum_value_c": cum_user})
+
+    return ds.map_batches(keyed, batch_format="pyarrow", batch_size=65536) \
+        .groupby("g").map_groups(body, batch_format="pandas")
+
+
+def user_running_total_sql() -> str:
+    return """
+SELECT event_id, user_id,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_c
+FROM events
+"""

@@ -51,7 +51,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "index_fsck", "term_bloom_bits", "term_bloom_check",
                "event_transitions", "mmr_rerank", "zipf_slope",
                "rfm_segments", "label_cohesion", "facet_search",
-               "nation_volume", "winnow_fingerprints", "winnow_dup_pairs", "regex_search"]
+               "nation_volume", "winnow_fingerprints", "winnow_dup_pairs", "regex_search", "event_pivot",
+               "user_running_total"]
 
 
 @pytest.fixture(scope="module")
