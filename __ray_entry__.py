@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_fsck": docsearch.index_fsck,
         "mmr_rerank": docsearch.mmr_rerank,
         "facet_search": docsearch.facet_search,
+        "index_merge_dictionary": docsearch.index_merge_dictionary,
         # --- tokenizer / aggregation surface (SURVEY §2.2/§2.5) ---
         "term_df": ts.term_df,
         "doc_token_stats": ts.doc_token_stats,
@@ -206,6 +207,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "index_fsck": docsearch.index_fsck_sql(),
         "mmr_rerank": docsearch.mmr_rerank_sql(),
         "facet_search": docsearch.facet_search_sql(),
+        "index_merge_dictionary": docsearch.index_dictionary_sql(),
         "image_decode_features": multimodal.image_decode_features_sql(),
         "distinct_terms_hll_registers": ts.distinct_terms_hll_registers_sql(),
         "term_df": ts.term_df_sql(),

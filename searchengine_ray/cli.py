@@ -82,6 +82,13 @@ def main(argv: list[str] | None = None) -> int:
     co.add_argument("--stemming", action="store_true", default=None)
     co.add_argument("--analyzer", choices=["code", "simple"], default=None)
 
+    mg = sub.add_parser("merge", help="merge two independently built "
+                        "indexes into a new root (no re-tokenization; "
+                        "configs must match, min_df=1, no tombstones)")
+    mg.add_argument("index_a")
+    mg.add_argument("index_b")
+    mg.add_argument("new_index_dir")
+
     px = sub.add_parser("proximity", help="within-window co-occurrence "
                         "query (needs a --positions index)")
     px.add_argument("index_dir")
@@ -224,6 +231,12 @@ def main(argv: list[str] | None = None) -> int:
             from searchengine_ray.pipelines.build import compact_index
 
             paths = compact_index(args.index_dir, args.new_index_dir, cfg)
+            print(paths.meta())
+        elif args.cmd == "merge":
+            from searchengine_ray.pipelines.build import merge_indexes
+
+            paths = merge_indexes(args.index_a, args.index_b,
+                                  args.new_index_dir)
             print(paths.meta())
         elif args.cmd == "search":
             from searchengine_ray.pipelines.query import IndexSearcher

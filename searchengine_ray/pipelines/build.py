@@ -890,3 +890,204 @@ def compact_index(out_root: str | Path, new_root: str | Path,
     ds = ds.map_batches(strip, batch_format="pyarrow")
     return build_index(ds, new_root, config, id_column="doc_id",
                        source_tag=f"compact:{paths.root}")
+
+
+def merge_indexes(a_root: str | Path, b_root: str | Path,
+                  out_root: str | Path) -> IndexPaths:
+    """Merge two INDEPENDENTLY BUILT indexes into one without
+    re-tokenizing anything — the Lucene segment-merge capability beside
+    ``add_documents`` (which re-tokenizes a new corpus) and
+    ``compact_index`` (which rebuilds from stored text).
+
+    B's doc ids shift by a constant ``C = A.doc_parts_used <<
+    doc_id_part_bits`` (its doc partitions renumber above A's), which
+    preserves every within-block delta: only block heads and the
+    last_docs metadata rewrite (``shifted_segments``), while tf and
+    positions streams are reused byte-for-byte. Each output term
+    partition is then the ORDINARY merge of A's partition (re-admitted
+    first, ``first_doc = -1``) with B's shifted rows — postings stay
+    docid-ascending by byte concat because every shifted id exceeds
+    every A id. Global stats (df, N, avgdl) come out exact, so the
+    merged index scores bit-identically to one built over the union.
+
+    Scale shape: one task per output partition (term parts + both
+    sides' doc/docs parts), zero shuffle — every task reads exactly the
+    partition files it merges (partition-aligned by construction since
+    both indexes share num_term_parts). Resumable per partition via
+    the usual manifests.
+
+    Constraints (same family as ``add_documents``): identical analyzer
+    fingerprint / layout config on both sides, min_df == 1, and no
+    pending tombstones (compact first — a merge must not silently
+    resurrect deleted docs into a fresh index)."""
+    import hashlib
+
+    import pyarrow.parquet as _pqm
+    import ray
+
+    from searchengine_ray.stages.postings import (MergePostingsPartWriter,
+                                                  segments_from_existing,
+                                                  shifted_segments)
+    from searchengine_ray.state.manifest import (completed_partitions,
+                                                 load_manifests,
+                                                 write_empty_partition_manifest,
+                                                 write_json_atomic,
+                                                 write_partition_atomic)
+
+    pa_, pb_ = IndexPaths(str(a_root)), IndexPaths(str(b_root))
+    out = IndexPaths(str(out_root))
+    meta_a, meta_b = pa_.meta(), pb_.meta()
+    if not meta_a or not meta_b:
+        raise ValueError("both inputs must be built indexes with meta")
+    for root in (pa_.root, pb_.root):
+        if (Path(root) / "deletes.parquet").is_file():
+            raise ValueError(f"{root} has pending tombstones — "
+                             "compact_index it before merging")
+    ca, cb = meta_a.get("config", {}), meta_b.get("config", {})
+    for f in ("analyzer_fp", "analyzer", "stemming", "min_df", "block_size",
+              "doc_bucket_size", "store_positions", "tie_break_column"):
+        if ca.get(f) != cb.get(f):
+            raise ValueError(f"config mismatch: {f}: {ca.get(f)} vs {cb.get(f)}")
+    if ca.get("min_df", 1) != 1:
+        raise ValueError("merge requires min_df == 1 (pruned terms lost "
+                         "their segments; df cannot be re-derived)")
+    for f in ("num_term_parts", "doc_id_part_bits"):
+        if meta_a.get(f) != meta_b.get(f):
+            raise ValueError(f"{f} must match: {meta_a.get(f)} vs {meta_b.get(f)}")
+    T = int(meta_a["num_term_parts"])
+    bits = int(meta_a["doc_id_part_bits"])
+    base = int(meta_a.get("doc_parts_used", meta_a["num_doc_parts"]))
+    b_parts = int(meta_b.get("doc_parts_used", meta_b["num_doc_parts"]))
+    C = base << bits
+    bucket_size = int(ca.get("doc_bucket_size", 1 << 22))
+    if C % bucket_size:
+        raise ValueError("doc shift is not bucket-aligned: doc_bucket_size "
+                         "must divide doc_parts_used << doc_id_part_bits")
+    bucket_shift = C // bucket_size
+    block_size = int(ca.get("block_size", 128))
+    cfg_kw = {k: ca[k] for k in ("analyzer", "stemming", "min_df",
+                                 "block_size", "doc_bucket_size",
+                                 "store_positions", "k1", "b",
+                                 "tie_break_column")
+              if k in ca and ca[k] is not None}
+    config = IndexConfig(num_term_parts=T,
+                         num_doc_parts=int(meta_a["num_doc_parts"]),
+                         doc_id_part_bits=bits, **cfg_kw)
+    fingerprint = hashlib.blake2b(
+        f"merge|{meta_a.get('fingerprint')}|{meta_b.get('fingerprint')}"
+        .encode(), digest_size=16).hexdigest()
+
+    def _shard(d: str | Path, q: int) -> Path:
+        return Path(d) / f"part-{q:05d}.parquet"
+
+    @ray.remote
+    def merge_term_part(k: int) -> None:
+        tables = []
+        fa = _shard(pa_.postings, k)
+        if fa.is_file():
+            old = _pqm.read_table(fa)
+            if old.num_rows:
+                tables.append(segments_from_existing(k, old, T))
+        fb = _shard(pb_.postings, k)
+        if fb.is_file():
+            nb = _pqm.read_table(fb)
+            if nb.num_rows:
+                tables.append(shifted_segments(k, nb, C, bucket_shift,
+                                               block_size))
+        if not tables:
+            write_empty_partition_manifest(out.postings, kind="postings",
+                                           partition=k, fingerprint=fingerprint)
+            return
+        merger = MergePostingsPartWriter(out.postings, out.dictionary,
+                                         config, fingerprint)
+        merger(pa.concat_tables(tables))
+
+    @ray.remote
+    def copy_docs(q_src: int, q_out: int, shift: int) -> None:
+        f = _shard(pb_.docs if shift else pa_.docs, q_src)
+        if not f.is_file():
+            write_empty_partition_manifest(out.docs, kind="docs",
+                                           partition=q_out,
+                                           fingerprint=fingerprint)
+            return
+        t = _pqm.read_table(f)
+        if shift:
+            ids = t.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64) + shift
+            t = t.set_column(t.column_names.index("doc_id"), "doc_id",
+                             pa.array(ids, pa.int64()))
+        write_partition_atomic(t, _shard(out.docs, q_out), kind="docs",
+                               partition=q_out, fingerprint=fingerprint,
+                               row_group_size=8192)
+
+    @ray.remote
+    def merge_doc_meta(q: int) -> None:
+        # doc_meta shards are per REL part (fixed T..T+P-1 files that
+        # grow with generations — the add_documents layout): fold B's
+        # shifted shard into A's, id-sorted
+        parts = []
+        fa = _shard(pa_.doc_meta, T + q)
+        if fa.is_file():
+            parts.append(_pqm.read_table(fa))
+        fb = _shard(pb_.doc_meta, T + q)
+        if fb.is_file():
+            t = _pqm.read_table(fb)
+            ids = t.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64) + C
+            parts.append(t.set_column(t.column_names.index("doc_id"),
+                                      "doc_id", pa.array(ids, pa.int64())))
+        if not parts:
+            write_empty_partition_manifest(out.doc_meta, kind="doc_meta",
+                                           partition=T + q,
+                                           fingerprint=fingerprint)
+            return
+        t = pa.concat_tables(parts).combine_chunks()
+        order = np.argsort(t.column("doc_id").to_numpy(
+            zero_copy_only=False), kind="stable")
+        t = t.take(pa.array(order))
+        total_len = int(t.column("doc_len").to_numpy(
+            zero_copy_only=False).astype(np.int64).sum())
+        write_partition_atomic(t, _shard(out.doc_meta, T + q),
+                               kind="doc_meta", partition=T + q,
+                               fingerprint=fingerprint,
+                               extra={"total_len": total_len})
+
+    P = int(meta_a["num_doc_parts"])
+    jobs = []
+    done_p = completed_partitions(out.postings, fingerprint=fingerprint)
+    for k in range(T):
+        if k not in done_p:
+            jobs.append(merge_term_part.remote(k))
+    done_d = completed_partitions(out.docs, fingerprint=fingerprint)
+    done_m = completed_partitions(out.doc_meta, fingerprint=fingerprint)
+    for q in range(base):
+        if q not in done_d:
+            jobs.append(copy_docs.remote(q, q, 0))
+    for q in range(b_parts):
+        if (base + q) not in done_d:
+            jobs.append(copy_docs.remote(q, base + q, C))
+    for q in range(P):
+        if (T + q) not in done_m:
+            jobs.append(merge_doc_meta.remote(q))
+    ray.get(jobs)
+
+    meta_manifests = load_manifests(out.doc_meta)
+    post_manifests = load_manifests(out.postings)
+    N = sum(m.get("rows", 0) for m in meta_manifests)
+    total_len = sum(m.get("total_len", 0) for m in meta_manifests)
+    merged = dict(meta_a)
+    merged.update({
+        "N": N, "total_len": total_len,
+        "avgdl": total_len / N if N else 1.0,
+        "n_terms": sum(m.get("n_terms", 0) for m in post_manifests),
+        "n_postings": sum(m.get("n_postings", 0) for m in post_manifests),
+        "generation": 2,
+        "doc_parts_used": base + b_parts,
+        "fingerprint": fingerprint,
+        "generations": [
+            {"gen": 1, "base": 0, "fingerprint": meta_a.get("fingerprint")},
+            {"gen": 2, "base": base,
+             "fingerprint": meta_b.get("fingerprint")}],
+    })
+    write_json_atomic(merged, out.meta_path)
+    return out

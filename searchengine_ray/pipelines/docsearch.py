@@ -1199,3 +1199,75 @@ CROSS JOIN LATERAL (VALUES ('lang', d.lang), ('source', d.source))
   AS f(facet, value)
 GROUP BY m.query_id, f.facet, f.value
 """
+
+
+# ---- index merge: two half-corpus indexes fold into one ----
+
+
+def ensure_merged_doc_index(sf_dir: str) -> IndexPaths:
+    """Build (once) two INDEPENDENT indexes over the even/odd halves of
+    the documents table, then ``merge_indexes`` them — the Lucene
+    segment-merge lifecycle op, exercised end to end. Cached per
+    sf_dir; the halves and the merged index live under /tmp."""
+    import json
+    from pathlib import Path
+
+    from searchengine_ray.pipelines.build import merge_indexes
+
+    tag = hashlib.blake2b(f"{sf_dir}|merge".encode(),
+                          digest_size=6).hexdigest()
+    root = Path(f"/tmp/graft_merge_index/{tag}")
+    merged = root / "merged"
+    marker = root / "_DONE.json"
+    if marker.is_file():
+        return IndexPaths(str(merged))
+    corpus = _docs_as_corpus(sf_dir)
+
+    def half(side: int):
+        def pick(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            out = batch.filter(pa.array(ids % 2 == side))
+            return out.drop_columns(["doc_id"])
+
+        return corpus.map_batches(pick, batch_format="pyarrow")
+
+    for side in (0, 1):
+        d = root / f"half{side}"
+        if not d.is_dir():
+            half(side).write_parquet(str(d))
+    ia = build_index(str(root / "half0"), root / "ia", doc_index_config(),
+                     resume=True, source_tag=f"{sf_dir}|half0")
+    ib = build_index(str(root / "half1"), root / "ib", doc_index_config(),
+                     resume=True, source_tag=f"{sf_dir}|half1")
+    out = merge_indexes(ia.root, ib.root, merged)
+    marker.write_text(json.dumps({"sf_dir": sf_dir}))
+    return out
+
+
+def index_merge_dictionary(sf_dir: str):
+    """(term, df) of the MERGED index over the two half-corpus builds —
+    the merge's correctness gate: global document frequencies must come
+    out identical to a single whole-corpus analysis (the same SQL
+    oracle as ``index_dictionary``), which only holds if the shifted
+    postings, per-(term,bucket) byte concat and dictionary rewrite are
+    all exact."""
+    from pathlib import Path
+
+    import ray.data
+
+    paths = ensure_merged_doc_index(sf_dir)
+    files = sorted(str(f) for f in Path(paths.dictionary).glob("*.parquet"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("term").aggregate([("df", "sum")])
+        return pa.table({"term": g.column("term"),
+                         "df": g.column("df_sum").cast(pa.int64())})
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"term": batch.column("term"),
+                         "df": batch.column("sum(df)").cast(pa.int64())})
+
+    return ray.data.read_parquet(files, columns=["term", "df"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").sum("df") \
+        .map_batches(rename, batch_format="pyarrow")

@@ -428,3 +428,66 @@ class MergePostingsPartWriter:
                          "n_postings": pa.array([manifest["n_postings"]], pa.int64()),
                          "sort_sec": pa.array([t_write - t_sort], pa.float64()),
                          "write_sec": pa.array([time.time() - t_write], pa.float64())})
+
+
+def shifted_segments(part: int, table: pa.Table, doc_shift: int,
+                     bucket_shift: int, block_size: int) -> pa.Table:
+    """Re-admit a FOREIGN index's merged postings partition as segment
+    rows with every doc id shifted by ``doc_shift`` (the index-merge
+    primitive). Blocks are self-contained (absolute heads, within-block
+    deltas), so a constant shift changes ONLY the doc stream's block
+    heads and the ``last_docs`` metadata: the tf and positions streams,
+    block structure, counts and max_tfs are reused verbatim. The doc
+    stream is decoded and re-encoded in one vectorized pass over the
+    whole partition with the ORIGINAL block boundaries (each block
+    becomes one encode segment), so byte layout stays block-aligned
+    with the untouched pos/tf side arrays.
+
+    ``bucket_shift`` must equal doc_shift // doc_bucket_size with
+    doc_shift a multiple of the bucket size — then every (term, bucket)
+    row maps to exactly one shifted bucket (callers assert this)."""
+    from searchengine_ray.codec import (_segmented_cumsum, encode_segments,
+                                        vbyte_decode)
+
+    n = table.num_rows
+    if n == 0:
+        return SEGMENT_SCHEMA.empty_table()
+    table = table.combine_chunks()
+    counts_col = table.column("counts").combine_chunks()
+    all_counts = counts_col.flatten().to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    row_nblocks = counts_col.value_lengths().to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    row_block_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(row_nblocks, out=row_block_offs[1:])
+    data, _ = _flat_binary(table.column("doc_bytes"))
+    deltas = vbyte_decode(data).astype(np.int64)
+    block_post_offs = np.cumsum(all_counts) - all_counts
+    ids = _segmented_cumsum(deltas, block_post_offs) + doc_shift
+    enc = encode_segments(ids, np.zeros(len(ids), np.int64),
+                          block_post_offs, block_size)
+    new_doc_sizes = np.diff(enc["doc_boffsets"])
+    row_byte_offs = enc["doc_boffsets"][row_block_offs]
+    last_col = table.column("last_docs").combine_chunks()
+    new_last = pa.array(last_col.flatten().to_numpy(
+        zero_copy_only=False).astype(np.int64) + doc_shift, pa.int64())
+    first_doc = ids[block_post_offs[row_block_offs[:-1]]]
+    return pa.table({
+        "part": pa.array(np.full(n, part), pa.int64()),
+        "term": table.column("term"),
+        "term_hash": table.column("term_hash"),
+        "bucket": pa.array(table.column("bucket").to_numpy(
+            zero_copy_only=False).astype(np.int64) + bucket_shift, pa.int64()),
+        "first_doc": pa.array(first_doc, pa.int64()),
+        "df": table.column("df"),
+        "counts": table.column("counts"),
+        "last_docs": _large_list(new_last, row_block_offs),
+        "max_tfs": table.column("max_tfs"),
+        "doc_sizes": _large_list(pa.array(new_doc_sizes, pa.int64()),
+                                 row_block_offs),
+        "tf_sizes": table.column("tf_sizes"),
+        "pos_sizes": table.column("pos_sizes"),
+        "doc_bytes": _large_binary_from(enc["doc_stream"], row_byte_offs),
+        "tf_bytes": table.column("tf_bytes"),
+        "pos_bytes": table.column("pos_bytes"),
+    }, schema=SEGMENT_SCHEMA)
