@@ -105,3 +105,24 @@ def test_merge_resume_is_noop(merged_pair, tmp_path):
     after = {str(f): os.path.getmtime(f)
              for f in Path(merged.postings).glob("*.parquet")}
     assert before == after
+
+
+def test_ingest_after_merge(merged_pair, tmp_path):
+    """A merged index accepts further incremental ingest: the
+    synthesized generation registry carries both sources, and a third
+    corpus lands as generation 3 with ids above both."""
+    from searchengine_ray.pipelines.build import IndexPaths
+    from searchengine_ray.pipelines.query import IndexSearcher
+
+    merged, _ = merged_pair
+    work = tmp_path / "m3"
+    shutil.copytree(merged.root, work)
+    corp_c = generate_corpus(150, tmp_path / "corpC", seed=33, n_files=1)
+    out = add_documents(corp_c, work, _cfg())
+    m = out.meta()
+    assert m["N"] == merged.meta()["N"] + 150
+    assert m["doc_parts_used"] == merged.meta()["doc_parts_used"] + 2
+    assert len(m["generations"]) == 3
+    # queries still answer over the full merged+ingested corpus
+    s = IndexSearcher(out.root, _cfg())
+    assert len(s.search("parse buffer", 10)) > 0
