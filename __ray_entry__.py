@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": events.event_transitions,
         "event_pivot": events.event_pivot,
         "user_running_total": events.user_running_total,
+        "event_trend": events.event_trend,
         "window_user_hll_violations": events.window_user_hll_violations,
         "order_lineitem_join": rel.order_lineitem_join,
         "customers_without_orders": rel.customers_without_orders,
@@ -272,6 +273,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "event_transitions": events.event_transitions_sql(),
         "event_pivot": events.event_pivot_sql(),
         "user_running_total": events.user_running_total_sql(),
+        "event_trend": events.event_trend_sql(),
         "window_user_hll_violations": events.window_user_hll_violations_sql(),
         "order_lineitem_join": rel.order_lineitem_join_sql(),
         "customers_without_orders": rel.customers_without_orders_sql(),

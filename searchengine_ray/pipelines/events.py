@@ -1137,3 +1137,78 @@ SELECT event_id, user_id,
                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_c
 FROM events
 """
+
+
+# ---- grouped model fit: per-type daily-count trend ----
+
+_DAY_US = 86_400_000_000
+
+
+def event_trend(sf_dir: str):
+    """(event_type, n_days, slope_bp) — per-type least-squares slope of
+    daily event counts over integer day indexes (counts/day in bp): the
+    grouped-model-fit operator class (is each event stream growing or
+    decaying?). Days with zero events for a type are absent from that
+    type's fit — same on both sides by construction. All-integer
+    arithmetic end to end with TRUNCATING division mirroring DuckDB's
+    ``//`` (the zipf_slope lesson — the slope CAN be negative).
+
+    Scale shape: per-batch (type, day) partial counts → one tiny
+    groupby (types × days rows) → a per-type vectorized fold. Raw
+    events cross the exchange as pre-aggregated partials only."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = ts // _DAY_US
+        types = batch.column("event_type").to_numpy(zero_copy_only=False)
+        import pandas as pd
+
+        g = pd.DataFrame({"event_type": types, "day": day}).groupby(
+            ["event_type", "day"], as_index=False).size()
+        return pa.table({
+            "event_type": pa.array(g["event_type"].astype(str)),
+            "day": int64_col(g["day"].to_numpy(np.int64)),
+            "n_p": int64_col(g["size"].to_numpy(np.int64))})
+
+    daily = read(sf_dir, "events", ["ts", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536) \
+        .groupby(["event_type", "day"]).aggregate(Sum("n_p", alias_name="n"))
+
+    def fit(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["day"].to_numpy(np.int64)
+        y = df["n"].to_numpy(np.int64)
+        nd = len(x)
+        num = nd * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+        den = nd * int((x * x).sum()) - int(x.sum()) ** 2
+        if den == 0:
+            slope = 0
+        else:
+            scaled = num * 10000
+            slope = abs(scaled) // den * (1 if scaled >= 0 else -1)
+        return pd.DataFrame({"event_type": [df["event_type"].iloc[0]],
+                             "n_days": np.array([nd], np.int64),
+                             "slope_bp": np.array([slope], np.int64)})
+
+    return daily.groupby("event_type").map_groups(fit, batch_format="pandas")
+
+
+def event_trend_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT event_type, CAST(epoch_us(ts) // {_DAY_US} AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, epoch_us(ts) // {_DAY_US}),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(day) AS BIGINT) AS sx, CAST(sum(n) AS BIGINT) AS sy,
+         CAST(sum(day * n) AS BIGINT) AS sxy,
+         CAST(sum(day * day) AS BIGINT) AS sxx
+  FROM d GROUP BY event_type)
+SELECT event_type, nd AS n_days,
+       CAST(CASE WHEN nd * sxx - sx * sx = 0 THEN 0
+            ELSE (nd * sxy - sx * sy) * 10000 // (nd * sxx - sx * sx)
+            END AS BIGINT) AS slope_bp
+FROM s
+"""
