@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_rerank": docsearch.mmr_rerank,
         "facet_search": docsearch.facet_search,
         "index_merge_dictionary": docsearch.index_merge_dictionary,
+        "hybrid_search": docsearch.hybrid_search,
         # --- tokenizer / aggregation surface (SURVEY §2.2/§2.5) ---
         "term_df": ts.term_df,
         "doc_token_stats": ts.doc_token_stats,
@@ -209,6 +210,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "mmr_rerank": docsearch.mmr_rerank_sql(),
         "facet_search": docsearch.facet_search_sql(),
         "index_merge_dictionary": docsearch.index_dictionary_sql(),
+        "hybrid_search": docsearch.hybrid_search_sql(),
         "image_decode_features": multimodal.image_decode_features_sql(),
         "distinct_terms_hll_registers": ts.distinct_terms_hll_registers_sql(),
         "term_df": ts.term_df_sql(),

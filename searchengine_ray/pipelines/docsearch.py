@@ -1271,3 +1271,75 @@ def index_merge_dictionary(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("term").sum("df") \
         .map_batches(rename, batch_format="pyarrow")
+
+
+# ---- hybrid retrieval: reciprocal-rank fusion of BM25 + ANN ----
+
+RRF_K = 60            # the canonical RRF damping constant
+RRF_SCALE = 1_000_000  # integer milli-ish units: 10^6 // (k + rank)
+RRF_N_QUERIES = 5      # hybrid query i pairs DOC_QUERIES[i] with vec i
+
+
+def hybrid_search(sf_dir: str, k: int = 10):
+    """(query_id, rank, doc_id, rrf_u) — hybrid retrieval: reciprocal
+    rank fusion (Cormack, Clarke & Büttcher 2009) of the lexical BM25
+    top-k and the embedding ANN top-k, ``score = Σ 1e6 // (60 + rank)``
+    over the lists a doc appears in — the standard lexical+semantic
+    fusion of a modern search stack, composed entirely from the
+    engine's own retrieval paths (query i fuses DOC_QUERIES[i] with
+    embedding vector i; the driver tables share the dense doc-id
+    space). All-integer scores with (rrf desc, doc_id asc) ties.
+
+    Scale shape: both inputs are the already-distributed retrieval ops;
+    fusion runs on their bounded top-k output (≤ queries × 2k rows) —
+    the MMR/driver-side-by-design pattern."""
+    import pandas as pd
+
+    from searchengine_ray.pipelines import ann
+
+    lex = bm25_topk(sf_dir).to_pandas()
+    lex = lex[lex["query_id"] <= RRF_N_QUERIES]
+    sem = ann.ann_topk(sf_dir, query_ids=list(range(RRF_N_QUERIES)),
+                       k=K).to_pandas()
+    sem["query_id"] = sem["query_vec_id"].astype(np.int64) + 1
+    sem = sem.rename(columns={"vec_id": "doc_id"})
+    both = pd.concat([lex[["query_id", "doc_id", "rank"]],
+                      sem[["query_id", "doc_id", "rank"]]],
+                     ignore_index=True)
+    both["rrf_u"] = RRF_SCALE // (RRF_K + both["rank"].astype(np.int64))
+    fused = both.groupby(["query_id", "doc_id"], as_index=False)["rrf_u"] \
+        .sum()
+    fused = fused.sort_values(["query_id", "rrf_u", "doc_id"],
+                              ascending=[True, False, True],
+                              kind="stable")
+    fused["rank"] = fused.groupby("query_id").cumcount() + 1
+    fused = fused[fused["rank"] <= k]
+    return pa.table({
+        "query_id": int64_col(fused["query_id"].to_numpy(np.int64)),
+        "rank": int64_col(fused["rank"].to_numpy(np.int64)),
+        "doc_id": int64_col(fused["doc_id"].to_numpy(np.int64)),
+        "rrf_u": int64_col(fused["rrf_u"].to_numpy(np.int64))})
+
+
+def hybrid_search_sql(k: int = 10) -> str:
+    from searchengine_ray.pipelines import ann
+
+    ann_sql = ann.ann_topk_sql(query_ids=list(range(RRF_N_QUERIES)), k=K)
+    return f"""
+WITH lex AS MATERIALIZED ({bm25_topk_sql()}),
+sem AS MATERIALIZED ({ann_sql}),
+both_lists AS (
+  SELECT query_id, doc_id, rank FROM lex WHERE query_id <= {RRF_N_QUERIES}
+  UNION ALL
+  SELECT query_vec_id + 1 AS query_id, vec_id AS doc_id, rank FROM sem),
+fused AS (
+  SELECT query_id, doc_id,
+         CAST(sum({RRF_SCALE} // ({RRF_K} + rank)) AS BIGINT) AS rrf_u
+  FROM both_lists GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_u DESC, doc_id ASC) AS rnk
+  FROM fused)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, rrf_u
+FROM ranked WHERE rnk <= {k}
+"""
