@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_search": docsearch.facet_search,
         "index_merge_dictionary": docsearch.index_merge_dictionary,
         "hybrid_search": docsearch.hybrid_search,
+        "suggest_terms": docsearch.suggest_terms,
         # --- tokenizer / aggregation surface (SURVEY §2.2/§2.5) ---
         "term_df": ts.term_df,
         "doc_token_stats": ts.doc_token_stats,
@@ -94,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann.ann_ivf_topk,
         "ann_pq_topk": ann.ann_pq_topk,
         "ann_ivfpq_topk": ann.ann_ivfpq_topk,
+        "ann_ivfpq_res_topk": ann.ann_ivfpq_res_topk,
         # --- text analysis (non-SQL) ---
         "lang_id": ts.lang_id,
         "distinct_terms_hll": ts.distinct_terms_hll,
@@ -178,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
                       ("ann_ivf_topk", ann.ann_ivf_topk_sql),
                       ("ann_pq_topk", ann.ann_pq_topk_sql),
                       ("ann_ivfpq_topk", ann.ann_ivfpq_topk_sql),
+                      ("ann_ivfpq_res_topk", ann.ann_ivfpq_res_topk_sql),
                       ("ann_recall_audit", ann.ann_recall_audit_sql),
                       ("embedding_near_dups_lsh",
                        dedup.embedding_near_dups_lsh_sql)):
@@ -211,6 +214,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "facet_search": docsearch.facet_search_sql(),
         "index_merge_dictionary": docsearch.index_dictionary_sql(),
         "hybrid_search": docsearch.hybrid_search_sql(),
+        "suggest_terms": docsearch.suggest_terms_sql(),
         "image_decode_features": multimodal.image_decode_features_sql(),
         "distinct_terms_hll_registers": ts.distinct_terms_hll_registers_sql(),
         "term_df": ts.term_df_sql(),

@@ -1301,3 +1301,266 @@ ranked AS (
 SELECT query_vec_id, CAST(rnk AS BIGINT) AS rank, vec_id, adc_d
 FROM ranked WHERE rnk <= {k}
 """
+
+
+# ---- IVF-PQ with RESIDUAL encoding (the full FAISS IVFPQ shape) ----
+
+
+def _micro(m: np.ndarray) -> np.ndarray:
+    return np.floor(m * _PQ_MICRO + 0.5)
+
+
+def ensure_ivfpq_res_index(sf_dir: str, n_centroids: int = 16,
+                           m: int = _PQ_M, ks: int = _PQ_KS,
+                           seed: int = _PQ_SEED
+                           ) -> tuple[str, np.ndarray, np.ndarray]:
+    """IVF-PQ with residual encoding (``by_residual=True``): each vector
+    stores PQ codes of ``micro(x) − micro(centroid[list])`` — residuals
+    concentrate near zero, so the same 4-bit budget spends on a far
+    smaller cube than raw coordinates. Residuals are integer
+    differences of micro-quantized values, so encoding and ADC stay
+    exact integer arithmetic (SQL-replayable) like the plain PQ path.
+    Codebooks train on the SAMPLE's residuals under the same coarse
+    assignment rule."""
+    import hashlib
+    import json
+    from pathlib import Path
+
+    import ray
+
+    tag = hashlib.blake2b(
+        f"{sf_dir}|ivfpqres|{n_centroids}|{m}|{ks}|{seed}".encode(),
+        digest_size=6).hexdigest()
+    root = Path(f"/tmp/graft_ivfpq_res_index/{tag}")
+    marker = root / "_DONE.json"
+    if marker.is_file():
+        return (str(root), np.load(root / "centroids.npy"),
+                np.load(root / "codebooks.npy"))
+    if root.exists():
+        import shutil
+
+        shutil.rmtree(root)
+    sample = _ivf_sample(sf_dir)
+    centroids = _spherical_kmeans(sample, n_centroids, seed)
+    cmicro = _micro(centroids)
+    assign = np.argmax(_normalize(sample) @ centroids.T, axis=1)
+    residuals = (_micro(sample) - cmicro[assign]) / _PQ_MICRO
+    books = _pq_train(residuals, m, ks, seed)
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cref, bref = ray.put(centroids), ray.put(books)
+
+    class AssignEncodeRes:
+        def __init__(self, cref, bref):
+            self.centroids = ray.get(cref)
+            self.cmicro = _micro(self.centroids)
+            self.books = ray.get(bref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = emb_matrix(batch.column("embedding"))
+            a = np.argmax(_normalize(emb) @ self.centroids.T, axis=1)
+            res = (_micro(emb) - self.cmicro[a]) / _PQ_MICRO
+            codes = _pq_encode(res, self.books)
+            return pa.table({
+                "vec_id": batch.column("vec_id"),
+                "list": int64_col(a.astype(np.int64)),
+                "codes": pa.array(list(codes), pa.list_(pa.uint8()))})
+
+    ds.map_batches(AssignEncodeRes, fn_constructor_args=(cref, bref),
+                   batch_format="pyarrow", batch_size=1024,
+                   concurrency=(1, 2)).write_parquet(
+        str(root), partition_cols=["list"])
+    np.save(root / "centroids.npy", centroids)
+    np.save(root / "codebooks.npy", books)
+    marker.write_text(json.dumps({"sf_dir": sf_dir}))
+    return str(root), centroids, books
+
+
+def ann_ivfpq_res_topk(sf_dir: str, query_ids: list[int] | None = None,
+                       k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+                       m: int = _PQ_M, ks: int = _PQ_KS,
+                       seed: int = _PQ_SEED):
+    """(query_vec_id, rank, vec_id, adc_d) — residual IVF-PQ top-k: the
+    query builds ONE distance table per PROBED LIST (its residual
+    against that list's centroid), then scans that list's code rows.
+    All-integer ADC; probed lists read from the ``list=<c>/`` layout."""
+    from pathlib import Path
+
+    import ray
+
+    qids_list = query_ids or DEFAULT_QUERY_IDS
+    qids, qmat = _query_matrix(sf_dir, qids_list)
+    root, centroids, books = ensure_ivfpq_res_index(sf_dir, n_centroids,
+                                                    m, ks, seed)
+    cmicro = _micro(centroids)
+    sims = _normalize(qmat) @ centroids.T
+    nprobe = min(nprobe, sims.shape[1])
+    probe_per_q = [set(np.argsort(-sims[qi], kind="stable")[:nprobe]
+                       .tolist()) for qi in range(len(qids))]
+    probe = sorted(set().union(*probe_per_q))
+    mm, kss, dsub = books.shape
+    qmicro = _micro(qmat)
+    # per (probed list, query): the residual distance table — m x ks ints
+    dtabs = {}
+    for c in probe:
+        rq = (qmicro - cmicro[c])                      # (q, d) ints
+        dt = np.zeros((len(qids), mm, kss), np.int64)
+        for s in range(mm):
+            qs = rq[:, s * dsub:(s + 1) * dsub]
+            diff = qs[:, None, :] - books[s][None, :, :].astype(np.float64)
+            dt[:, s, :] = (diff * diff).sum(axis=2).astype(np.int64)
+        dtabs[c] = dt
+    # a query only scores lists IT probed: mask others to +inf
+    big = np.int64(2 ** 62)
+    for c in probe:
+        for qi in range(len(qids)):
+            if c not in probe_per_q[qi]:
+                dtabs[c][qi, :, :] = big // mm
+    # leaf files don't carry the hive partition column — read each
+    # probed list separately and attach its id (the scorer needs it to
+    # pick the right residual table)
+    def _tag(c):
+        def f(batch: pa.Table, _c=int(c)) -> pa.Table:
+            return batch.append_column(
+                "list", pa.array(np.full(batch.num_rows, _c, np.int64)))
+        f.__name__ = f"tag_list_{c}"
+        return f
+
+    list_sets = []
+    for c in probe:
+        d = Path(root) / f"list={c}"
+        files = sorted(str(f) for f in d.glob("*.parquet")) if d.is_dir() else []
+        if files:
+            list_sets.append(
+                ray.data.read_parquet(files, columns=["vec_id", "codes"])
+                .map_batches(_tag(c), batch_format="pyarrow"))
+    if not list_sets:
+        return pa.table({"query_vec_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "adc_d": pa.array([], pa.int64())})
+    pruned = list_sets[0]
+    for extra_ds in list_sets[1:]:
+        pruned = pruned.union(extra_ds)
+    qids_ref = ray.put(qids)
+    dtabs_ref = ray.put(dtabs)
+
+    class ResAdcTopK:
+        def __init__(self, qids_ref, dtabs_ref, k):
+            self.qids = ray.get(qids_ref)
+            self.dtabs = ray.get(dtabs_ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            lists = batch.column("list").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            codes = np.stack(batch.column("codes").to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            q = len(self.qids)
+            dist = np.zeros((q, len(ids)), np.int64)
+            for c in np.unique(lists):
+                sel = np.flatnonzero(lists == c)
+                dt = self.dtabs[int(c)]
+                for s in range(dt.shape[1]):
+                    dist[:, sel] += dt[:, s, :][:, codes[sel, s]]
+            out_q, out_v, out_d = [], [], []
+            kk = min(self.k, len(ids))
+            for qi in range(q):
+                row = dist[qi]
+                ok = np.flatnonzero(row < big)
+                top = ok[np.lexsort((ids[ok], row[ok]))[:kk]]
+                out_q.append(np.full(len(top), self.qids[qi], np.int64))
+                out_v.append(ids[top])
+                out_d.append(row[top])
+            return pa.table({
+                "query_vec_id": int64_col(np.concatenate(out_q)),
+                "vec_id": int64_col(np.concatenate(out_v)),
+                "adc_d": int64_col(np.concatenate(out_d))})
+
+    local = pruned.map_batches(
+        ResAdcTopK, fn_constructor_args=(qids_ref, dtabs_ref, k),
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 2))
+    return local.groupby("query_vec_id").map_groups(
+        _merge_topk_asc_factory(k), batch_format="pandas")
+
+
+def ann_ivfpq_res_topk_sql(sf_dir: str = _SF_ORACLE_DEFAULT,
+                           query_ids: list[int] | None = None, k: int = 10,
+                           n_centroids: int = 16, nprobe: int = 4,
+                           m: int = _PQ_M, ks: int = _PQ_KS,
+                           seed: int = _PQ_SEED) -> str:
+    """Exact replay: coarse centroids inline twice (DOUBLE[] for the
+    float argmax assignment, BIGINT[] micro for the integer residuals);
+    residual codebooks retrain from the same sample. A candidate scores
+    against a query ONLY through lists that query probed."""
+    centroids = _oracle_centroids(sf_dir, n_centroids, seed)
+    cmicro = _micro(centroids).astype(np.int64)
+    sample = _ivf_sample_local(sf_dir)
+    assign = np.argmax(_normalize(sample) @ centroids.T, axis=1)
+    residuals = (_micro(sample) - cmicro[assign]) / _PQ_MICRO
+    books = _pq_train(residuals, m, ks, seed)
+    mm, kss, dsub = books.shape
+    cent_rows = ",".join(f"({c},{_sql_vec(centroids[c])},"
+                         f"[{','.join(str(int(x)) for x in cmicro[c])}]::BIGINT[])"
+                         for c in range(len(centroids)))
+    book_rows = ",".join(
+        f"({s},{c},[{','.join(str(int(x)) for x in books[s][c])}]::BIGINT[])"
+        for s in range(mm) for c in range(kss))
+    ids = ",".join(map(str, query_ids or DEFAULT_QUERY_IDS))
+    nprobe = min(nprobe, len(centroids))
+    micro_expr = ("CAST(floor(CAST(e.embedding[{i}] AS DOUBLE) * "
+                  f"{_PQ_MICRO} + 0.5) AS BIGINT)")
+    res_j = (micro_expr.format(i=f"ct.sub * {dsub} + j")
+             + " - cm.vm[ct.sub * {d} + j]".format(d=dsub))
+    return f"""
+WITH cents(c, v, vm) AS (VALUES {cent_rows}),
+books(sub, code, v) AS (VALUES {book_rows}),
+asg AS (
+  SELECT e.vec_id, ct.c,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding, ct.v) DESC, ct.c ASC) AS rn
+  FROM embeddings e CROSS JOIN cents ct),
+vl AS (SELECT vec_id, c AS list FROM asg WHERE rn = 1),
+qp AS (
+  SELECT e.vec_id AS query_vec_id, ct.c,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding, ct.v) DESC, ct.c ASC) AS rn
+  FROM embeddings e CROSS JOIN cents ct WHERE e.vec_id IN ({ids})),
+probe AS (SELECT query_vec_id, c FROM qp WHERE rn <= {nprobe}),
+sub_d AS (
+  SELECT e.vec_id, ct.sub, ct.code,
+         list_sum(list_transform(generate_series(1, {dsub}), j ->
+           ({res_j} - ct.v[j]) * ({res_j} - ct.v[j]))) AS d2
+  FROM embeddings e
+  JOIN vl ON vl.vec_id = e.vec_id
+  JOIN cents cm ON cm.c = vl.list
+  CROSS JOIN books ct
+  WHERE vl.list IN (SELECT DISTINCT c FROM probe)),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d2 ASC, code ASC) AS rn
+    FROM sub_d) WHERE rn = 1),
+qd AS (
+  SELECT e.vec_id AS query_vec_id, p.c AS list, ct.sub, ct.code,
+         list_sum(list_transform(generate_series(1, {dsub}), j ->
+           ({res_j} - ct.v[j]) * ({res_j} - ct.v[j]))) AS d2
+  FROM embeddings e
+  JOIN probe p ON p.query_vec_id = e.vec_id
+  JOIN cents cm ON cm.c = p.c
+  CROSS JOIN books ct
+  WHERE e.vec_id IN ({ids})),
+adc AS (
+  SELECT qd.query_vec_id, c.vec_id, CAST(sum(qd.d2) AS BIGINT) AS adc_d
+  FROM vl
+  JOIN codes c ON c.vec_id = vl.vec_id
+  JOIN qd ON qd.list = vl.list AND qd.sub = c.sub AND qd.code = c.code
+  GROUP BY qd.query_vec_id, c.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_vec_id
+                               ORDER BY adc_d ASC, vec_id ASC) AS rnk
+  FROM adc)
+SELECT query_vec_id, CAST(rnk AS BIGINT) AS rank, vec_id, adc_d
+FROM ranked WHERE rnk <= {k}
+"""

@@ -1343,3 +1343,73 @@ ranked AS (
 SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, rrf_u
 FROM ranked WHERE rnk <= {k}
 """
+
+
+def suggest_terms(sf_dir: str, cap: int = PREFIX_MAX_EXPANSIONS):
+    """(query_id, rank, term, df) — query autocomplete: each prefix's
+    top-``cap`` index terms by (df desc, term asc), with df. The
+    user-facing suggest/typeahead endpoint over the same distributed
+    dictionary scan as ``prefix_search`` (one pruned-column pass over
+    every dictionary partition matches ALL prefixes; matched rows —
+    never the vocabulary — flow through a re-sum and a per-query
+    top-cap)."""
+    from pathlib import Path
+
+    import pandas as pd
+    import ray.data
+
+    paths = ensure_doc_index(sf_dir)
+    files = sorted(str(f) for f in Path(paths.dictionary).glob("*.parquet"))
+    prefixes = [(int(q), p) for q, p in PREFIX_QUERIES]
+
+    def match(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_numpy(zero_copy_only=False)
+        dfs = batch.column("df").to_numpy(zero_copy_only=False)
+        qids_out, terms_out, dfs_out = [], [], []
+        for qid, pre in prefixes:
+            hit = np.char.startswith(terms.astype(str), pre)
+            qids_out.append(np.full(int(hit.sum()), qid, np.int64))
+            terms_out.append(terms[hit])
+            dfs_out.append(dfs[hit].astype(np.int64))
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qids_out), pa.int64()),
+            "term": pa.array(np.concatenate(terms_out).astype(str)),
+            "df": pa.array(np.concatenate(dfs_out), pa.int64())})
+
+    def top_cap(g: "pd.DataFrame") -> pd.DataFrame:
+        g = g.sort_values(["df", "term"], ascending=[False, True],
+                          kind="stable").head(cap).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "term", "df"]].astype(
+            {"query_id": np.int64, "df": np.int64})
+
+    return (ray.data.read_parquet(files, columns=["term", "df"])
+            .map_batches(match, batch_format="pyarrow")
+            .groupby(["query_id", "term"]).sum("df")
+            .map_batches(lambda b: pa.table(
+                {"query_id": b.column("query_id"), "term": b.column("term"),
+                 "df": b.column("sum(df)").cast(pa.int64())}),
+                batch_format="pyarrow")
+            .groupby("query_id").map_groups(top_cap, batch_format="pandas"))
+
+
+def suggest_terms_sql(cap: int = PREFIX_MAX_EXPANSIONS) -> str:
+    values = ",\n        ".join(f"({qid}, '{p}')" for qid, p in PREFIX_QUERIES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+'))
+    AS term
+  FROM documents),
+tf AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''),
+dict AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+prefixes(query_id, prefix) AS (VALUES
+        {values}),
+matched AS (
+  SELECT p.query_id, d.term, d.df,
+         row_number() OVER (PARTITION BY p.query_id
+                            ORDER BY d.df DESC, d.term ASC) AS rnk
+  FROM prefixes p JOIN dict d ON starts_with(d.term, p.prefix))
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       term, df
+FROM matched WHERE rnk <= {cap}
+"""

@@ -816,3 +816,26 @@ def test_ann_ivfpq_matches_oracle_and_full_probe(ray_session, duck):
     full = _canon(_to_pandas(ann.ann_ivfpq_topk(SF_DIR, nprobe=16)))
     pq = _canon(_to_pandas(ann.ann_pq_topk(SF_DIR)))
     pd.testing.assert_frame_equal(full, pq, check_dtype=False)
+
+
+def test_ann_ivfpq_res_matches_oracle(ray_session, duck):
+    """Residual IVF-PQ: oracle regenerates (data-dependent coarse
+    centroids + residual codebooks) for this sf_dir; recall@10 vs the
+    exact baseline stays above chance."""
+    import numpy as np
+
+    from searchengine_ray.pipelines import ann
+
+    got = _canon(_to_pandas(ann.ann_ivfpq_res_topk(SF_DIR)))
+    want = _canon(duck.sql(ann.ann_ivfpq_res_topk_sql(SF_DIR)).df())
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    exact = _to_pandas(ann.ann_topk(SF_DIR))
+    res = got
+    recalls = []
+    for q in exact.query_vec_id.unique():
+        e = set(exact[exact.query_vec_id == q].vec_id)
+        p = set(res[res.query_vec_id == q].vec_id)
+        recalls.append(len(e & p) / len(e))
+    assert np.mean(recalls) >= 0.1, recalls
