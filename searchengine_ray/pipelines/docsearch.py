@@ -1413,3 +1413,118 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
        term, df
 FROM matched WHERE rnk <= {cap}
 """
+
+
+# ---- fuzzy retrieval: edit-distance-1 term expansion + OR union ----
+
+FUZZY_QUERIES: list[tuple[int, str]] = [
+    (1, "hashh joim"),      # two misspellings
+    (2, "tabel"),           # transpose
+    (3, "strean batch"),    # one misspelling + one exact
+    (4, "zzznope"),         # nothing within distance 1
+    (5, "scann"),           # insert
+    (6, "windo merge"),     # delete + exact
+]
+
+FUZZY_MAX_EXPANSIONS = 8
+
+
+def fuzzy_search(sf_dir: str, cap: int = FUZZY_MAX_EXPANSIONS):
+    """(query_id, doc_id, n_terms) — fuzzy retrieval: every query term
+    expands to the index terms within Damerau-Levenshtein distance 1
+    (top-``cap`` by df desc, term asc — the deterministic expansion
+    bound, like ``prefix_search``), then docs containing ANY surviving
+    term return with their distinct-match count. Expansion is the
+    Norvig variant-set of ``functions/spell.py`` (deletes, transposes,
+    replaces, inserts over the analyzer alphabet == DL ≤ 1 exactly,
+    since index terms only contain that alphabet) checked by
+    vectorized membership against the distributed dictionary scan —
+    the same one-pass, matched-rows-only shape as the prefix scan.
+    Oracle replays expansion with DuckDB ``damerau_levenshtein``."""
+    from pathlib import Path
+
+    import pandas as pd
+    import ray.data
+
+    from searchengine_ray.functions.spell import edits1
+    from searchengine_ray.pipelines.query import terms_union_queries
+
+    paths = ensure_doc_index(sf_dir)
+    analyzer = Analyzer(doc_index_config())
+    qterms: list[tuple[int, str, np.ndarray]] = []
+    for qid, text in FUZZY_QUERIES:
+        for t in sorted(set(analyzer.terms(text))):
+            qterms.append((qid, t, np.array(sorted(edits1(t)), dtype=object)))
+
+    files = sorted(str(f) for f in Path(paths.dictionary).glob("*.parquet"))
+
+    def match(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_numpy(zero_copy_only=False)
+        dfs = batch.column("df").to_numpy(zero_copy_only=False)
+        qid_out, qt_out, t_out, d_out = [], [], [], []
+        for qid, qt, variants in qterms:
+            hit = np.isin(terms, variants)
+            n = int(hit.sum())
+            qid_out.append(np.full(n, qid, np.int64))
+            qt_out.extend([qt] * n)
+            t_out.append(terms[hit])
+            d_out.append(dfs[hit].astype(np.int64))
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qid_out), pa.int64()),
+            "qterm": pa.array(qt_out, pa.string()),
+            "term": pa.array(np.concatenate(t_out).astype(str)),
+            "df": pa.array(np.concatenate(d_out), pa.int64())})
+
+    def top_cap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["df", "term"], ascending=[False, True],
+                          kind="stable").head(cap)
+        return g[["query_id", "term"]]
+
+    rows = (ray.data.read_parquet(files, columns=["term", "df"])
+            .map_batches(match, batch_format="pyarrow")
+            .groupby(["query_id", "qterm", "term"]).sum("df")
+            .map_batches(lambda b: pa.table(
+                {"query_id": b.column("query_id"),
+                 "qterm": b.column("qterm"), "term": b.column("term"),
+                 "df": b.column("sum(df)")}), batch_format="pyarrow")
+            .groupby(["query_id", "qterm"]).map_groups(
+                top_cap, batch_format="pandas")
+            .take_all())
+    expanded: dict[int, set] = {}
+    for r in rows:
+        expanded.setdefault(int(r["query_id"]), set()).add(str(r["term"]))
+    pairs = [(qid, " ".join(sorted(ts))) for qid, ts in
+             sorted(expanded.items())]
+    return terms_union_queries(paths, pairs, config=doc_index_config(),
+                               concurrency=(1, 2))
+
+
+def fuzzy_search_sql(cap: int = FUZZY_MAX_EXPANSIONS) -> str:
+    analyzer = Analyzer(doc_index_config())
+    values = []
+    for qid, text in FUZZY_QUERIES:
+        for t in sorted(set(analyzer.terms(text))):
+            values.append(f"({qid}, '{t}')")
+    values_sql = ",\n        ".join(values)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+'))
+    AS term
+  FROM documents),
+tf AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''),
+dict AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+queries(query_id, qterm) AS (VALUES
+        {values_sql}),
+expanded AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT q.query_id, q.qterm, d.term, d.df,
+           row_number() OVER (PARTITION BY q.query_id, q.qterm
+                              ORDER BY d.df DESC, d.term ASC) AS rnk
+    FROM queries q JOIN dict d
+      ON damerau_levenshtein(d.term, q.qterm) <= 1)
+  WHERE rnk <= {cap})
+SELECT CAST(e.query_id AS BIGINT) AS query_id, tf.doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM expanded e JOIN tf ON tf.term = e.term
+GROUP BY e.query_id, tf.doc_id
+"""
