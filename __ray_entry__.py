@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_search": docsearch.hybrid_search,
         "suggest_terms": docsearch.suggest_terms,
         "fuzzy_search": docsearch.fuzzy_search,
+        "collapse_search": docsearch.collapse_search,
         # --- tokenizer / aggregation surface (SURVEY §2.2/§2.5) ---
         "term_df": ts.term_df,
         "doc_token_stats": ts.doc_token_stats,
@@ -217,6 +218,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "hybrid_search": docsearch.hybrid_search_sql(),
         "suggest_terms": docsearch.suggest_terms_sql(),
         "fuzzy_search": docsearch.fuzzy_search_sql(),
+        "collapse_search": docsearch.collapse_search_sql(),
         "image_decode_features": multimodal.image_decode_features_sql(),
         "distinct_terms_hll_registers": ts.distinct_terms_hll_registers_sql(),
         "term_df": ts.term_df_sql(),

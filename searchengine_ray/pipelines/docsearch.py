@@ -1528,3 +1528,69 @@ SELECT CAST(e.query_id AS BIGINT) AS query_id, tf.doc_id,
 FROM expanded e JOIN tf ON tf.term = e.term
 GROUP BY e.query_id, tf.doc_id
 """
+
+
+# ---- field collapsing: at most one result per source ----
+
+COLLAPSE_M = 5
+
+
+def collapse_search(sf_dir: str, m: int = COLLAPSE_M):
+    """(query_id, rank, doc_id, source, score_bp) — field-collapsed
+    retrieval: within each query's BM25 top-K pool, keep only the
+    best-ranked doc per ``source`` value (the dedupe-by-site /
+    one-hit-per-repo result presentation), then re-rank the survivors
+    and return the top ``m``. Deterministic everywhere: collapse picks
+    by (score_bp desc, doc_id asc) inside each (query, source) group.
+
+    Scale shape: candidates are the bounded pool-scored top-K; their
+    source values come from a predicate-pushdown doc-values read of
+    exactly those ids (the MMR pattern — the collapse itself runs on
+    ≤ queries × K rows by construction)."""
+    import pandas as pd
+
+    ex = bm25_topk(sf_dir).to_pandas()
+    cand_ids = sorted({int(d) for d in ex["doc_id"]})
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, cand_ids)))
+
+    rows = read(sf_dir, "documents", ["doc_id", "source"]) \
+        .map_batches(pick, batch_format="pyarrow").take_all()
+    src = {int(r["doc_id"]): str(r["source"]) for r in rows}
+    ex["source"] = ex["doc_id"].map(src)
+    ex = ex.sort_values(["query_id", "score_bp", "doc_id"],
+                        ascending=[True, False, True], kind="stable")
+    best = ex.groupby(["query_id", "source"], as_index=False).first()
+    best = best.sort_values(["query_id", "score_bp", "doc_id"],
+                            ascending=[True, False, True], kind="stable")
+    best["rank"] = best.groupby("query_id").cumcount() + 1
+    best = best[best["rank"] <= m]
+    return pa.table({
+        "query_id": int64_col(best["query_id"].to_numpy(np.int64)),
+        "rank": int64_col(best["rank"].to_numpy(np.int64)),
+        "doc_id": int64_col(best["doc_id"].to_numpy(np.int64)),
+        "source": pa.array(best["source"].astype(str), pa.string()),
+        "score_bp": int64_col(best["score_bp"].to_numpy(np.int64))})
+
+
+def collapse_search_sql(m: int = COLLAPSE_M) -> str:
+    return f"""
+WITH ex AS MATERIALIZED ({bm25_topk_sql()}),
+with_src AS (
+  SELECT e.query_id, e.doc_id, e.score_bp, d.source
+  FROM ex e JOIN documents d ON d.doc_id = e.doc_id),
+collapsed AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id, source
+                                 ORDER BY score_bp DESC, doc_id ASC) AS rs
+    FROM with_src) WHERE rs = 1),
+ranked AS (
+  SELECT query_id, doc_id, source, score_bp,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_bp DESC, doc_id ASC) AS rnk
+  FROM collapsed)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, source, score_bp
+FROM ranked WHERE rnk <= {m}
+"""
