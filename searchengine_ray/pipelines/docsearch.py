@@ -1594,3 +1594,123 @@ ranked AS (
 SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, source, score_bp
 FROM ranked WHERE rnk <= {m}
 """
+
+
+# ---- retrieval evaluation: NDCG@10 under AND-match relevance ----
+
+
+def _ndcg_coeffs(k: int = K) -> list[int]:
+    """Integer DCG coefficients: round(1e6 / log2(rank + 1)) — fixed
+    constants, identical literals on both sides, so the whole NDCG
+    computation is exact integer arithmetic."""
+    import math
+
+    return [int(math.floor(1_000_000 / math.log2(i + 1) + 0.5))
+            for i in range(1, k + 1)]
+
+
+def search_eval_ndcg(sf_dir: str):
+    """(query_id, n_rel, ndcg_bp) — retrieval-quality evaluation:
+    NDCG@10 of the BM25 ranking under binary AND-match relevance (a doc
+    is relevant iff it contains EVERY query term — the deterministic
+    stand-in for editorial labels). DCG uses an integer coefficient
+    table (µ-units of 1/log2(rank+1)); ndcg_bp = dcg·10⁴ // idcg —
+    truncating division on both sides. Queries with zero relevant docs
+    emit nothing. The eval harness every search stack runs after a
+    ranker change, composed from the engine's own retrieval paths.
+
+    Scale shape: the relevant set comes from the distributed boolean
+    AND executors; the driver sees only per-query counts plus the
+    bounded (query × 10) membership flags."""
+    import pandas as pd
+
+    from searchengine_ray.pipelines.query import boolean_queries
+
+    paths = ensure_doc_index(sf_dir)
+    ranked = bm25_topk(sf_dir).to_pandas()
+    cand = {(int(q), int(d)) for q, d in
+            zip(ranked["query_id"], ranked["doc_id"])}
+    matches = boolean_queries(paths, DOC_QUERIES, config=doc_index_config(),
+                              concurrency=(1, 2))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        qs = batch.column("query_id").to_numpy(zero_copy_only=False)
+        ds_ = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        inpool = np.fromiter(((int(a), int(b)) in cand
+                              for a, b in zip(qs, ds_)), bool, len(qs))
+        return pa.table({"query_id": int64_col(qs.astype(np.int64)),
+                         "doc_id": int64_col(ds_.astype(np.int64)),
+                         "inpool": pa.array(inpool)})
+
+    rows = matches.map_batches(tag, batch_format="pyarrow").to_pandas()
+    n_rel = rows.groupby("query_id").size()
+    rel_pairs = {(int(q), int(d)) for q, d in
+                 zip(rows[rows["inpool"]]["query_id"],
+                     rows[rows["inpool"]]["doc_id"])}
+    coeffs = _ndcg_coeffs()
+    out_q, out_n, out_s = [], [], []
+    for qid, g in ranked.groupby("query_id"):
+        r = int(n_rel.get(qid, 0))
+        if r == 0:
+            continue
+        g = g.sort_values("rank")
+        dcg = sum(coeffs[i] for i, d in enumerate(g["doc_id"].astype(int))
+                  if i < K and (int(qid), d) in rel_pairs)
+        idcg = sum(coeffs[:min(r, K)])
+        out_q.append(int(qid))
+        out_n.append(r)
+        out_s.append(dcg * 10_000 // idcg)
+    return pa.table({"query_id": int64_col(out_q),
+                     "n_rel": int64_col(out_n),
+                     "ndcg_bp": int64_col(out_s)})
+
+
+def search_eval_ndcg_sql() -> str:
+    analyzer = Analyzer(doc_index_config())
+    values = []
+    n_terms_of = {}
+    for qid, text in DOC_QUERIES:
+        terms = sorted(set(analyzer.terms(text)))
+        n_terms_of[qid] = len(terms)
+        for t in terms:
+            values.append(f"({qid}, '{t}')")
+    values_sql = ",\n        ".join(values)
+    nt_sql = ",".join(f"({q}, {n})" for q, n in n_terms_of.items())
+    coeffs = _ndcg_coeffs()
+    coeff_sql = ",".join(f"({i + 1}, {c})" for i, c in enumerate(coeffs))
+    return f"""
+WITH ex AS MATERIALIZED ({bm25_topk_sql()}),
+toks2 AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+'))
+    AS term
+  FROM documents),
+tf2 AS (SELECT DISTINCT doc_id, term FROM toks2 WHERE term <> ''),
+queries(query_id, term) AS (VALUES
+        {values_sql}),
+nterms(query_id, n) AS (VALUES {nt_sql}),
+coeff(rank, c) AS (VALUES {coeff_sql}),
+rel AS (
+  SELECT q.query_id, tf2.doc_id
+  FROM queries q JOIN tf2 ON tf2.term = q.term
+  GROUP BY q.query_id, tf2.doc_id
+  HAVING count(DISTINCT q.term)
+         = (SELECT n FROM nterms WHERE query_id = q.query_id)),
+nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+         FROM rel GROUP BY query_id),
+dcg AS (
+  SELECT e.query_id, CAST(sum(co.c) AS BIGINT) AS dcg_u
+  FROM ex e
+  JOIN rel r ON r.query_id = e.query_id AND r.doc_id = e.doc_id
+  JOIN coeff co ON co.rank = e.rank
+  GROUP BY e.query_id),
+idcg AS (
+  SELECT n.query_id,
+         CAST((SELECT sum(c) FROM coeff
+               WHERE rank <= least(n.n_rel, {K})) AS BIGINT) AS idcg_u
+  FROM nrel n)
+SELECT n.query_id, n.n_rel,
+       CAST(COALESCE(d.dcg_u, 0) * 10000 // i.idcg_u AS BIGINT) AS ndcg_bp
+FROM nrel n
+JOIN idcg i ON i.query_id = n.query_id
+LEFT JOIN dcg d ON d.query_id = n.query_id
+"""
