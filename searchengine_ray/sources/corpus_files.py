@@ -60,10 +60,23 @@ def _normalize_factory(content_column: str, source_name: str):
 
 def corpus_from_jsonl(path, content_column: str = "content"):
     """Newline-delimited JSON file(s) -> corpus Dataset. Accepts a file
-    or directory; parallel read via ``ray.data.read_json``."""
+    or directory; parallel read via ``ray.data.read_json``. ``.gz``
+    members read transparently (corpora usually arrive compressed) —
+    detection is by extension, directory-wide."""
+    from pathlib import Path
+
     import ray.data
 
-    ds = ray.data.read_json(str(path))
+    p = Path(str(path))
+    files = sorted(p.rglob("*")) if p.is_dir() else [p]
+    gz = [f for f in files if f.suffix == ".gz"]
+    kw = {}
+    if gz:
+        if any(f.is_file() and f.suffix != ".gz" for f in files):
+            raise ValueError("mixed .gz and plain JSONL in one source "
+                             "directory — split them into two builds")
+        kw["arrow_open_stream_args"] = {"compression": "gzip"}
+    ds = ray.data.read_json(str(path), **kw)
     return ds.map_batches(_normalize_factory(content_column, "jsonl"),
                           batch_format="pyarrow")
 

@@ -131,3 +131,50 @@ def test_corpus_file_sources_build_parity(ray_session, tmp_path):
         results[name] = res.reset_index(drop=True)
     pd.testing.assert_frame_equal(results["parquet"], results["jsonl"])
     pd.testing.assert_frame_equal(results["parquet"], results["csv"])
+
+
+def test_corpus_jsonl_gzip_parity(ray_session, tmp_path):
+    """A gzip-compressed JSONL dump builds an index identical in query
+    behavior to the plain JSONL one; mixed gz/plain dirs are refused."""
+    import gzip
+    import json
+
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from searchengine_ray import IndexConfig
+    from searchengine_ray.corpus import generate_corpus
+    from searchengine_ray.pipelines.build import build_index
+    from searchengine_ray.pipelines.query import search_queries
+    from searchengine_ray.sources.corpus_files import corpus_from_jsonl
+
+    corpus_dir = generate_corpus(200, tmp_path / "corpus", seed=13,
+                                 n_files=1)
+    rows = ray.data.read_parquet(corpus_dir).take_all()
+    gz_dir = tmp_path / "gz"
+    gz_dir.mkdir()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with gzip.open(gz_dir / f"docs{i}.jsonl.gz", "wt") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+    with open(tmp_path / "docs.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    cfg = IndexConfig(num_doc_parts=2, num_term_parts=4)
+    qs = [(1, "parse buffer"), (2, "table scan merge")]
+    results = {}
+    for name, src in (("plain", corpus_from_jsonl(tmp_path / "docs.jsonl")),
+                      ("gz", corpus_from_jsonl(gz_dir))):
+        paths = build_index(src, tmp_path / f"idx_{name}", cfg,
+                            source_tag=f"gz-test-{name}")
+        res = search_queries(paths, qs, k=5, config=cfg,
+                             concurrency=(1, 2)).to_pandas()
+        results[name] = res.reset_index(drop=True)
+    pd.testing.assert_frame_equal(results["plain"], results["gz"])
+
+    (gz_dir / "extra.jsonl").write_text('{"content": "plain row"}\n')
+    with pytest.raises(ValueError, match="mixed"):
+        corpus_from_jsonl(gz_dir)
