@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": ts.winnow_fingerprints,
         "winnow_dup_pairs": ts.winnow_dup_pairs,
         "regex_search": ts.regex_search,
+        "regex_extract": ts.regex_extract,
+        "term_burstiness": ts.term_burstiness,
         "numeric_literals": ts.numeric_literals,
         "token_count_bpe": ts.token_count_bpe,
         # --- multimodal plumbing ---
@@ -261,6 +263,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "winnow_fingerprints": ts.winnow_fingerprints_sql(),
         "winnow_dup_pairs": ts.winnow_dup_pairs_sql(),
         "regex_search": ts.regex_search_sql(),
+        "regex_extract": ts.regex_extract_sql(),
+        "term_burstiness": ts.term_burstiness_sql(),
         "numeric_literals": ts.numeric_literals_sql(),
         "token_count_bpe": ts.token_count_bpe_sql(),
         "ann_topk": ann.ann_topk_sql(),

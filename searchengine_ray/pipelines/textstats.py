@@ -4407,3 +4407,120 @@ SELECT CAST(p.query_id AS BIGINT) AS query_id, d.doc_id,
 FROM documents d CROSS JOIN pats p
 WHERE len(regexp_extract_all(d.text, p.pat)) > 0
 """
+
+
+# ---- term burstiness: exact tf moments per term ----
+
+
+class _BurstinessPartial(_SimpleTokenStage):
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = np.arange(len(texts), dtype=np.int64)
+        codes, docs, tfs, info = self.analyzer.tokenize_batch(texts, ids)
+        if len(codes) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df_p": pa.array([], pa.int64()),
+                             "tf_p": pa.array([], pa.int64()),
+                             "tf2_p": pa.array([], pa.int64())})
+        n_terms = len(info["vocab"])
+        tfs64 = tfs.astype(np.int64)
+        df_p = np.bincount(codes, minlength=n_terms)
+        tf_p = np.bincount(codes, weights=tfs64, minlength=n_terms)
+        tf2_p = np.bincount(codes, weights=tfs64 * tfs64, minlength=n_terms)
+        return pa.table({"term": pa.array(info["vocab"], pa.string()),
+                         "df_p": int64_col(df_p),
+                         "tf_p": int64_col(tf_p.astype(np.int64)),
+                         "tf2_p": int64_col(tf2_p.astype(np.int64))})
+
+
+def term_burstiness(sf_dir: str):
+    """(term, df, tf_sum, tf_sq_sum) — exact per-term tf moments over
+    occurring docs: the raw material of burstiness statistics (Church &
+    Gale 1995 — content words repeat within a doc far more than a
+    Poisson model predicts; variance/mean from these integer sums
+    separates topical terms from function words). Pre-aggregated
+    per-batch partials, one term groupby; the moments stay exact
+    integers so the row is value-verified, not approximated.
+
+    (bincount weights are float64 — exact here since per-batch sums
+    stay far under 2^53.)"""
+    from ray.data.aggregate import Sum
+
+    partial = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _BurstinessPartial, batch_format="pyarrow", batch_size=512,
+        concurrency=(1, 4))
+    out = partial.groupby("term").aggregate(
+        Sum("df_p", alias_name="df"), Sum("tf_p", alias_name="tf_sum"),
+        Sum("tf2_p", alias_name="tf_sq_sum"))
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table({"term": batch.column("term"),
+                         "df": batch.column("df").cast(pa.int64()),
+                         "tf_sum": batch.column("tf_sum").cast(pa.int64()),
+                         "tf_sq_sum": batch.column("tf_sq_sum").cast(
+                             pa.int64())})
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def term_burstiness_sql() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+'))
+    AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks WHERE term <> '' GROUP BY doc_id, term)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS tf_sum,
+       CAST(sum(tf * tf) AS BIGINT) AS tf_sq_sum
+FROM tf GROUP BY term
+"""
+
+
+# ---- regex extraction: one row per match (the flat_map/unnest class) ----
+
+EXTRACT_PATTERN = "s[a-z]{3,}"
+
+
+def regex_extract(sf_dir: str, pattern: str = EXTRACT_PATTERN):
+    """(doc_id, match_no, match) — regex EXTRACTION: one output row per
+    non-overlapping match, numbered in document order. The flat_map /
+    unnest operator class (rows out ≠ rows in) beside the per-doc
+    ``regex_search`` counts — the shape of every field-harvesting pass
+    (log mining, link extraction, citation harvesting). Zero shuffle;
+    compiled pattern per worker; same RE2/re portability discipline."""
+    import re
+
+    class ExtractStage:
+        def __init__(self):
+            self.pat = re.compile(pattern)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            ids = batch.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            out_d, out_n, out_m = [], [], []
+            for i, t in enumerate(texts):
+                for j, mt in enumerate(self.pat.finditer(t), start=1):
+                    out_d.append(int(ids[i]))
+                    out_n.append(j)
+                    out_m.append(mt.group(0))
+            return pa.table({"doc_id": int64_col(out_d),
+                             "match_no": int64_col(out_n),
+                             "match": pa.array(out_m, pa.string())})
+
+    return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        ExtractStage, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, 4))
+
+
+def regex_extract_sql(pattern: str = EXTRACT_PATTERN) -> str:
+    return f"""
+SELECT doc_id,
+       CAST(generate_subscripts(regexp_extract_all(text, '{pattern}'), 1)
+            AS BIGINT) AS match_no,
+       unnest(regexp_extract_all(text, '{pattern}')) AS match
+FROM documents
+WHERE len(regexp_extract_all(text, '{pattern}')) > 0
+"""

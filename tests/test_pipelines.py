@@ -54,7 +54,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "nation_volume", "winnow_fingerprints", "winnow_dup_pairs", "regex_search", "event_pivot",
                "user_running_total", "index_merge_dictionary", "event_trend",
                "hybrid_search", "suggest_terms", "fuzzy_search",
-               "collapse_search", "search_eval_ndcg"]
+               "collapse_search", "search_eval_ndcg", "term_burstiness",
+               "regex_extract"]
 
 
 @pytest.fixture(scope="module")
