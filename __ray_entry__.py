@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": ann.ann_pq_topk,
         "ann_ivfpq_topk": ann.ann_ivfpq_topk,
         "ann_ivfpq_res_topk": ann.ann_ivfpq_res_topk,
+        "embedding_pca": ann.embedding_pca,
         # --- text analysis (non-SQL) ---
         "lang_id": ts.lang_id,
         "distinct_terms_hll": ts.distinct_terms_hll,
@@ -186,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
                       ("ann_pq_topk", ann.ann_pq_topk_sql),
                       ("ann_ivfpq_topk", ann.ann_ivfpq_topk_sql),
                       ("ann_ivfpq_res_topk", ann.ann_ivfpq_res_topk_sql),
+                      ("embedding_pca", ann.embedding_pca_sql),
                       ("ann_recall_audit", ann.ann_recall_audit_sql),
                       ("embedding_near_dups_lsh",
                        dedup.embedding_near_dups_lsh_sql)):

@@ -1564,3 +1564,129 @@ ranked AS (
 SELECT query_vec_id, CAST(rnk AS BIGINT) AS rank, vec_id, adc_d
 FROM ranked WHERE rnk <= {k}
 """
+
+
+# ---- embedding PCA: distributed covariance + first principal score ----
+
+_PCA_ITERS = 100
+
+
+def _pca_eigvec_from_moments(n: int, sx: np.ndarray, sxx: np.ndarray
+                             ) -> np.ndarray:
+    """First eigenvector of the integer scatter matrix
+    ``n·Σxxᵀ − Σx Σxᵀ`` (python-int exact, then float-normalized) via
+    ``_PCA_ITERS`` deterministic power iterations from the all-ones
+    vector; sign fixed so the largest-|component| entry is positive.
+    Both the engine and the oracle generator call THIS function on the
+    same integer moments, so the eigenvector is bit-identical."""
+    d = len(sx)
+    c = [[n * int(sxx[i, j]) - int(sx[i]) * int(sx[j]) for j in range(d)]
+         for i in range(d)]
+    mx = max(max(abs(v) for v in row) for row in c) or 1
+    cf = np.array(c, dtype=np.float64) / mx
+    v = np.ones(d) / np.sqrt(d)
+    for _ in range(_PCA_ITERS):
+        v = cf @ v
+        v = v / np.linalg.norm(v)
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    return v
+
+
+def embedding_pca(sf_dir: str):
+    """(vec_id, pc1_u) — every embedding's coordinate along the corpus's
+    first principal component, in exact integer µ²-units: the
+    distributed-linear-algebra operator class (one pass of integer
+    covariance partials → a d×d driver eigenproblem → one vectorized
+    projection pass). Vectors quantize to micro ints; per-batch moment
+    partials (Σx and the upper triangle of Σxxᵀ) are exact int64 rows
+    keyed by flattened position, folded by ONE bounded groupby (≤
+    d(d+3)/2 + 1 keys — corpus-size-independent); the scatter matrix
+    assembles in python ints (no overflow), the eigenvector comes from
+    deterministic power iteration, quantizes to micro ints, and the
+    projection Σ micro(x)·E is pure integer arithmetic — SQL-replayable
+    with the eigenvector inlined."""
+    from ray.data.aggregate import Sum
+
+    first = read(sf_dir, "embeddings", ["embedding"]).take(1)
+    d = len(first[0]["embedding"])
+    tri_i, tri_j = np.triu_indices(d)
+
+    class CovPartial:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = np.floor(emb_matrix(batch.column("embedding"))
+                         * _PQ_MICRO + 0.5)
+            n = len(v)
+            # exact: micro² products ≤ ~3e11, summed over ≤1024 rows
+            # stays far under 2^53 in the float64 BLAS
+            m = v.T @ v
+            s = v.sum(axis=0)
+            keys = np.concatenate([
+                np.array([0], np.int64),
+                1 + np.arange(d, dtype=np.int64),
+                1 + d + (tri_i * d + tri_j).astype(np.int64)])
+            vals = np.concatenate([
+                np.array([n], np.int64),
+                s.astype(np.int64),
+                m[tri_i, tri_j].astype(np.int64)])
+            return pa.table({"k": int64_col(keys), "v_p": int64_col(vals)})
+
+    rows = read(sf_dir, "embeddings", ["embedding"]).map_batches(
+        CovPartial, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, 2)).groupby("k").aggregate(
+        Sum("v_p", alias_name="v")).take_all()
+    byk = {int(r["k"]): int(r["v"]) for r in rows}
+    n = byk[0]
+    sx = np.array([byk[1 + i] for i in range(d)], dtype=object)
+    sxx = np.zeros((d, d), dtype=object)
+    for i, j in zip(tri_i, tri_j):
+        sxx[i, j] = sxx[j, i] = byk[1 + d + i * d + j]
+    v = _pca_eigvec_from_moments(n, sx, sxx)
+    e_int = np.floor(v * _PQ_MICRO + 0.5).astype(np.int64)
+
+    import ray
+
+    eref = ray.put(e_int)
+
+    class Project:
+        def __init__(self, eref):
+            self.e = ray.get(eref).astype(np.float64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            micro = np.floor(emb_matrix(batch.column("embedding"))
+                             * _PQ_MICRO + 0.5)
+            score = (micro @ self.e).astype(np.int64)
+            return pa.table({
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "pc1_u": int64_col(score)})
+
+    return read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        Project, fn_constructor_args=(eref,), batch_format="pyarrow",
+        batch_size=1024, concurrency=(1, 2))
+
+
+def embedding_pca_sql(sf_dir: str = _SF_ORACLE_DEFAULT) -> str:
+    """Replays the projection with the eigenvector inlined: the
+    generator recomputes the SAME integer moments from the table
+    locally and runs the same power iteration."""
+    import duckdb
+
+    con = duckdb.connect()
+    mat = np.array(
+        [r[0] for r in con.sql(
+            f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+            f"ORDER BY vec_id").fetchall()], dtype=np.float64)
+    micro = np.floor(mat * _PQ_MICRO + 0.5)
+    d = micro.shape[1]
+    sx = np.array([int(x) for x in micro.sum(axis=0)], dtype=object)
+    sxx = (micro.T @ micro)
+    v = _pca_eigvec_from_moments(len(micro), sx, sxx.astype(np.int64))
+    e_int = np.floor(v * _PQ_MICRO + 0.5).astype(np.int64)
+    e_sql = "[" + ",".join(str(int(x)) for x in e_int) + "]::BIGINT[]"
+    return f"""
+SELECT vec_id,
+       CAST(list_sum(list_transform(generate_series(1, {d}), j ->
+            CAST(floor(CAST(embedding[j] AS DOUBLE) * {_PQ_MICRO} + 0.5)
+                 AS BIGINT) * ({e_sql})[j])) AS BIGINT) AS pc1_u
+FROM embeddings
+"""

@@ -841,3 +841,35 @@ def test_ann_ivfpq_res_matches_oracle(ray_session, duck):
         p = set(res[res.query_vec_id == q].vec_id)
         recalls.append(len(e & p) / len(e))
     assert np.mean(recalls) >= 0.1, recalls
+
+
+def test_embedding_pca_matches_oracle_and_variance(ray_session, duck):
+    """PCA oracle regenerates per sf_dir (data-dependent eigenvector);
+    the PC1 scores must also carry more variance than any single raw
+    coordinate (the defining property of the first component)."""
+    import numpy as np
+
+    from searchengine_ray.pipelines import ann
+
+    got = _canon(_to_pandas(ann.embedding_pca(SF_DIR)))
+    want = _canon(duck.sql(ann.embedding_pca_sql(SF_DIR)).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    mat = np.array([r[0] for r in duck.sql(
+        f"SELECT embedding FROM '{SF_DIR}/embeddings.parquet' "
+        f"ORDER BY vec_id").fetchall()], dtype=np.float64)
+    micro = np.floor(mat * ann._PQ_MICRO + 0.5)
+    pc1 = got.sort_values("vec_id")["pc1_u"].to_numpy(np.float64)
+    # projection onto a unit-ish direction: compare per-axis variance
+    # against PC1 variance normalized by the quantized norm
+    e_norm2 = None
+    sql = ann.embedding_pca_sql(SF_DIR)
+    # recompute the eigenvector the same way for the norm
+    sx = np.array([int(x) for x in micro.sum(axis=0)], dtype=object)
+    v = ann._pca_eigvec_from_moments(len(micro), sx,
+                                     (micro.T @ micro).astype(np.int64))
+    e_int = np.floor(v * ann._PQ_MICRO + 0.5)
+    e_norm2 = float((e_int * e_int).sum())
+    var_pc1 = pc1.var() / e_norm2
+    var_axes = micro.var(axis=0).max()
+    assert var_pc1 >= var_axes * 0.999
