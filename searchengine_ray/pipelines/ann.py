@@ -1360,9 +1360,15 @@ def ensure_ivfpq_res_index(sf_dir: str, n_centroids: int = 16,
             a = np.argmax(_normalize(emb) @ self.centroids.T, axis=1)
             res = (_micro(emb) - self.cmicro[a]) / _PQ_MICRO
             codes = _pq_encode(res, self.books)
+            # "lst" duplicates the partition key as a DATA column so
+            # queries read probed dirs in ONE read_parquet call (hive
+            # partition columns vanish when leaf files are read
+            # directly, and per-list tagged reads build a union chain
+            # whose scheduling overhead dwarfs the scan)
             return pa.table({
                 "vec_id": batch.column("vec_id"),
                 "list": int64_col(a.astype(np.int64)),
+                "lst": int64_col(a.astype(np.int64)),
                 "codes": pa.array(list(codes), pa.list_(pa.uint8()))})
 
     ds.map_batches(AssignEncodeRes, fn_constructor_args=(cref, bref),
@@ -1415,32 +1421,15 @@ def ann_ivfpq_res_topk(sf_dir: str, query_ids: list[int] | None = None,
         for qi in range(len(qids)):
             if c not in probe_per_q[qi]:
                 dtabs[c][qi, :, :] = big // mm
-    # leaf files don't carry the hive partition column — read each
-    # probed list separately and attach its id (the scorer needs it to
-    # pick the right residual table)
-    def _tag(c):
-        def f(batch: pa.Table, _c=int(c)) -> pa.Table:
-            return batch.append_column(
-                "list", pa.array(np.full(batch.num_rows, _c, np.int64)))
-        f.__name__ = f"tag_list_{c}"
-        return f
-
-    list_sets = []
-    for c in probe:
-        d = Path(root) / f"list={c}"
-        files = sorted(str(f) for f in d.glob("*.parquet")) if d.is_dir() else []
-        if files:
-            list_sets.append(
-                ray.data.read_parquet(files, columns=["vec_id", "codes"])
-                .map_batches(_tag(c), batch_format="pyarrow"))
-    if not list_sets:
+    paths = [str(f) for c in probe
+             for p in [Path(root) / f"list={c}"] if p.is_dir()
+             for f in sorted(p.glob("*.parquet"))]
+    if not paths:
         return pa.table({"query_vec_id": pa.array([], pa.int64()),
                          "rank": pa.array([], pa.int64()),
                          "vec_id": pa.array([], pa.int64()),
                          "adc_d": pa.array([], pa.int64())})
-    pruned = list_sets[0]
-    for extra_ds in list_sets[1:]:
-        pruned = pruned.union(extra_ds)
+    pruned = ray.data.read_parquet(paths, columns=["vec_id", "lst", "codes"])
     qids_ref = ray.put(qids)
     dtabs_ref = ray.put(dtabs)
 
@@ -1453,7 +1442,7 @@ def ann_ivfpq_res_topk(sf_dir: str, query_ids: list[int] | None = None,
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column("vec_id").to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            lists = batch.column("list").to_numpy(
+            lists = batch.column("lst").to_numpy(
                 zero_copy_only=False).astype(np.int64)
             codes = np.stack(batch.column("codes").to_numpy(
                 zero_copy_only=False)).astype(np.int64)
