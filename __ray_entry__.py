@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_method_overlap": dedup.dedup_method_overlap,
         "dedup_apply": dedup.dedup_apply,
         "dedup_spans": dedup.dedup_spans,
+        "dedup_spans_sampled": dedup.dedup_spans_sampled,
         "decontaminate": dedup.decontaminate,
         "decontaminate_apply": dedup.decontaminate_apply,
         "clean_text": ts.clean_text,
@@ -251,6 +252,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "dedup_method_overlap": dedup.dedup_method_overlap_sql(),
         "dedup_apply": dedup.dedup_apply_sql(),
         "dedup_spans": dedup.dedup_spans_sql(),
+        "dedup_spans_sampled": dedup.dedup_spans_sampled_sql(),
         "decontaminate": dedup.decontaminate_sql(),
         "decontaminate_apply": dedup.decontaminate_apply_sql(),
         "top_terms_sketch_violations": ts.top_terms_sketch_violations_sql(),

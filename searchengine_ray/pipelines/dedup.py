@@ -1281,8 +1281,15 @@ def dedup_spans_sql(k: int = _SPAN_K, pos_cap: int = _SPAN_POS_CAP,
     anchor_filter = (f"WHERE h % {anchor_mod} = 0" if anchor_mod > 1 else "")
     if anchor_mod == 1:
         span_expr = f"count(*) + {k - 1}"
+        grp_expr = ("pa - row_number() OVER (PARTITION BY doc_a, doc_b, "
+                    "pa - pb ORDER BY pa)")
     else:
+        # sampled anchors are NOT consecutive: the whole diagonal is one
+        # island (anchor-extent lower bound), matching the engine's
+        # exact=False branch — consecutive-position islanding would
+        # fragment it
         span_expr = f"max(pa) - min(pa) + {k}"
+        grp_expr = "0"
     return f"""
 WITH pos AS (
   SELECT doc_id, text,
@@ -1305,8 +1312,7 @@ matched AS (
   FROM anchors x JOIN anchors y ON x.h = y.h AND x.doc_id < y.doc_id),
 islands AS (
   SELECT doc_a, doc_b, pa,
-         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
-                                 ORDER BY pa) AS grp,
+         {grp_expr} AS grp,
          pa - pb AS diag
   FROM matched),
 spans AS (
@@ -2219,3 +2225,16 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
 FROM hashes JOIN hd USING (h)
 GROUP BY doc_id
 """
+
+
+def dedup_spans_sampled(sf_dir: str, anchor_mod: int = 4):
+    """The 100-TB setting of ``dedup_spans``: content-defined anchor
+    sampling (``h % anchor_mod == 0``, Manber 1994) thins anchor volume
+    ~anchor_mod-fold; detected spans report anchor-extent lower-bound
+    lengths. Registered separately so the SCALE KNOB itself is
+    hash-verified by the driver, not only pytest-checked."""
+    return dedup_spans(sf_dir, anchor_mod=anchor_mod)
+
+
+def dedup_spans_sampled_sql(anchor_mod: int = 4) -> str:
+    return dedup_spans_sql(anchor_mod=anchor_mod)
