@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_search": docsearch.fuzzy_search,
         "collapse_search": docsearch.collapse_search,
         "search_eval_ndcg": docsearch.search_eval_ndcg,
+        "search_eval_map": docsearch.search_eval_map,
         # --- tokenizer / aggregation surface (SURVEY §2.2/§2.5) ---
         "term_df": ts.term_df,
         "doc_token_stats": ts.doc_token_stats,
@@ -226,6 +227,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "fuzzy_search": docsearch.fuzzy_search_sql(),
         "collapse_search": docsearch.collapse_search_sql(),
         "search_eval_ndcg": docsearch.search_eval_ndcg_sql(),
+        "search_eval_map": docsearch.search_eval_map_sql(),
         "image_decode_features": multimodal.image_decode_features_sql(),
         "distinct_terms_hll_registers": ts.distinct_terms_hll_registers_sql(),
         "term_df": ts.term_df_sql(),

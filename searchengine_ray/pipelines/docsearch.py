@@ -1714,3 +1714,89 @@ FROM nrel n
 JOIN idcg i ON i.query_id = n.query_id
 LEFT JOIN dcg d ON d.query_id = n.query_id
 """
+
+
+def search_eval_map(sf_dir: str):
+    """(query_id, n_rel, ap_u) — average precision @10 beside
+    ``search_eval_ndcg``: ap_u = (Σ over relevant ranked docs of
+    1e6·relcnt@k // k) // n_rel, truncating division in the same order
+    on both sides. Same distributed AND-match relevance machinery."""
+    import pandas as pd
+
+    from searchengine_ray.pipelines.query import boolean_queries
+
+    paths = ensure_doc_index(sf_dir)
+    ranked = bm25_topk(sf_dir).to_pandas()
+    matches = boolean_queries(paths, DOC_QUERIES, config=doc_index_config(),
+                              concurrency=(1, 2)).to_pandas()
+    n_rel = matches.groupby("query_id").size()
+    rel_pairs = {(int(q), int(d)) for q, d in
+                 zip(matches["query_id"], matches["doc_id"])}
+    out_q, out_n, out_s = [], [], []
+    for qid, g in ranked.groupby("query_id"):
+        r = int(n_rel.get(qid, 0))
+        if r == 0:
+            continue
+        g = g.sort_values("rank")
+        relcnt, total = 0, 0
+        for kk, d in enumerate(g["doc_id"].astype(int), start=1):
+            if (int(qid), d) in rel_pairs:
+                relcnt += 1
+                total += 1_000_000 * relcnt // kk
+        out_q.append(int(qid))
+        out_n.append(r)
+        out_s.append(total // r)
+    return pa.table({"query_id": int64_col(out_q),
+                     "n_rel": int64_col(out_n),
+                     "ap_u": int64_col(out_s)})
+
+
+def search_eval_map_sql() -> str:
+    analyzer = Analyzer(doc_index_config())
+    values = []
+    n_terms_of = {}
+    for qid, text in DOC_QUERIES:
+        terms = sorted(set(analyzer.terms(text)))
+        n_terms_of[qid] = len(terms)
+        for t in terms:
+            values.append(f"({qid}, '{t}')")
+    values_sql = ",\n        ".join(values)
+    nt_sql = ",".join(f"({q}, {n})" for q, n in n_terms_of.items())
+    return f"""
+WITH ex AS MATERIALIZED ({bm25_topk_sql()}),
+toks2 AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+'))
+    AS term
+  FROM documents),
+tf2 AS (SELECT DISTINCT doc_id, term FROM toks2 WHERE term <> ''),
+queries(query_id, term) AS (VALUES
+        {values_sql}),
+nterms(query_id, n) AS (VALUES {nt_sql}),
+rel AS (
+  SELECT q.query_id, tf2.doc_id
+  FROM queries q JOIN tf2 ON tf2.term = q.term
+  GROUP BY q.query_id, tf2.doc_id
+  HAVING count(DISTINCT q.term)
+         = (SELECT n FROM nterms WHERE query_id = q.query_id)),
+nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+         FROM rel GROUP BY query_id),
+flags AS (
+  SELECT e.query_id, e.rank,
+         CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS is_rel
+  FROM ex e LEFT JOIN rel r
+    ON r.query_id = e.query_id AND r.doc_id = e.doc_id),
+prec AS (
+  SELECT query_id, rank, is_rel,
+         sum(is_rel) OVER (PARTITION BY query_id ORDER BY rank
+                           ROWS UNBOUNDED PRECEDING) AS relcnt
+  FROM flags),
+ap AS (
+  SELECT query_id,
+         CAST(sum(CASE WHEN is_rel = 1
+                       THEN 1000000 * relcnt // rank ELSE 0 END)
+              AS BIGINT) AS total
+  FROM prec GROUP BY query_id)
+SELECT n.query_id, n.n_rel,
+       CAST(COALESCE(a.total, 0) // n.n_rel AS BIGINT) AS ap_u
+FROM nrel n LEFT JOIN ap a ON a.query_id = n.query_id
+"""

@@ -55,7 +55,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "user_running_total", "index_merge_dictionary", "event_trend",
                "hybrid_search", "suggest_terms", "fuzzy_search",
                "collapse_search", "search_eval_ndcg", "term_burstiness",
-               "regex_extract", "dedup_spans_sampled"]
+               "regex_extract", "dedup_spans_sampled", "search_eval_map"]
 
 
 @pytest.fixture(scope="module")
