@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivfpq_topk": ann.ann_ivfpq_topk,
         "ann_ivfpq_res_topk": ann.ann_ivfpq_res_topk,
         "embedding_pca": ann.embedding_pca,
+        "ann_sq8_topk": ann.ann_sq8_topk,
+        "doc_outlier_score": ann.doc_outlier_score,
         # --- text analysis (non-SQL) ---
         "lang_id": ts.lang_id,
         "distinct_terms_hll": ts.distinct_terms_hll,
@@ -274,6 +276,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "numeric_literals": ts.numeric_literals_sql(),
         "token_count_bpe": ts.token_count_bpe_sql(),
         "ann_topk": ann.ann_topk_sql(),
+        "ann_sq8_topk": ann.ann_sq8_topk_sql(),
+        "doc_outlier_score": ann.doc_outlier_score_sql(),
         "label_cohesion": ann.label_cohesion_sql(),
         "multimodal_meta": multimodal.multimodal_meta_sql(),
         "media_dedup_exact": multimodal.media_dedup_exact_sql(),

@@ -1679,3 +1679,303 @@ SELECT vec_id,
                  AS BIGINT) * ({e_sql})[j])) AS BIGINT) AS pc1_u
 FROM embeddings
 """
+
+
+# ---- scalar-quantized (SQ8) ANN with exact rerank ----
+
+
+def _sq8_minmax(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension global [min, max] of the integer-micro embedding
+    values — the SQ8 codebook. One pass of bounded per-batch partials
+    (d rows each, corpus-size-independent) folded by ONE d-key groupby;
+    the d-row driver pull is the documented bounded exception, like the
+    IVF training sample (`_ivf_sample`)."""
+    from ray.data.aggregate import Max, Min
+
+    def minmax_partial(batch: pa.Table) -> pa.Table:
+        mat = emb_matrix(batch.column("embedding"))
+        micro = np.floor(mat * 1_000_000 + 0.5).astype(np.int64)
+        d = micro.shape[1]
+        return pa.table({
+            "dim": int64_col(np.arange(1, d + 1, dtype=np.int64)),
+            "min_p": int64_col(micro.min(axis=0)),
+            "max_p": int64_col(micro.max(axis=0))})
+
+    agg = read(sf_dir, "embeddings", ["embedding"]).map_batches(
+        minmax_partial, batch_format="pyarrow", batch_size=4096
+    ).groupby("dim").aggregate(Min("min_p", alias_name="mind"),
+                               Max("max_p", alias_name="maxd"))
+    rows = sorted(agg.take_all(), key=lambda r: r["dim"])
+    mind = np.array([r["mind"] for r in rows], dtype=np.int64)
+    maxd = np.array([r["maxd"] for r in rows], dtype=np.int64)
+    return mind, maxd
+
+
+def _sq8_encode(mat: np.ndarray, mind: np.ndarray, rng: np.ndarray) -> np.ndarray:
+    """uint8 codes via EXACT integer floor division — both operands are
+    non-negative, so numpy's int64 ``//`` and DuckDB's ``//`` agree
+    bit-for-bit (no float quotient anywhere). Constant dims code to 0."""
+    micro = np.floor(mat * 1_000_000 + 0.5).astype(np.int64)
+    safe = np.where(rng > 0, rng, 1)
+    codes = (micro - mind[None, :]) * 255 // safe[None, :]
+    return np.where(rng[None, :] > 0, codes, 0)
+
+
+def _sq8_recon(codes: np.ndarray, mind: np.ndarray, rng: np.ndarray) -> np.ndarray:
+    """Dequantized micro values: mind + code*rng // 255 — exact integer,
+    within rng/255 of the true micro per element (FAISS-style SQ
+    reconstruction, integerized)."""
+    return mind[None, :] + codes * rng[None, :] // 255
+
+
+def _int_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n,d) @ (m,d).T with EXACT int64 results: runs as one float64
+    dgemm when every possible sum fits 2^53 (|micro| <= ~4e6 keeps
+    d <= ~500 safe), else falls back to the exact-but-slow int64
+    matmul — same guard philosophy as `_kmeans_assign`."""
+    bound = float(max(np.abs(a).max(initial=1), 1)) * \
+        float(max(np.abs(b).max(initial=1), 1)) * a.shape[1]
+    if bound < 2.0 ** 53:
+        return (a.astype(np.float64) @ b.astype(np.float64).T).astype(np.int64)
+    return a @ b.T
+
+
+class _Sq8TopK:
+    """Per-batch SQ8 scan: dequantized-code integer dot products (the
+    4x-smaller scan a production SQ index runs), then EXACT integer
+    rerank of only the local candidate set — blocks emit at most
+    q x n_cand rows, never vectors."""
+
+    def __init__(self, qids_ref, qmat_ref, mind_ref, rng_ref,
+                 n_cand: int):
+        import ray
+
+        self.qids = ray.get(qids_ref)
+        qmat = ray.get(qmat_ref)
+        self.mind = ray.get(mind_ref)
+        self.rng = ray.get(rng_ref)
+        self.qmicro = np.floor(qmat * 1_000_000 + 0.5).astype(np.int64)
+        qcodes = _sq8_encode(qmat, self.mind, self.rng)
+        self.qrecon = _sq8_recon(qcodes, self.mind, self.rng)
+        self.n_cand = n_cand
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = emb_matrix(batch.column("embedding"))
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = _sq8_encode(emb, self.mind, self.rng)
+        recon = _sq8_recon(codes, self.mind, self.rng)
+        sq = _int_dot(self.qrecon, recon)                         # (q, b)
+        micro = np.floor(emb * 1_000_000 + 0.5).astype(np.int64)
+        out_q, out_v, out_s, out_d = [], [], [], []
+        c = min(self.n_cand, sq.shape[1])
+        for qi in range(len(self.qids)):
+            row = sq[qi]
+            top = np.lexsort((ids, -row))[:c]
+            exact = np.einsum("j,ij->i", self.qmicro[qi], micro[top])
+            out_q.append(np.full(c, self.qids[qi], dtype=np.int64))
+            out_v.append(ids[top])
+            out_s.append(row[top])
+            out_d.append(exact)
+        return pa.table({"query_vec_id": int64_col(np.concatenate(out_q)),
+                         "vec_id": int64_col(np.concatenate(out_v)),
+                         "sq_score": int64_col(np.concatenate(out_s)),
+                         "dot_micro2": int64_col(np.concatenate(out_d))})
+
+
+def _sq8_merge_factory(k: int, n_cand: int):
+    def merge_sq8(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sq_score", "vec_id"],
+                          ascending=[False, True]).head(n_cand)
+        g = g.sort_values(["dot_micro2", "vec_id"],
+                          ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_vec_id", "rank", "vec_id", "sq_score", "dot_micro2"]]
+
+    merge_sq8.__name__ = "merge_sq8"
+    return merge_sq8
+
+
+def ann_sq8_topk(sf_dir: str, query_ids: list[int] | None = None,
+                 k: int = 10, n_cand: int = 50):
+    """(query_vec_id, rank, vec_id, sq_score, dot_micro2) — top-k
+    MAX-INNER-PRODUCT retrieval via int8 SCALAR QUANTIZATION with exact
+    rerank: the memory-tier ANN layout beside PQ (`ann_pq_topk`) — 4x
+    smaller scans, one dgemm over dequantized codes per block, and only
+    the global top-``n_cand`` candidates per query are ever rescored at
+    full precision.
+
+    EXACT-INTEGER end to end: codebook = per-dim global [min,max] of
+    integer-micro values (one bounded-partial pass);
+    code = (micro-min)*255 // (max-min) and recon = min + code*rng//255
+    are pure integer floor arithmetic, so the proxy score
+    sq_score = <recon_q, recon_c> and the rerank metric
+    dot_micro2 = <micro_q, micro_c> (inner product in micro^2 units —
+    the MIPS objective) are identical on any cluster shape and replay
+    bit-for-bit in SQL, with no float anywhere a knife-edge could
+    live. Candidates = global top-n_cand by (sq_score desc, vec_id
+    asc); output = those reranked by (dot_micro2 desc, vec_id asc).
+    Local top-n_cand per block covers the global candidate set; blocks
+    emit q x n_cand rows, never vectors. Recall vs the exact MIPS
+    top-k is bounded by the reconstruction error d*rng/255*|micro| and
+    tested (`test_ann_sq8_recall_vs_exact_mips`)."""
+    import ray
+
+    qids_list = query_ids or DEFAULT_QUERY_IDS
+    qids, qmat = _query_matrix(sf_dir, qids_list)
+    mind, maxd = _sq8_minmax(sf_dir)
+    rng = maxd - mind
+    refs = (ray.put(qids), ray.put(qmat), ray.put(mind), ray.put(rng))
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    local = ds.map_batches(_Sq8TopK, fn_constructor_args=(*refs, n_cand),
+                           batch_format="pyarrow", batch_size=1024,
+                           concurrency=(1, 2))
+    return local.groupby("query_vec_id").map_groups(
+        _sq8_merge_factory(k, n_cand), batch_format="pandas")
+
+
+def ann_sq8_topk_sql(query_ids: list[int] | None = None, k: int = 10,
+                     n_cand: int = 50) -> str:
+    ids = ",".join(map(str, query_ids or DEFAULT_QUERY_IDS))
+    return f"""
+WITH u AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS micro
+  FROM embeddings),
+mm AS (SELECT dim, min(micro) AS mind, max(micro) AS maxd FROM u GROUP BY dim),
+c AS (
+  SELECT u.vec_id, u.dim, u.micro,
+         mm.mind + (CASE WHEN mm.maxd > mm.mind
+                         THEN (u.micro - mm.mind) * 255 // (mm.maxd - mm.mind)
+                         ELSE 0 END) * (mm.maxd - mm.mind) // 255 AS recon
+  FROM u JOIN mm USING (dim)),
+qc AS (SELECT vec_id AS query_vec_id, dim, micro AS qmicro, recon AS qrecon
+       FROM c WHERE vec_id IN ({ids})),
+sq AS (
+  SELECT qc.query_vec_id, c.vec_id,
+         CAST(sum(qc.qrecon * c.recon) AS BIGINT) AS sq_score,
+         CAST(sum(qc.qmicro * c.micro) AS BIGINT) AS dot_micro2
+  FROM qc JOIN c USING (dim)
+  GROUP BY qc.query_vec_id, c.vec_id),
+cand AS (
+  SELECT *, row_number() OVER (PARTITION BY query_vec_id
+                               ORDER BY sq_score DESC, vec_id ASC) AS crnk
+  FROM sq),
+ranked AS (
+  SELECT query_vec_id, vec_id, sq_score, dot_micro2,
+         row_number() OVER (PARTITION BY query_vec_id
+                            ORDER BY dot_micro2 DESC, vec_id ASC) AS rnk
+  FROM cand WHERE crnk <= {n_cand})
+SELECT query_vec_id, CAST(rnk AS BIGINT) AS rank, vec_id, sq_score, dot_micro2
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+# ---- label-centroid outlier audit ----
+
+
+class _OutlierScan:
+    """Zero-shuffle scan: d2 to the own-label centroid in exact integer
+    micro^2 units, per-block local top-m per label (blocks emit at most
+    labels x m rows, never vectors)."""
+
+    def __init__(self, cent_ref, m: int):
+        import ray
+
+        labels, cmat = ray.get(cent_ref)
+        self.lab_sorted = labels                       # (L,) int64 sorted
+        self.cmat = cmat                               # (L, d) int64
+        self.m = m
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = emb_matrix(batch.column("embedding"))
+        micro = np.floor(mat * 1_000_000 + 0.5).astype(np.int64)
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        labs = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(self.lab_sorted, labs)
+        diff = micro - self.cmat[pos]
+        d2 = np.einsum("ij,ij->i", diff, diff)         # |diff|<=4e6 => <2^54*d, int64-safe
+        out_l, out_v, out_d = [], [], []
+        for lab in np.unique(labs):
+            sel = np.nonzero(labs == lab)[0]
+            top = sel[np.lexsort((vids[sel], -d2[sel]))[:self.m]]
+            out_l.append(labs[top])
+            out_v.append(vids[top])
+            out_d.append(d2[top])
+        return pa.table({"label": int64_col(np.concatenate(out_l)),
+                         "vec_id": int64_col(np.concatenate(out_v)),
+                         "d2": int64_col(np.concatenate(out_d))})
+
+
+def _outlier_merge_factory(m: int):
+    def merge_outliers(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["d2", "vec_id"], ascending=[False, True]).head(m).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["label", "rank", "vec_id", "d2"]]
+
+    merge_outliers.__name__ = "merge_outliers"
+    return merge_outliers
+
+
+def doc_outlier_score(sf_dir: str, m: int = 20):
+    """(label, rank, vec_id, d2) — the top-m embeddings FURTHEST from
+    their own label's centroid, per label: the mislabeled-example /
+    outlier audit a curation pipeline runs before training (cf. the
+    class-concentration view in `label_cohesion`; this names the
+    individual suspects).
+
+    Centroids come from the bounded `label_centroids` aggregate
+    (labels x d integer rows — the driver pull is corpus-size-
+    independent) and broadcast ONCE via ray.put; the scan is one
+    zero-shuffle map_batches computing exact integer squared distance
+    to the own-label mean (micro units — no float accumulates, so d2
+    is identical on any cluster shape). Per-block local top-m per
+    label bounds the merge groupby at labels x m x blocks rows."""
+    import ray
+
+    rows = sorted(label_centroids(sf_dir).take_all(),
+                  key=lambda r: (r["label"], r["dim"]))
+    labels = np.array(sorted({r["label"] for r in rows}), dtype=np.int64)
+    d = max(r["dim"] for r in rows)
+    cmat = np.zeros((len(labels), d), dtype=np.int64)
+    lpos = {int(l): i for i, l in enumerate(labels)}
+    for r in rows:
+        cmat[lpos[int(r["label"])], int(r["dim"]) - 1] = int(r["mean_micro"])
+    cent_ref = ray.put((labels, cmat))
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    local = ds.map_batches(_OutlierScan, fn_constructor_args=(cent_ref, m),
+                           batch_format="pyarrow", batch_size=4096,
+                           concurrency=(1, 2))
+    return local.groupby("label").map_groups(
+        _outlier_merge_factory(m), batch_format="pandas")
+
+
+def doc_outlier_score_sql(m: int = 20) -> str:
+    return f"""
+WITH u AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS micro
+  FROM embeddings),
+agg AS (
+  SELECT label, dim, count(*) AS n_vecs, sum(micro) AS sum_micro
+  FROM u GROUP BY label, dim),
+cent AS (
+  SELECT label, dim,
+         CAST(floor(CAST(sum_micro AS DOUBLE) / n_vecs + 0.5) AS BIGINT)
+           AS mean_micro
+  FROM agg),
+d2v AS (
+  SELECT u.vec_id, u.label,
+         CAST(sum((u.micro - cent.mean_micro) * (u.micro - cent.mean_micro))
+              AS BIGINT) AS d2
+  FROM u JOIN cent USING (label, dim)
+  GROUP BY u.vec_id, u.label),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY label
+                               ORDER BY d2 DESC, vec_id ASC) AS rnk
+  FROM d2v)
+SELECT label, CAST(rnk AS BIGINT) AS rank, vec_id, d2
+FROM ranked WHERE rnk <= {m}
+"""

@@ -55,7 +55,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "user_running_total", "index_merge_dictionary", "event_trend",
                "hybrid_search", "suggest_terms", "fuzzy_search",
                "collapse_search", "search_eval_ndcg", "term_burstiness",
-               "regex_extract", "dedup_spans_sampled", "search_eval_map"]
+               "regex_extract", "dedup_spans_sampled", "search_eval_map",
+               "ann_sq8_topk", "doc_outlier_score"]
 
 
 @pytest.fixture(scope="module")
@@ -873,3 +874,71 @@ def test_embedding_pca_matches_oracle_and_variance(ray_session, duck):
     var_pc1 = pc1.var() / e_norm2
     var_axes = micro.var(axis=0).max()
     assert var_pc1 >= var_axes * 0.999
+
+
+def test_ann_sq8_recall_vs_exact_mips(ray_session):
+    """SQ8 with exact rerank recovers the true MIPS top-10 (rerank of 50
+    candidates absorbs the bounded reconstruction error at this scale),
+    and the scalar encode/recon helpers honor their contracts: codes in
+    [0,255], constant dims code to 0, recon within rng/255 of micro."""
+    import duckdb
+    import numpy as np
+
+    from searchengine_ray.pipelines import ann
+
+    sq = _to_pandas(ann.ann_sq8_topk(SF_DIR))
+    con = duckdb.connect()
+    rows = con.sql(f"SELECT vec_id, embedding FROM "
+                   f"'{SF_DIR}/embeddings.parquet' ORDER BY vec_id").fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    micro = np.floor(np.array([r[1] for r in rows], dtype=np.float64)
+                     * 1_000_000 + 0.5).astype(np.int64)
+    recalls = []
+    for q in ann.DEFAULT_QUERY_IDS:
+        qrow = micro[np.nonzero(ids == q)[0][0]]
+        dots = micro @ qrow
+        true_top = set(ids[np.lexsort((ids, -dots))[:10]])
+        got = set(sq[sq.query_vec_id == q].vec_id)
+        recalls.append(len(true_top & got) / 10)
+    assert np.mean(recalls) >= 0.8, recalls
+
+    mind, maxd = micro.min(axis=0), micro.max(axis=0)
+    # plant a constant dim to exercise the rng == 0 guard
+    micro2 = micro.copy()
+    micro2[:, 3] = 42
+    mind2, maxd2 = micro2.min(axis=0), micro2.max(axis=0)
+    codes = ann._sq8_encode(micro2 / 1e6, mind2, maxd2 - mind2)
+    assert codes.min() >= 0 and codes.max() <= 255
+    assert (codes[:, 3] == 0).all()
+    recon = ann._sq8_recon(codes, mind2, maxd2 - mind2)
+    rng2 = np.where(maxd2 > mind2, maxd2 - mind2, 0)
+    assert (np.abs(recon - micro2) <= rng2[None, :] // 255 + 1).all()
+
+
+def test_doc_outlier_matches_brute(ray_session):
+    """Every reported outlier's d2 equals the brute-force integer
+    distance to its label centroid, and rank 1 IS the label's true
+    argmax (d2 desc, vec_id asc)."""
+    import duckdb
+    import numpy as np
+
+    from searchengine_ray.pipelines import ann
+
+    out = _to_pandas(ann.doc_outlier_score(SF_DIR))
+    con = duckdb.connect()
+    rows = con.sql(f"SELECT vec_id, embedding, label FROM "
+                   f"'{SF_DIR}/embeddings.parquet' ORDER BY vec_id").fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    micro = np.floor(np.array([r[1] for r in rows], dtype=np.float64)
+                     * 1_000_000 + 0.5).astype(np.int64)
+    labs = np.array([r[2] for r in rows], dtype=np.int64)
+    for lab in np.unique(labs):
+        sel = labs == lab
+        cent = np.floor(micro[sel].sum(axis=0) / sel.sum() + 0.5).astype(np.int64)
+        diff = micro[sel] - cent
+        d2 = np.einsum("ij,ij->i", diff, diff)
+        order = np.lexsort((ids[sel], -d2))
+        got = out[out.label == lab].sort_values("rank")
+        want_ids = ids[sel][order[:len(got)]]
+        assert got.vec_id.tolist() == want_ids.tolist()
+        assert got.d2.tolist() == d2[order[:len(got)]].tolist()
