@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans_sampled": dedup.dedup_spans_sampled,
         "decontaminate": dedup.decontaminate,
         "decontaminate_apply": dedup.decontaminate_apply,
+        "ngram_contamination": dedup.ngram_contamination,
         "clean_text": ts.clean_text,
         "pii_scrub": ts.pii_scrub,
         # --- similarity search ---
@@ -258,6 +259,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "dedup_spans": dedup.dedup_spans_sql(),
         "dedup_spans_sampled": dedup.dedup_spans_sampled_sql(),
         "decontaminate": dedup.decontaminate_sql(),
+        "ngram_contamination": dedup.ngram_contamination_sql(),
         "decontaminate_apply": dedup.decontaminate_apply_sql(),
         "top_terms_sketch_violations": ts.top_terms_sketch_violations_sql(),
         "term_counts_cms": ts.term_counts_cms_sql(),

@@ -2238,3 +2238,130 @@ def dedup_spans_sampled(sf_dir: str, anchor_mod: int = 4):
 
 def dedup_spans_sampled_sql(anchor_mod: int = 4) -> str:
     return dedup_spans_sql(anchor_mod=anchor_mod)
+
+
+# ---------------- exact n-gram (span) contamination ----------------
+
+
+def _make_cross_span_pairs(pos_cap: int, n_jparts: int = 64):
+    """Cross-side variant of ``_make_span_pairs``: matched positions
+    oriented TRAIN (doc_a) x EVAL (doc_b) only — the contamination
+    check never enumerates train x train or eval x eval pairs. Same
+    global-per-h boilerplate cutoff (all rows of an h share its gkey,
+    so in-group counts are global), same bounded jkey fan-out."""
+
+    def cross_span_pairs(df: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"jkey": pa.array([], pa.int64()),
+                          "doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "pa_": pa.array([], pa.int64()),
+                          "pb_": pa.array([], pa.int64())})
+        sizes = df.groupby("h")["doc_id"].transform("size")
+        df = df[sizes <= pos_cap]
+        if len(df) < 2:
+            return empty
+        ie = (df["doc_id"] % _EVAL_MOD) == 0
+        tr, ev = df[~ie], df[ie]
+        if not len(tr) or not len(ev):
+            return empty
+        m = tr.merge(ev, on="h")
+        if not len(m):
+            return empty
+        a = m["doc_id_x"].to_numpy(np.int64)
+        b = m["doc_id_y"].to_numpy(np.int64)
+        jkey = (a * np.int64(1_000_003) + b) % np.int64(n_jparts)
+        return pa.table({"jkey": int64_col(jkey),
+                         "doc_a": int64_col(a), "doc_b": int64_col(b),
+                         "pa_": int64_col(m["pos_x"].to_numpy(np.int64)),
+                         "pb_": int64_col(m["pos_y"].to_numpy(np.int64))})
+
+    cross_span_pairs.__name__ = "cross_span_pairs"
+    return cross_span_pairs
+
+
+def ngram_contamination(sf_dir: str, k: int = _SPAN_K,
+                        pos_cap: int = _SPAN_POS_CAP):
+    """(doc_id, n_eval_docs, max_span, n_pos) — per contaminated TRAIN
+    document: how many eval documents it shares a verbatim >= k-char
+    span with, the longest such span, and the matched-window count.
+    This is the EXACT-overlap decontamination audit (the GPT-3 appendix
+    -C / Lee et al. n-gram-collision method) beside the MinHash
+    near-dup check (`decontaminate`): fuzzy catches paraphrase-level
+    leaks, exact catches verbatim benchmark strings the fuzzy
+    threshold can miss inside long documents.
+
+    Shape: reuses `SpanAnchorStage` (one vectorized Horner pass per
+    batch, fixed-width anchor rows, ONE hash-bucketed shuffle) and the
+    diagonal-island span detector of `dedup_spans`; only the pair stage
+    differs (train x eval orientation, never same-side). The final
+    per-train-doc rollup is a pair-scale groupby — three integers per
+    (train, eval) pair, corpus text never moves. Eval side =
+    doc_id % {mod} == 0, the `decontaminate` stand-in convention (a
+    separate eval table is a one-line swap)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    anchors = ds.map_batches(SpanAnchorStage, fn_constructor_args=(k, 1),
+                             batch_format="pyarrow", batch_size=512,
+                             concurrency=(1, 4))
+    pairs = anchors.groupby("gkey").map_groups(
+        _make_cross_span_pairs(pos_cap), batch_format="pandas")
+    spans = pairs.groupby("jkey").map_groups(
+        _make_span_islands(k, True, 0), batch_format="pandas")
+    agg = spans.groupby("doc_a").aggregate(
+        Count(alias_name="n_eval_docs"),
+        Max("span_len", alias_name="max_span"),
+        Sum("n_pos", alias_name="n_pos"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["doc_id" if c == "doc_a" else c for c in batch.column_names])
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+ngram_contamination.__doc__ = ngram_contamination.__doc__.format(mod=_EVAL_MOD)
+
+
+def ngram_contamination_sql(k: int = _SPAN_K,
+                            pos_cap: int = _SPAN_POS_CAP) -> str:
+    """SQL twin of `dedup_spans_sql` with a train x eval side predicate
+    in place of the doc_a < doc_b orientation, plus the per-train-doc
+    rollup."""
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - {k} + 1)) AS p
+  FROM documents WHERE length(text) >= {k}),
+hashes AS (
+  SELECT doc_id, p - 1 AS pos,
+         CAST(list_reduce(
+                list_transform(
+                  [substr(text, p + j, 1) for j in generate_series(0, {k - 1})],
+                  c -> CAST(ord(c) AS HUGEINT)),
+                (a, x) -> (a * {_SPAN_B} + x) % {_SPAN_M}) AS BIGINT) AS h
+  FROM pos),
+anchors AS (
+  SELECT * FROM hashes
+  QUALIFY count(*) OVER (PARTITION BY h) <= {pos_cap}),
+matched AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa, y.pos AS pb
+  FROM anchors x JOIN anchors y ON x.h = y.h
+  WHERE x.doc_id % {_EVAL_MOD} != 0 AND y.doc_id % {_EVAL_MOD} = 0),
+islands AS (
+  SELECT doc_a, doc_b, pa,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                 ORDER BY pa) AS grp,
+         pa - pb AS diag
+  FROM matched),
+spans AS (
+  SELECT doc_a, doc_b, count(*) + {k - 1} AS span, count(*) AS npos
+  FROM islands GROUP BY doc_a, doc_b, diag, grp),
+pair_spans AS (
+  SELECT doc_a, doc_b, max(span) AS span_len, sum(npos) AS n_pos
+  FROM spans GROUP BY doc_a, doc_b)
+SELECT doc_a AS doc_id, CAST(count(*) AS BIGINT) AS n_eval_docs,
+       CAST(max(span_len) AS BIGINT) AS max_span,
+       CAST(sum(n_pos) AS BIGINT) AS n_pos
+FROM pair_spans GROUP BY doc_a
+"""

@@ -387,3 +387,32 @@ def test_pair_triangles_crafted_graph(ray_session, monkeypatch):
     t = np.array([tri[n] for n in nodes], np.int64)
     want_lcc = np.where(d >= 2, (20000 * t) // np.maximum(d * (d - 1), 1), 0)
     assert got.lcc_bp.tolist() == want_lcc.tolist()
+
+
+def test_ngram_contamination_vs_dedup_spans(ray_session):
+    """The cross-side contamination rollup must be derivable from
+    `dedup_spans` exactly: filter its pairs to train x eval, orient by
+    side, group by train doc — counts, max span and matched positions
+    all agree (same anchors, same boilerplate cutoff, same islands)."""
+    from searchengine_ray.pipelines.dedup import (_EVAL_MOD,
+                                                  dedup_spans,
+                                                  ngram_contamination)
+
+    sf = "/root/testdata/sf0.001"
+    got = ngram_contamination(sf).to_pandas()
+    assert len(got) and (got.doc_id % _EVAL_MOD != 0).all()
+
+    sp = dedup_spans(sf).to_pandas()
+    ea = sp.doc_a % _EVAL_MOD == 0
+    eb = sp.doc_b % _EVAL_MOD == 0
+    cross = sp[ea != eb].copy()
+    cross["train"] = cross.doc_a.where(~ea, cross.doc_b)
+    want = cross.groupby("train").agg(
+        n_eval_docs=("train", "size"), max_span=("span_len", "max"),
+        n_pos=("n_pos", "sum")).reset_index()
+    m = got.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("train").reset_index(drop=True)
+    assert m.doc_id.tolist() == w.train.tolist()
+    assert m.n_eval_docs.tolist() == w.n_eval_docs.tolist()
+    assert m.max_span.tolist() == w.max_span.tolist()
+    assert m.n_pos.tolist() == w.n_pos.tolist()
