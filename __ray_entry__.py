@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": dedup.decontaminate,
         "decontaminate_apply": dedup.decontaminate_apply,
         "ngram_contamination": dedup.ngram_contamination,
+        "ngram_contamination_apply": dedup.ngram_contamination_apply,
         "clean_text": ts.clean_text,
         "pii_scrub": ts.pii_scrub,
         # --- similarity search ---
@@ -146,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_pivot": events.event_pivot,
         "user_running_total": events.user_running_total,
         "event_trend": events.event_trend,
+        "event_topk_paths": events.event_topk_paths,
         "window_user_hll_violations": events.window_user_hll_violations,
         "order_lineitem_join": rel.order_lineitem_join,
         "customers_without_orders": rel.customers_without_orders,
@@ -260,6 +262,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "dedup_spans_sampled": dedup.dedup_spans_sampled_sql(),
         "decontaminate": dedup.decontaminate_sql(),
         "ngram_contamination": dedup.ngram_contamination_sql(),
+        "ngram_contamination_apply": dedup.ngram_contamination_apply_sql(),
         "decontaminate_apply": dedup.decontaminate_apply_sql(),
         "top_terms_sketch_violations": ts.top_terms_sketch_violations_sql(),
         "term_counts_cms": ts.term_counts_cms_sql(),
@@ -302,6 +305,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "event_pivot": events.event_pivot_sql(),
         "user_running_total": events.user_running_total_sql(),
         "event_trend": events.event_trend_sql(),
+        "event_topk_paths": events.event_topk_paths_sql(),
         "window_user_hll_violations": events.window_user_hll_violations_sql(),
         "order_lineitem_join": rel.order_lineitem_join_sql(),
         "customers_without_orders": rel.customers_without_orders_sql(),

@@ -1450,19 +1450,16 @@ pairs AS (
 ),{_sql_jaccard_verify(threshold_bp, "train_doc", "eval_doc")}"""
 
 
-def decontaminate_apply(sf_dir: str, threshold_bp: int = 5000):
-    """(doc_id, lang, n_chars) of TRAIN documents surviving
-    decontamination — the terminal consumer of ``decontaminate``:
-    train docs with any verified eval near-dup become a drop-list that
-    anti-joins the train slice of the documents table. Same
-    one-co-located-``groupby(jpart)`` anti-join shape as
-    ``dedup_apply`` (neither side broadcasts; only metadata columns
-    ride the shuffle, never text)."""
-    pairs = decontaminate(sf_dir, threshold_bp)
+def _train_droplist_apply(sf_dir: str, drops_ds, id_col: str):
+    """Shared terminal consumer for contamination drop-lists: anti-join
+    dropped TRAIN ids (column ``id_col`` of ``drops_ds``) against the
+    train slice of the documents table via ONE co-located
+    ``groupby(jpart)`` — the `dedup_apply` shape: neither side
+    broadcasts; only metadata columns ride the shuffle, never text."""
     n_jparts = 64
 
     def drop_side(batch: pa.Table) -> pa.Table:
-        ids = batch.column("train_doc").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         return pa.table({"jpart": int64_col(ids % n_jparts),
                          "doc_id": int64_col(ids),
                          "lang": pa.array([""] * len(ids), pa.string()),
@@ -1488,11 +1485,43 @@ def decontaminate_apply(sf_dir: str, threshold_bp: int = 5000):
                          "lang": pa.array(live["lang"].tolist(), pa.string()),
                          "n_chars": int64_col(live["n_chars"].to_numpy(np.int64))})
 
-    drops = pairs.map_batches(drop_side, batch_format="pyarrow")
+    drops = drops_ds.map_batches(drop_side, batch_format="pyarrow")
     docs = read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
         doc_side, batch_format="pyarrow", batch_size=65536)
     return docs.union(drops).groupby("jpart").map_groups(
         anti, batch_format="pandas")
+
+
+def decontaminate_apply(sf_dir: str, threshold_bp: int = 5000):
+    """(doc_id, lang, n_chars) of TRAIN documents surviving MinHash
+    decontamination — the terminal consumer of ``decontaminate``: train
+    docs with any verified eval near-dup become a drop-list that
+    anti-joins the train slice of the documents table (shared
+    `_train_droplist_apply` shape)."""
+    return _train_droplist_apply(
+        sf_dir, decontaminate(sf_dir, threshold_bp), "train_doc")
+
+
+def ngram_contamination_apply(sf_dir: str, k: int = _SPAN_K,
+                              pos_cap: int = _SPAN_POS_CAP):
+    """(doc_id, lang, n_chars) of TRAIN documents surviving EXACT-span
+    decontamination — the terminal consumer of ``ngram_contamination``:
+    any train doc sharing a verbatim >= k-char span with an eval doc is
+    dropped (the GPT-3-style release policy), via the same co-located
+    anti-join as ``decontaminate_apply``. The two applies compose: a
+    release pipeline runs both and intersects survivors."""
+    return _train_droplist_apply(
+        sf_dir, ngram_contamination(sf_dir, k, pos_cap), "doc_id")
+
+
+def ngram_contamination_apply_sql(k: int = _SPAN_K,
+                                  pos_cap: int = _SPAN_POS_CAP) -> str:
+    return f"""
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id % {_EVAL_MOD} <> 0 AND d.doc_id NOT IN (
+  SELECT doc_id FROM ({ngram_contamination_sql(k, pos_cap)}) p)
+"""
 
 
 def decontaminate_apply_sql(threshold_bp: int = 5000) -> str:

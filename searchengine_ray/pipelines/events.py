@@ -1212,3 +1212,116 @@ SELECT event_type, nd AS n_days,
             END AS BIGINT) AS slope_bp
 FROM s
 """
+
+
+# ---- top session paths (ordered-sequence aggregation) ----
+
+
+def _paths_part(gap_us: int, plen: int):
+    def paths_body(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"path": pd.Series([], dtype=str),
+                              "n_p": pd.Series([], dtype=np.int64)})
+        if not len(df):
+            return empty
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy(dtype=np.int64)
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        et = df["event_type"].to_numpy()
+        n = len(df)
+        new_s = np.ones(n, dtype=bool)
+        same = uid[1:] == uid[:-1]
+        within = (ts_us[1:] - ts_us[:-1]) <= gap_us
+        new_s[1:] = ~(same & within)
+        sid = np.cumsum(new_s)                       # unique per session here
+        seg = np.flatnonzero(new_s)
+        step = np.arange(n) - np.repeat(seg, np.diff(np.r_[seg, n]))
+        keep = step < plen
+        joined = pd.Series(et[keep]).groupby(sid[keep], sort=False).agg(">".join)
+        counts = joined.value_counts()
+        return pd.DataFrame({"path": counts.index.to_numpy(),
+                             "n_p": counts.to_numpy(np.int64)})
+
+    return paths_body
+
+
+def _make_path_topk(n: int):
+    def path_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_sessions", "path"],
+                            ascending=[False, True]).head(n).copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["rank", "path", "n_sessions"]]
+
+    path_topk.__name__ = "path_topk"
+    return path_topk
+
+
+def event_topk_paths(sf_dir: str, gap_minutes: int = 30, plen: int = 5,
+                     n: int = 20):
+    """(rank, path, n_sessions) — the corpus's n most common session
+    OPENING PATHS: the first ``plen`` event types of each session (the
+    `sessionize_events` 30-min-gap rule) joined 'a>b>c', counted across
+    all sessions, ties broken (count desc, path asc). The
+    product-analytics Sankey / user-journey aggregation — an
+    ORDERED-SEQUENCE aggregate, a class the windowed/funnel ops don't
+    cover (funnel fixes the step set; this discovers the sequences).
+
+    Shape: ONE user_id hash shuffle (sessions never straddle uparts);
+    the per-group body is the vectorized gaps-and-islands scan of
+    `sessionize_events` plus one per-session join, emitting (path,
+    count) PARTIALS — path-cardinality rows, never events. A path
+    groupby sums partials; per-block local top-n then one bounded
+    n x n_blocks merge (the `top_bigrams` idiom) — the path-vocabulary
+    table is never collected."""
+    from ray.data.aggregate import Sum
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    parts = ds.map_batches(_add_upart, batch_format="pyarrow")
+    partials = parts.groupby("upart").map_groups(
+        _paths_part(gap_us, plen), batch_format="pandas")
+    summed = partials.groupby("path").aggregate(Sum("n_p", alias_name="n_sessions"))
+
+    def local_topn(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(["n_sessions", "path"],
+                                       ascending=[False, True]).head(n)
+        return pa.table({"g": int64_col(np.zeros(len(df), np.int64)),
+                         "path": pa.array(df["path"].tolist(), pa.string()),
+                         "n_sessions": int64_col(df["n_sessions"].to_numpy(np.int64))})
+
+    pruned = summed.map_batches(local_topn, batch_format="pyarrow")
+    return pruned.groupby("g").map_groups(
+        lambda df: _make_path_topk(n)(df), batch_format="pandas") \
+        .select_columns(["rank", "path", "n_sessions"])
+
+
+def event_topk_paths_sql(gap_minutes: int = 30, plen: int = 5,
+                         n: int = 20) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), stepped AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                               ORDER BY ts, event_id) AS step
+  FROM sess
+), paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM stepped WHERE step <= {plen} GROUP BY user_id, sid
+), counts AS (
+  SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS rnk
+  FROM counts)
+SELECT CAST(rnk AS BIGINT) AS rank, path, CAST(n_sessions AS BIGINT) AS n_sessions
+FROM ranked WHERE rnk <= {n}
+"""

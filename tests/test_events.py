@@ -119,3 +119,32 @@ def test_asof_matches_brute_force():
                                        "prior_event_id", "prior_ts_us"])
     pd.testing.assert_frame_equal(_canon(got), _canon(want),
                                   check_dtype=False)
+
+
+def test_paths_part_boundaries():
+    """Direct-callable unit test of the session-path body: exact-gap
+    events stay in session (rule is strictly-greater), a gap+1us event
+    opens a new one, user changes always split, and paths truncate at
+    plen."""
+    import numpy as np
+    import pandas as pd
+
+    from searchengine_ray.pipelines.events import _paths_part
+
+    gap = 30 * 60 * 1_000_000
+    t0 = 1_700_000_000_000_000
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 2],
+        "ts": pd.to_datetime(np.array([
+            t0, t0 + gap, t0 + 2 * gap + 1,        # u1: s1=(a,b), s2=(c)
+            t0 + 3 * gap + 2,                      # u1: s3=(d)
+            t0, t0 + 1,                            # u2: s1=(x,y)
+        ], dtype="int64"), unit="us"),
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "event_type": ["a", "b", "c", "d", "x", "y"],
+    })
+    out = _paths_part(gap, plen=5)(df).set_index("path")["n_p"]
+    assert out.to_dict() == {"a>b": 1, "c": 1, "d": 1, "x>y": 1}
+    # plen=1 truncates every session to its opening event
+    out1 = _paths_part(gap, plen=1)(df).set_index("path")["n_p"]
+    assert out1.to_dict() == {"a": 1, "c": 1, "d": 1, "x": 1}

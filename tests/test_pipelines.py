@@ -56,7 +56,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "hybrid_search", "suggest_terms", "fuzzy_search",
                "collapse_search", "search_eval_ndcg", "term_burstiness",
                "regex_extract", "dedup_spans_sampled", "search_eval_map",
-               "ann_sq8_topk", "doc_outlier_score", "ngram_contamination"]
+               "ann_sq8_topk", "doc_outlier_score", "ngram_contamination",
+               "ngram_contamination_apply", "event_topk_paths"]
 
 
 @pytest.fixture(scope="module")
