@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_search": docsearch.collapse_search,
         "search_eval_ndcg": docsearch.search_eval_ndcg,
         "search_eval_map": docsearch.search_eval_map,
+        "search_explain": docsearch.search_explain,
         # --- tokenizer / aggregation surface (SURVEY §2.2/§2.5) ---
         "term_df": ts.term_df,
         "doc_token_stats": ts.doc_token_stats,
@@ -233,6 +234,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "collapse_search": docsearch.collapse_search_sql(),
         "search_eval_ndcg": docsearch.search_eval_ndcg_sql(),
         "search_eval_map": docsearch.search_eval_map_sql(),
+        "search_explain": docsearch.search_explain_sql(),
         "image_decode_features": multimodal.image_decode_features_sql(),
         "distinct_terms_hll_registers": ts.distinct_terms_hll_registers_sql(),
         "term_df": ts.term_df_sql(),

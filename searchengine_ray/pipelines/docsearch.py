@@ -1800,3 +1800,190 @@ SELECT n.query_id, n.n_rel,
        CAST(COALESCE(a.total, 0) // n.n_rel AS BIGINT) AS ap_u
 FROM nrel n LEFT JOIN ap a ON a.query_id = n.query_id
 """
+
+
+# ---- score explanation (the Lucene-explain class) ----
+
+
+class _ExplainDecode:
+    """map_batches over the POSTINGS parquet: rows whose term is in the
+    (broadcast, query-scale) term set decode their compressed doc/tf
+    streams (the same `decode_blocks` kernel the query actors run) and
+    emit (term, doc_id, tf) for the (broadcast, k-scale) result docs
+    only, plus one (term, -1, df_slice) row per slice so global df
+    reassembles by sum — never a full posting list leaves the stage."""
+
+    def __init__(self, terms_ref, docs_ref):
+        import ray
+
+        self.terms = ray.get(terms_ref)              # set[str]
+        self.docs = ray.get(docs_ref)                # sorted int64 array
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from searchengine_ray.codec import PostingBlocks, decode_blocks
+
+        keep = [i for i, t in enumerate(batch.column("term").to_pylist())
+                if t in self.terms]
+        out_t: list[str] = []
+        out_d: list[np.ndarray] = []
+        out_tf: list[np.ndarray] = []
+        for i in keep:
+            term = batch.column("term")[i].as_py()
+            counts = np.asarray(batch.column("counts")[i].as_py(), np.int32)
+            dsz = np.asarray(batch.column("doc_sizes")[i].as_py(), np.int64)
+            tsz = np.asarray(batch.column("tf_sizes")[i].as_py(), np.int64)
+            doc_offsets = np.zeros(len(dsz) + 1, np.int64)
+            tf_offsets = np.zeros(len(tsz) + 1, np.int64)
+            np.cumsum(dsz, out=doc_offsets[1:])
+            np.cumsum(tsz, out=tf_offsets[1:])
+            pb = PostingBlocks(
+                batch.column("doc_bytes")[i].as_py(),
+                batch.column("tf_bytes")[i].as_py(),
+                counts,
+                np.asarray(batch.column("last_docs")[i].as_py(), np.int64),
+                np.asarray(batch.column("max_tfs")[i].as_py(), np.int32),
+                doc_offsets, tf_offsets)
+            ids, tfs = decode_blocks(pb)
+            hit = np.isin(ids, self.docs)
+            out_t.extend([term] * (int(hit.sum()) + 1))
+            out_d.append(np.r_[ids[hit], np.int64(-1)])
+            out_tf.append(np.r_[tfs[hit].astype(np.int64),
+                                np.int64(batch.column("df")[i].as_py())])
+        if not out_t:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "tf": pa.array([], pa.int64())})
+        return pa.table({"term": pa.array(out_t, pa.string()),
+                         "doc_id": int64_col(np.concatenate(out_d)),
+                         "tf": int64_col(np.concatenate(out_tf))})
+
+
+def search_explain(sf_dir: str):
+    """(query_id, doc_id, term, qtf, tf, df, score_bp) — per-TERM BM25
+    contribution breakdown for every top-10 result of DOC_QUERIES: the
+    Lucene-`explain` class (relevance debugging — why did this doc rank
+    here, which term carried it). score_bp values sum per (query, doc)
+    to the `bm25_topk` score by construction (same formula, same libm
+    ln — cf. reference ranker at search_engine.py:62-71, which exposes
+    only the summed score).
+
+    Shape: the top-k pairs and the analyzed query terms are QUERY-scale
+    and broadcast; one distributed pass over the postings parquet
+    decodes ONLY matching terms' slices and keeps ONLY result docs
+    (`_ExplainDecode`); one filtered doc_meta pass recovers their
+    lengths. Driver state is bounded at k x |queries| pairs + |terms|
+    rows end to end."""
+    import math
+
+    import ray
+
+    paths = ensure_doc_index(sf_dir)
+    cfg = doc_index_config()
+    top = bm25_topk(sf_dir).to_pandas()               # bounded: K x queries
+    analyzer = Analyzer(cfg)
+    qcounts = {qid: Counter(analyzer.terms(text)) for qid, text in DOC_QUERIES}
+    terms = sorted({t for c in qcounts.values() for t in c})
+    docs = np.unique(top["doc_id"].to_numpy(np.int64))
+    terms_ref, docs_ref = ray.put(set(terms)), ray.put(docs)
+
+    from pathlib import Path
+
+    posting_files = [str(p) for p in sorted(Path(paths.postings).glob("*.parquet"))]
+    decoded = ray.data.read_parquet(
+        posting_files,
+        columns=["term", "df", "counts", "last_docs", "max_tfs",
+                 "doc_sizes", "tf_sizes", "doc_bytes", "tf_bytes"],
+    ).map_batches(_ExplainDecode, fn_constructor_args=(terms_ref, docs_ref),
+                  batch_format="pyarrow", concurrency=(1, 2)).to_pandas()
+
+    def _pick_docs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        m = np.isin(ids, docs)
+        return pa.table({"doc_id": int64_col(ids[m].astype(np.int64)),
+                         "dl": int64_col(
+                             batch.column("doc_len").to_numpy(
+                                 zero_copy_only=False)[m].astype(np.int64))})
+
+    meta_files = [str(p) for p in sorted(Path(paths.doc_meta).glob("*.parquet"))]
+    dl_rows = ray.data.read_parquet(
+        meta_files, columns=["doc_id", "doc_len"]).map_batches(
+        _pick_docs, batch_format="pyarrow").take_all()     # bounded: k x queries
+    dl = {int(r["doc_id"]): int(r["dl"]) for r in dl_rows}
+
+    df = decoded[decoded["doc_id"] < 0].groupby("term")["tf"].sum().to_dict()
+    tf_of = {(t, int(d)): int(v) for t, d, v in
+             decoded[decoded["doc_id"] >= 0][["term", "doc_id", "tf"]]
+             .itertuples(index=False)}
+    meta = paths.meta()
+    n_docs, avgdl = meta["N"], meta["total_len"] / meta["N"]
+    k1, b = cfg.k1, cfg.b
+
+    rows = []
+    for qid, doc in top[["query_id", "doc_id"]].itertuples(index=False):
+        for term, qtf in sorted(qcounts[int(qid)].items()):
+            tf = tf_of.get((term, int(doc)))
+            if tf is None:
+                continue
+            idf = math.log((n_docs - df[term] + 0.5) / (df[term] + 0.5) + 1.0)
+            s = (qtf * idf * tf * (k1 + 1.0)
+                 / (tf + k1 * (1.0 - b + b * dl[int(doc)] / avgdl)))
+            rows.append((int(qid), int(doc), term, int(qtf), tf,
+                         int(df[term]), int(math.floor(s * 10000 + 0.5))))
+    arr = list(zip(*rows)) if rows else [[]] * 7
+    return pa.table({"query_id": int64_col(np.array(arr[0], np.int64)),
+                     "doc_id": int64_col(np.array(arr[1], np.int64)),
+                     "term": pa.array(list(arr[2]), pa.string()),
+                     "qtf": int64_col(np.array(arr[3], np.int64)),
+                     "tf": int64_col(np.array(arr[4], np.int64)),
+                     "df": int64_col(np.array(arr[5], np.int64)),
+                     "score_bp": int64_col(np.array(arr[6], np.int64))})
+
+
+def search_explain_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    analyzer = Analyzer(doc_index_config())
+    values = []
+    for qid, text in DOC_QUERIES:
+        for term, qtf in sorted(Counter(analyzer.terms(text)).items()):
+            values.append(f"({qid}, '{term}', {qtf})")
+    values_sql = ",\n        ".join(values)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks WHERE term <> '' GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+queries(query_id, qterm, qtf) AS (VALUES
+        {values_sql}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl))) AS score
+  FROM queries q
+  JOIN df ON df.term = q.qterm
+  JOIN tf ON tf.term = q.qterm
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+top AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scores QUALIFY rnk <= {K})
+SELECT t.query_id, t.doc_id, q.qterm AS term,
+       CAST(q.qtf AS BIGINT) AS qtf, tf.tf, df.df,
+       CAST(floor(q.qtf * ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                  * tf.tf * ({k1} + 1.0)
+                  / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl))
+                  * 10000 + 0.5) AS BIGINT) AS score_bp
+FROM top t
+JOIN queries q ON q.query_id = t.query_id
+JOIN tf ON tf.doc_id = t.doc_id AND tf.term = q.qterm
+JOIN df ON df.term = q.qterm
+JOIN dl ON dl.doc_id = t.doc_id
+CROSS JOIN stats s
+"""

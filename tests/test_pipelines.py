@@ -57,7 +57,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "collapse_search", "search_eval_ndcg", "term_burstiness",
                "regex_extract", "dedup_spans_sampled", "search_eval_map",
                "ann_sq8_topk", "doc_outlier_score", "ngram_contamination",
-               "ngram_contamination_apply", "event_topk_paths"]
+               "ngram_contamination_apply", "event_topk_paths",
+               "search_explain"]
 
 
 @pytest.fixture(scope="module")
@@ -943,3 +944,21 @@ def test_doc_outlier_matches_brute(ray_session):
         want_ids = ids[sel][order[:len(got)]]
         assert got.vec_id.tolist() == want_ids.tolist()
         assert got.d2.tolist() == d2[order[:len(got)]].tolist()
+
+
+def test_search_explain_sums_to_bm25(ray_session):
+    """Per-term contributions must reassemble the ranked score: for
+    every (query, doc) pair the sum of term score_bp equals bm25_topk's
+    score_bp within per-term rounding slack (each bp floors once), and
+    every top-k pair with a matching term is explained."""
+    from searchengine_ray.pipelines import docsearch
+
+    top = _to_pandas(docsearch.bm25_topk(SF_DIR))
+    exp = _to_pandas(docsearch.search_explain(SF_DIR))
+    sums = exp.groupby(["query_id", "doc_id"]).agg(
+        s=("score_bp", "sum"), t=("score_bp", "size")).reset_index()
+    m = top.merge(sums, on=["query_id", "doc_id"], how="left")
+    hit = m[m.s.notna()]
+    assert len(hit) == len(m[m.score_bp > 0])      # every scored pair explained
+    assert (abs(hit.s - hit.score_bp) <= hit.t).all()
+    assert (exp.tf > 0).all() and (exp.df > 0).all()
