@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_eval_ndcg": docsearch.search_eval_ndcg,
         "search_eval_map": docsearch.search_eval_map,
         "search_explain": docsearch.search_explain,
+        "index_postings_export": docsearch.index_postings_export,
         # --- tokenizer / aggregation surface (SURVEY §2.2/§2.5) ---
         "term_df": ts.term_df,
         "doc_token_stats": ts.doc_token_stats,
@@ -235,6 +236,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "search_eval_ndcg": docsearch.search_eval_ndcg_sql(),
         "search_eval_map": docsearch.search_eval_map_sql(),
         "search_explain": docsearch.search_explain_sql(),
+        "index_postings_export": docsearch.index_postings_export_sql(),
         "image_decode_features": multimodal.image_decode_features_sql(),
         "distinct_terms_hll_registers": ts.distinct_terms_hll_registers_sql(),
         "term_df": ts.term_df_sql(),

@@ -58,7 +58,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "regex_extract", "dedup_spans_sampled", "search_eval_map",
                "ann_sq8_topk", "doc_outlier_score", "ngram_contamination",
                "ngram_contamination_apply", "event_topk_paths",
-               "search_explain"]
+               "search_explain", "index_postings_export"]
 
 
 @pytest.fixture(scope="module")
