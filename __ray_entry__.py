@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivfpq_res_topk": ann.ann_ivfpq_res_topk,
         "embedding_pca": ann.embedding_pca,
         "ann_sq8_topk": ann.ann_sq8_topk,
+        "ann_filtered_topk": ann.ann_filtered_topk,
         "doc_outlier_score": ann.doc_outlier_score,
         # --- text analysis (non-SQL) ---
         "lang_id": ts.lang_id,
@@ -286,6 +287,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "token_count_bpe": ts.token_count_bpe_sql(),
         "ann_topk": ann.ann_topk_sql(),
         "ann_sq8_topk": ann.ann_sq8_topk_sql(),
+        "ann_filtered_topk": ann.ann_filtered_topk_sql(),
         "doc_outlier_score": ann.doc_outlier_score_sql(),
         "label_cohesion": ann.label_cohesion_sql(),
         "multimodal_meta": multimodal.multimodal_meta_sql(),

@@ -1979,3 +1979,108 @@ ranked AS (
 SELECT label, CAST(rnk AS BIGINT) AS rank, vec_id, d2
 FROM ranked WHERE rnk <= {m}
 """
+
+
+# ---- metadata-filtered ANN (the vector-DB filter clause) ----
+
+
+class _FilteredCosineTopK:
+    """Per-batch exact cosine under a PER-QUERY label predicate: rows
+    matching no query's label drop before the matmul (the pushdown),
+    then each query's top-k selects only same-label columns. Blocks
+    emit q x k rows."""
+
+    def __init__(self, qids_ref, qmat_ref, qlab_ref, k: int):
+        import ray
+
+        self.qids = ray.get(qids_ref)
+        self.qmat = _normalize(ray.get(qmat_ref))
+        self.qlabs = ray.get(qlab_ref)               # (q,) int64
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        labs = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        want = np.isin(labs, self.qlabs)
+        if not want.any():
+            return pa.table({"query_vec_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine_bp": pa.array([], pa.int64())})
+        batch = batch.filter(pa.array(want))
+        labs = labs[want]
+        emb = _normalize(emb_matrix(batch.column("embedding")))
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sims_bp = bp(self.qmat @ emb.T)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(self.qids)):
+            sel = np.nonzero(labs == self.qlabs[qi])[0]
+            if not len(sel):
+                continue
+            k = min(self.k, len(sel))
+            row = sims_bp[qi][sel]
+            top = sel[np.lexsort((ids[sel], -row))[:k]]
+            out_q.append(np.full(k, self.qids[qi], dtype=np.int64))
+            out_v.append(ids[top])
+            out_s.append(sims_bp[qi][top])
+        if not out_q:
+            return pa.table({"query_vec_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine_bp": pa.array([], pa.int64())})
+        return pa.table({"query_vec_id": int64_col(np.concatenate(out_q)),
+                         "vec_id": int64_col(np.concatenate(out_v)),
+                         "cosine_bp": int64_col(np.concatenate(out_s))})
+
+
+def ann_filtered_topk(sf_dir: str, query_ids: list[int] | None = None,
+                      k: int = 10):
+    """(query_vec_id, rank, vec_id, cosine_bp) — top-k nearest neighbors
+    RESTRICTED to each query's own label: metadata-filtered vector
+    search, the filter-clause pattern every production vector store
+    supports (filtered retrieval / same-class nearest neighbors).
+
+    Shape: the per-query label predicate broadcasts with the query
+    matrix; non-matching rows drop BEFORE the matmul (predicate
+    pushdown — at a selective filter the scan cost falls
+    proportionally); per-block top-k + the bounded merge of
+    `ann_topk`. Post-filtering a plain top-k would UNDER-fill k when
+    matches are rare — this filters first, so k is exact whenever the
+    label has >= k members."""
+    import ray
+
+    qids_list = query_ids or DEFAULT_QUERY_IDS
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding, label FROM '{sf_dir}/embeddings.parquet' "
+        f"WHERE vec_id IN ({','.join(map(str, qids_list))}) ORDER BY vec_id"
+    ).fetchall()
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    qmat = np.array([r[1] for r in rows], dtype=np.float64)
+    qlabs = np.array([r[2] for r in rows], dtype=np.int64)
+    refs = (ray.put(qids), ray.put(qmat), ray.put(qlabs))
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    local = ds.map_batches(_FilteredCosineTopK, fn_constructor_args=(*refs, k),
+                           batch_format="pyarrow", batch_size=1024,
+                           concurrency=(1, 2))
+    return local.groupby("query_vec_id").map_groups(
+        _merge_topk_factory(k), batch_format="pandas")
+
+
+def ann_filtered_topk_sql(query_ids: list[int] | None = None,
+                          k: int = 10) -> str:
+    ids = ",".join(map(str, query_ids or DEFAULT_QUERY_IDS))
+    return f"""
+WITH q AS (SELECT vec_id AS query_vec_id, embedding AS qe, label
+           FROM embeddings WHERE vec_id IN ({ids})),
+sims AS (
+  SELECT q.query_vec_id, e.vec_id,
+         CAST(floor(list_cosine_similarity(q.qe, e.embedding) * 10000 + 0.5)
+              AS BIGINT) AS cosine_bp
+  FROM q JOIN embeddings e ON e.label = q.label),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_vec_id
+                               ORDER BY cosine_bp DESC, vec_id ASC) AS rnk
+  FROM sims)
+SELECT query_vec_id, CAST(rnk AS BIGINT) AS rank, vec_id, cosine_bp
+FROM ranked WHERE rnk <= {k}
+"""

@@ -58,7 +58,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "regex_extract", "dedup_spans_sampled", "search_eval_map",
                "ann_sq8_topk", "doc_outlier_score", "ngram_contamination",
                "ngram_contamination_apply", "event_topk_paths",
-               "search_explain", "index_postings_export"]
+               "search_explain", "index_postings_export",
+               "ann_filtered_topk"]
 
 
 @pytest.fixture(scope="module")
@@ -962,3 +963,26 @@ def test_search_explain_sums_to_bm25(ray_session):
     assert len(hit) == len(m[m.score_bp > 0])      # every scored pair explained
     assert (abs(hit.s - hit.score_bp) <= hit.t).all()
     assert (exp.tf > 0).all() and (exp.df > 0).all()
+
+
+def test_ann_filtered_label_invariant(ray_session):
+    """Every filtered result shares its query's label, and for any
+    query whose exact top-10 happens to be all same-label, the filtered
+    and unfiltered result sets agree."""
+    import duckdb
+
+    from searchengine_ray.pipelines import ann
+
+    con = duckdb.connect()
+    lab = dict(con.sql(f"SELECT vec_id, label FROM "
+                       f"'{SF_DIR}/embeddings.parquet'").fetchall())
+    out = _to_pandas(ann.ann_filtered_topk(SF_DIR))
+    assert len(out)
+    for r in out.itertuples():
+        assert lab[int(r.vec_id)] == lab[int(r.query_vec_id)]
+    exact = _to_pandas(ann.ann_topk(SF_DIR))
+    for q in exact.query_vec_id.unique():
+        e = exact[exact.query_vec_id == q]
+        if all(lab[int(v)] == lab[int(q)] for v in e.vec_id):
+            f = out[out.query_vec_id == q]
+            assert set(f.vec_id) == set(e.vec_id)
