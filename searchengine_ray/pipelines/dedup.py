@@ -2309,7 +2309,7 @@ def _make_cross_span_pairs(pos_cap: int, n_jparts: int = 64):
 
 
 def ngram_contamination(sf_dir: str, k: int = _SPAN_K,
-                        pos_cap: int = _SPAN_POS_CAP):
+                        pos_cap: int = _SPAN_POS_CAP, anchor_mod: int = 1):
     """(doc_id, n_eval_docs, max_span, n_pos) — per contaminated TRAIN
     document: how many eval documents it shares a verbatim >= k-char
     span with, the longest such span, and the matched-window count.
@@ -2326,17 +2326,22 @@ def ngram_contamination(sf_dir: str, k: int = _SPAN_K,
     per-train-doc rollup is a pair-scale groupby — three integers per
     (train, eval) pair, corpus text never moves. Eval side =
     doc_id % {mod} == 0, the `decontaminate` stand-in convention (a
-    separate eval table is a one-line swap)."""
+    separate eval table is a one-line swap). ``anchor_mod`` > 1 is the
+    same content-defined-sampling 100-TB knob as `dedup_spans_sampled`
+    (detects spans containing >= 1 sampled anchor; max_span becomes an
+    anchor-extent lower bound); the registry row runs exact
+    (anchor_mod=1)."""
     from ray.data.aggregate import Count, Max, Sum
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
-    anchors = ds.map_batches(SpanAnchorStage, fn_constructor_args=(k, 1),
+    anchors = ds.map_batches(SpanAnchorStage,
+                             fn_constructor_args=(k, anchor_mod),
                              batch_format="pyarrow", batch_size=512,
                              concurrency=(1, 4))
     pairs = anchors.groupby("gkey").map_groups(
         _make_cross_span_pairs(pos_cap), batch_format="pandas")
     spans = pairs.groupby("jkey").map_groups(
-        _make_span_islands(k, True, 0), batch_format="pandas")
+        _make_span_islands(k, anchor_mod == 1, 0), batch_format="pandas")
     agg = spans.groupby("doc_a").aggregate(
         Count(alias_name="n_eval_docs"),
         Max("span_len", alias_name="max_span"),

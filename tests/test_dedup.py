@@ -416,3 +416,20 @@ def test_ngram_contamination_vs_dedup_spans(ray_session):
     assert m.n_eval_docs.tolist() == w.n_eval_docs.tolist()
     assert m.max_span.tolist() == w.max_span.tolist()
     assert m.n_pos.tolist() == w.n_pos.tolist()
+
+
+def test_ngram_contamination_anchor_mod_lower_bound(ray_session):
+    """The sampled contamination path reports a SUBSET of contaminated
+    train docs, with per-doc span/partner/position counts that never
+    exceed the exact run's."""
+    from searchengine_ray.pipelines.dedup import ngram_contamination
+
+    sf = "/root/testdata/sf0.001"
+    exact = ngram_contamination(sf).to_pandas().set_index("doc_id")
+    approx = ngram_contamination(sf, anchor_mod=4).to_pandas()
+    assert len(approx)
+    for r in approx.itertuples():
+        e = exact.loc[int(r.doc_id)]
+        assert r.max_span <= e.max_span
+        assert r.n_eval_docs <= e.n_eval_docs
+        assert r.n_pos <= e.n_pos
