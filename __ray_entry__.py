@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": ts.text_quality,
         "repetition_quality": ts.repetition_quality,
         "char_entropy": ts.char_entropy,
+        "quality_percentile_by_lang": ts.quality_percentile_by_lang,
         "dsir_weights": ts.dsir_weights,
         "dsir_select": ts.dsir_select,
         "source_divergence": ts.source_divergence,
@@ -246,6 +247,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "text_quality": ts.text_quality_sql(),
         "repetition_quality": ts.repetition_quality_sql(),
         "char_entropy": ts.char_entropy_sql(),
+        "quality_percentile_by_lang": ts.quality_percentile_by_lang_sql(),
         "dsir_weights": ts.dsir_weights_sql(),
         "dsir_select": ts.dsir_select_sql(),
         "source_divergence": ts.source_divergence_sql(),

@@ -4524,3 +4524,145 @@ SELECT doc_id,
 FROM documents
 WHERE len(regexp_extract_all(text, '{pattern}')) > 0
 """
+
+
+# ---- per-language relative quality filtering (CCNet-style) ----
+
+
+def _entropy_with_lang(batch: pa.Table) -> pa.Table:
+    """(doc_id, lang, entropy_bp) per non-empty doc — the char_entropy
+    kernel with the language carried through (empty docs drop on both
+    sides, matching the SQL join)."""
+    ent = _char_entropy_batch(batch)
+    if not ent.num_rows:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "lang": pa.array([], pa.string()),
+                         "entropy_bp": pa.array([], pa.int64())})
+    lang_of = dict(zip(
+        batch.column("doc_id").to_numpy(zero_copy_only=False).tolist(),
+        batch.column("lang").to_pylist()))
+    ids = ent.column("doc_id").to_numpy(zero_copy_only=False)
+    return pa.table({"doc_id": ent.column("doc_id"),
+                     "lang": pa.array([lang_of[i] for i in ids.tolist()],
+                                      pa.string()),
+                     "entropy_bp": ent.column("entropy_bp")})
+
+
+def _entropy_hist_partial(batch: pa.Table) -> pa.Table:
+    """Bounded (lang, v, c_p) histogram partials: distinct entropy_bp
+    values are capped by the value space (<= ln(max_doc_len)*1e4 —
+    corpus-size-INDEPENDENT), so the histogram never grows with docs."""
+    t = _entropy_with_lang(batch)
+    if not t.num_rows:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "v": pa.array([], pa.int64()),
+                         "c_p": pa.array([], pa.int64())})
+    df = t.to_pandas().groupby(["lang", "entropy_bp"]).size().reset_index()
+    return pa.table({"lang": pa.array(df["lang"].tolist(), pa.string()),
+                     "v": int64_col(df["entropy_bp"].to_numpy(np.int64)),
+                     "c_p": int64_col(df[0].to_numpy(np.int64))})
+
+
+class _PercentileScore:
+    """Second scan: entropy per doc + percentile lookup against the
+    broadcast per-lang cumulative histogram — zero shuffle."""
+
+    def __init__(self, hist_ref, keep_u: int):
+        import ray
+
+        self.hist = ray.get(hist_ref)   # lang -> (vals sorted, cum_le, n_l)
+        self.keep_u = keep_u
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = _entropy_with_lang(batch)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        langs = t.column("lang").to_pylist()
+        v = t.column("entropy_bp").to_numpy(zero_copy_only=False)
+        pct = np.zeros(len(ids), np.int64)
+        for lang in set(langs):
+            vals, cum, n_l = self.hist[lang]
+            sel = np.fromiter((la == lang for la in langs), bool, len(langs))
+            pos = np.searchsorted(vals, v[sel], side="right")
+            cnt_le = np.where(pos > 0, cum[pos - 1], 0)
+            pct[sel] = 1_000_000 * cnt_le // n_l
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "lang": t.column("lang"),
+                         "entropy_bp": t.column("entropy_bp"),
+                         "pct_u": int64_col(pct),
+                         "keep": int64_col(
+                             (pct >= self.keep_u).astype(np.int64))})
+
+
+def quality_percentile_by_lang(sf_dir: str, keep_u: int = 700_000):
+    """(doc_id, lang, entropy_bp, pct_u, keep) — each document's quality
+    PERCENTILE within its own language, plus the relative keep decision
+    (top 30% by default): CCNet's per-language relative filtering — an
+    absolute threshold over-prunes low-resource languages whose whole
+    score distribution sits lower, so production filters threshold the
+    within-language rank, not the raw score. Metric here = char
+    entropy (already exact-integer); the mechanism is metric-agnostic.
+
+    pct_u = 1e6 * |{docs in lang with value <= v}| // n_lang — exact
+    integer cume_dist, bit-identical to the SQL window replay. Shape:
+    scan 1 emits BOUNDED (lang, value) histogram partials (value space
+    is corpus-size-independent) -> one (lang, value) groupby -> a
+    bounded driver pull broadcast once via ray.put; scan 2 scores with
+    ZERO shuffle (the DSIR two-scan pattern). No doc-scale sort, no
+    per-lang windowing over corpus-scale groups."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    hist_rows = ds.map_batches(_entropy_hist_partial, batch_format="pyarrow",
+                               batch_size=1024) \
+        .groupby(["lang", "v"]).aggregate(Sum("c_p", alias_name="c")) \
+        .take_all()                       # bounded: langs x value-space
+    hist: dict[str, tuple] = {}
+    by_lang: dict[str, list] = {}
+    for r in hist_rows:
+        by_lang.setdefault(r["lang"], []).append((int(r["v"]), int(r["c"])))
+    for lang, vc in by_lang.items():
+        vc.sort()
+        vals = np.array([v for v, _ in vc], np.int64)
+        cum = np.cumsum(np.array([c for _, c in vc], np.int64))
+        hist[lang] = (vals, cum, int(cum[-1]))
+    hist_ref = ray.put(hist)
+    return ds.map_batches(_PercentileScore,
+                          fn_constructor_args=(hist_ref, keep_u),
+                          batch_format="pyarrow", batch_size=1024,
+                          concurrency=(1, 4))
+
+
+def quality_percentile_by_lang_sql(keep_u: int = 700_000) -> str:
+    return f"""
+WITH cc AS (
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+        FROM documents WHERE length(text) > 0)
+  WHERE ch <> ''
+  GROUP BY doc_id, ch),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+         CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                             * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM cc GROUP BY doc_id),
+e AS (
+  SELECT doc_id,
+         CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+           - s // n_chars AS entropy_bp
+  FROM agg),
+d AS (SELECT e.doc_id, doc.lang, e.entropy_bp
+      FROM e JOIN documents doc USING (doc_id)),
+w AS (
+  SELECT *,
+         count(*) OVER (PARTITION BY lang ORDER BY entropy_bp
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cnt_le,
+         count(*) OVER (PARTITION BY lang) AS n_l
+  FROM d)
+SELECT doc_id, lang, entropy_bp,
+       CAST(1000000 * cnt_le // n_l AS BIGINT) AS pct_u,
+       CAST(CASE WHEN 1000000 * cnt_le // n_l >= {keep_u}
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM w
+"""

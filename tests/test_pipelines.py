@@ -59,7 +59,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "ann_sq8_topk", "doc_outlier_score", "ngram_contamination",
                "ngram_contamination_apply", "event_topk_paths",
                "search_explain", "index_postings_export",
-               "ann_filtered_topk"]
+               "ann_filtered_topk", "quality_percentile_by_lang"]
 
 
 @pytest.fixture(scope="module")
@@ -986,3 +986,24 @@ def test_ann_filtered_label_invariant(ray_session):
         if all(lab[int(v)] == lab[int(q)] for v in e.vec_id):
             f = out[out.query_vec_id == q]
             assert set(f.vec_id) == set(e.vec_id)
+
+
+def test_quality_percentile_semantics(ray_session):
+    """Percentiles are exact within-language cume_dist: max value gets
+    pct_u == 1e6, keep matches the threshold, and per-lang keep rates
+    land near 30% (ties can only widen the kept set)."""
+    from searchengine_ray.pipelines.textstats import quality_percentile_by_lang
+
+    out = _to_pandas(quality_percentile_by_lang(SF_DIR))
+    assert len(out)
+    for lang, g in out.groupby("lang"):
+        n = len(g)
+        top = g[g.entropy_bp == g.entropy_bp.max()]
+        assert (top.pct_u == 1_000_000).all()
+        # recompute cume_dist brute force
+        v = g.entropy_bp.to_numpy()
+        for r in g.sample(min(20, n), random_state=0).itertuples():
+            assert r.pct_u == 1_000_000 * int((v <= r.entropy_bp).sum()) // n
+        kept = (g.keep == 1).mean()
+        assert 0.25 <= kept <= 0.45, (lang, kept)
+    assert ((out.keep == 1) == (out.pct_u >= 700_000)).all()
