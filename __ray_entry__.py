@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_quality": ts.repetition_quality,
         "char_entropy": ts.char_entropy,
         "quality_percentile_by_lang": ts.quality_percentile_by_lang,
+        "boilerplate_lines": ts.boilerplate_lines,
         "dsir_weights": ts.dsir_weights,
         "dsir_select": ts.dsir_select,
         "source_divergence": ts.source_divergence,
@@ -248,6 +249,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "repetition_quality": ts.repetition_quality_sql(),
         "char_entropy": ts.char_entropy_sql(),
         "quality_percentile_by_lang": ts.quality_percentile_by_lang_sql(),
+        "boilerplate_lines": ts.boilerplate_lines_sql(),
         "dsir_weights": ts.dsir_weights_sql(),
         "dsir_select": ts.dsir_select_sql(),
         "source_divergence": ts.source_divergence_sql(),

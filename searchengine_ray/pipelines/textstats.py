@@ -4666,3 +4666,136 @@ SELECT doc_id, lang, entropy_bp,
                  THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM w
 """
+
+
+# ---- corpus-frequency boilerplate-line removal (CCNet-style) ----
+
+_BP_HEADER = "LICENSE: sample header boilerplate"
+_BP_FOOTER = "-- generated footer; do not edit"
+
+
+def _bp_inject(ids: np.ndarray, texts: list[str]) -> list[str]:
+    """Deterministic doc_id-derived boilerplate lines (header on %3,
+    footer on %4), mirrored EXACTLY in the oracle SQL — the pii_scrub
+    seeded-literal convention: the synthetic corpus has no multi-line
+    boilerplate, so the registry row plants some; production callers
+    run the scrub stages on their real lines and this injection drops
+    out."""
+    out = []
+    for i, t in zip(ids.tolist(), texts):
+        if i % 3 == 0:
+            t = _BP_HEADER + "\n" + t
+        if i % 4 == 0:
+            t = t + "\n" + _BP_FOOTER
+        out.append(t)
+    return out
+
+
+def _bp_line_counts(batch: pa.Table) -> pa.Table:
+    """(line, c_p) per-batch partial occurrence counts over non-empty
+    lines — the TermDFPartial shape at line granularity."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    s = pd.Series(_bp_inject(ids, batch.column("text").to_pylist()))
+    lines = s.str.split("\n").explode()
+    lines = lines[lines != ""]
+    vc = lines.value_counts()
+    return pa.table({"line": pa.array(vc.index.tolist(), pa.string()),
+                     "c_p": int64_col(vc.to_numpy(np.int64))})
+
+
+class _BoilerplateScrub:
+    """Second scan: drop corpus-hot lines per doc, emit the kept-content
+    digest — the broadcast hot set is bounded at total_lines/min_count
+    entries by construction."""
+
+    def __init__(self, hot_ref):
+        import ray
+
+        self.hot = ray.get(hot_ref)                  # set[str]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        texts = _bp_inject(ids, batch.column("text").to_pylist())
+        n_lines = np.zeros(len(texts), np.int64)
+        n_drop = np.zeros(len(texts), np.int64)
+        digests = []
+        for j, t in enumerate(texts):
+            lines = [ln for ln in t.split("\n") if ln != ""]
+            kept = [ln for ln in lines if ln not in self.hot]
+            n_lines[j] = len(lines)
+            n_drop[j] = len(lines) - len(kept)
+            digests.append(hashlib.md5("\n".join(kept).encode()).hexdigest())
+        return pa.table({"doc_id": int64_col(ids),
+                         "n_lines": int64_col(n_lines),
+                         "n_dropped": int64_col(n_drop),
+                         "kept_md5": pa.array(digests, pa.string())})
+
+
+def boilerplate_lines(sf_dir: str, min_count: int = 50):
+    """(doc_id, n_lines, n_dropped, kept_md5) — corpus-frequency
+    boilerplate-LINE removal: any line occurring >= min_count times
+    corpus-wide (license headers, generated-file banners, nav chrome)
+    is scrubbed from every document; kept_md5 digests the surviving
+    content so the gate hash-checks the EXACT post-scrub text of every
+    doc. This is CCNet's duplicated-paragraph removal at line
+    granularity — the other classic text-level curation pass beside
+    the per-doc Gopher filters (`repetition_quality` measures
+    WITHIN-doc repetition; this removes ACROSS-doc repetition).
+
+    Shape: scan 1 emits (line, count) partials -> ONE line groupby ->
+    the hot set (bounded at total_lines/min_count rows — raise
+    min_count with corpus size, or swap the set for a Bloom filter at
+    extreme scale) broadcasts via ray.put; scan 2 scrubs zero-shuffle.
+    The gate row plants deterministic doc_id-derived header/footer
+    lines (the pii_scrub seeded-literal convention) because the
+    synthetic corpus is single-line."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    counts = ds.map_batches(_bp_line_counts, batch_format="pyarrow",
+                            batch_size=1024) \
+        .groupby("line").aggregate(Sum("c_p", alias_name="c"))
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(c >= min_count))
+
+    hot_rows = counts.map_batches(only_hot, batch_format="pyarrow").take_all()
+    hot_ref = ray.put({r["line"] for r in hot_rows})
+    return ds.map_batches(_BoilerplateScrub, fn_constructor_args=(hot_ref,),
+                          batch_format="pyarrow", batch_size=1024,
+                          concurrency=(1, 4))
+
+
+def boilerplate_lines_sql(min_count: int = 50) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN '{_BP_HEADER}' || chr(10)
+               ELSE '' END)
+         || text ||
+         (CASE WHEN doc_id % 4 = 0 THEN chr(10) || '{_BP_FOOTER}'
+               ELSE '' END) AS text
+  FROM documents),
+ln AS (
+  SELECT doc_id, ord, line FROM (
+    SELECT doc_id, CAST(generate_subscripts(ls, 1) AS BIGINT) AS ord,
+           unnest(ls) AS line
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d))
+  WHERE line <> ''),
+hot AS (SELECT line FROM ln GROUP BY line HAVING count(*) >= {min_count}),
+kept AS (SELECT * FROM ln WHERE line NOT IN (SELECT line FROM hot)),
+ka AS (SELECT doc_id, count(*) AS n_kept,
+              md5(string_agg(line, chr(10) ORDER BY ord)) AS kept_md5
+       FROM kept GROUP BY doc_id),
+la AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(la.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(la.n_lines, 0) - COALESCE(ka.n_kept, 0) AS BIGINT)
+         AS n_dropped,
+       COALESCE(ka.kept_md5, md5('')) AS kept_md5
+FROM d LEFT JOIN la USING (doc_id) LEFT JOIN ka USING (doc_id)
+"""

@@ -59,7 +59,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "ann_sq8_topk", "doc_outlier_score", "ngram_contamination",
                "ngram_contamination_apply", "event_topk_paths",
                "search_explain", "index_postings_export",
-               "ann_filtered_topk", "quality_percentile_by_lang"]
+               "ann_filtered_topk", "quality_percentile_by_lang",
+               "boilerplate_lines"]
 
 
 @pytest.fixture(scope="module")
@@ -1007,3 +1008,32 @@ def test_quality_percentile_semantics(ray_session):
         kept = (g.keep == 1).mean()
         assert 0.25 <= kept <= 0.45, (lang, kept)
     assert ((out.keep == 1) == (out.pct_u >= 700_000)).all()
+
+
+def test_boilerplate_scrub_stage(ray_session):
+    """Direct-callable unit test: hot lines drop wherever they occur,
+    untouched docs digest to their own (injected) text, empty-after-
+    scrub docs digest md5('')."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray
+
+    from searchengine_ray.pipelines.textstats import (_BP_FOOTER,
+                                                      _BP_HEADER,
+                                                      _BoilerplateScrub)
+
+    hot_ref = ray.put({_BP_HEADER, _BP_FOOTER, "dup dup dup"})
+    t = pa.table({
+        "doc_id": [3, 1, 4],   # 3: header; 1: nothing; 4: footer
+        "text": ["keep me\ndup dup dup", "only line", "dup dup dup"],
+    })
+    out = _BoilerplateScrub(hot_ref)(t).to_pandas().set_index("doc_id")
+    # doc 3 gains the injected header (hot) and carries one hot line
+    assert out.loc[3].n_lines == 3 and out.loc[3].n_dropped == 2
+    assert out.loc[3].kept_md5 == hashlib.md5(b"keep me").hexdigest()
+    assert out.loc[1].n_dropped == 0
+    assert out.loc[1].kept_md5 == hashlib.md5(b"only line").hexdigest()
+    # doc 4: its only real line is hot AND it gains the hot footer
+    assert out.loc[4].n_lines == 2 and out.loc[4].n_dropped == 2
+    assert out.loc[4].kept_md5 == hashlib.md5(b"").hexdigest()
