@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": rel.pricing_summary,
         "top_orders_by_revenue": rel.top_orders_by_revenue,
         "events_daily": rel.events_daily,
+        "events_daily_users": rel.events_daily_users,
         "events_rollup": rel.events_rollup,
         "sessionize_events": events.sessionize_events,
         "event_asof_join": events.event_asof_join,
@@ -300,6 +301,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "pricing_summary": rel.pricing_summary_sql(),
         "top_orders_by_revenue": rel.top_orders_by_revenue_sql(),
         "events_daily": rel.events_daily_sql(),
+        "events_daily_users": rel.events_daily_users_sql(),
         "events_rollup": rel.events_rollup_sql(),
         "sessionize_events": events.sessionize_events_sql(),
         "event_asof_join": events.event_asof_join_sql(),

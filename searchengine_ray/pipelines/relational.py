@@ -879,3 +879,48 @@ WHERE r.r_name = '{region}'
   AND o.o_orderdate < TIMESTAMP '{date_to}'
 GROUP BY n.n_name
 """
+
+
+def events_daily_users(sf_dir: str):
+    """(event_type, day, n_users) — EXACT daily active users per event
+    type: the exact COUNT(DISTINCT) groupby class (the approximate twin
+    is `window_user_hll`; production dashboards run both and alert on
+    divergence).
+
+    Shape: the canonical two-stage distinct aggregation — per-batch
+    LOCAL dedup of (type, day, user) triples (each batch contributes a
+    distinct triple at most once, so the shuffle carries the distinct
+    cardinality, not the event count), ONE triple groupby to finish the
+    global dedup, then a map-side re-count per (type, day) folded by a
+    second key-cardinality groupby. Raw events never shuffle; the wide
+    exchanges both run over distinct-key-scale rows."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "events", ["event_type", "ts", "user_id"])
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        u = df[["event_type", "day", "user_id"]].drop_duplicates()
+        return pa.Table.from_pandas(u, preserve_index=False)
+
+    triples = ds.map_batches(distinct_partial, batch_format="pyarrow",
+                             batch_size=65536) \
+        .groupby(["event_type", "day", "user_id"]).count()
+
+    def recount(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby(["event_type", "day"]).size() \
+            .rename("n_p").reset_index()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return triples.map_batches(recount, batch_format="pyarrow") \
+        .groupby(["event_type", "day"]) \
+        .aggregate(Sum("n_p", alias_name="n_users"))
+
+
+def events_daily_users_sql() -> str:
+    return """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+"""
