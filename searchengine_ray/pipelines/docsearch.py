@@ -207,9 +207,11 @@ PREFIX_QUERIES: list[tuple[int, str]] = [
 PREFIX_MAX_EXPANSIONS = 4
 
 
-def _expand_prefixes(paths: IndexPaths, prefix_queries, cap: int):
-    """Expand each prefix to its top-``cap`` matching index terms as
-    ``[(query_id, "t1 t2 ...")]``, via a DISTRIBUTED dictionary scan.
+def _expand_prefixes(paths: IndexPaths, prefix_queries, cap: int,
+                     mode: str = "prefix"):
+    """Expand each prefix (or suffix, ``mode="suffix"``) to its
+    top-``cap`` matching index terms as ``[(query_id, "t1 t2 ...")]``,
+    via a DISTRIBUTED dictionary scan.
 
     The dictionary is hash-partitioned (point lookups), so a prefix
     scan must touch every partition — but only the vocabulary-scale
@@ -226,13 +228,17 @@ def _expand_prefixes(paths: IndexPaths, prefix_queries, cap: int):
 
     files = sorted(str(f) for f in Path(paths.dictionary).glob("*.parquet"))
     prefixes = [(int(q), p) for q, p in prefix_queries]
+    is_prefix = mode == "prefix"
 
     def match(batch: pa.Table) -> pa.Table:
+        # resolve the kernel HERE: np.char functions don't pickle as
+        # closure captures (module-alias import failure in workers)
+        kern = np.char.startswith if is_prefix else np.char.endswith
         terms = batch.column("term").to_numpy(zero_copy_only=False)
         dfs = batch.column("df").to_numpy(zero_copy_only=False)
         qids_out, terms_out, dfs_out = [], [], []
         for qid, pre in prefixes:
-            hit = np.char.startswith(terms.astype(str), pre)
+            hit = kern(terms.astype(str), pre)
             qids_out.append(np.full(int(hit.sum()), qid, np.int64))
             terms_out.append(terms[hit])
             dfs_out.append(dfs[hit].astype(np.int64))
@@ -2063,4 +2069,61 @@ WITH toks AS (
   FROM documents)
 SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
 FROM toks WHERE term <> '' GROUP BY term, doc_id
+"""
+
+
+# ---- suffix (reverse-wildcard) queries ----
+
+SUFFIX_QUERIES: list[tuple[int, str]] = [
+    (1, "er"),      # customer, filter, order
+    (2, "w"),       # row, slow, window
+    (3, "rt"),      # part, sort
+    (4, "zzz"),     # no match: empty
+    (5, "e"),       # 5 matches at gate scale — exercises the cap
+    (6, "a"),       # data, a
+]
+
+
+def suffix_search(sf_dir: str):
+    """(query_id, doc_id, n_terms) — suffix (`*term`) wildcard
+    retrieval: the reverse-wildcard query class (Lucene serves it from
+    a reversed-term field; here the same distributed dictionary scan
+    that powers `prefix_search` runs an endswith kernel — the
+    vocabulary-scale columns are touched once for ALL suffixes, and at
+    100 TB the scale path is a REVERSED-term-sorted dictionary
+    projection, the documented analog of the prefix path's sorted
+    projection). Expansion is capped + deterministically ordered
+    (df desc, term asc) exactly like prefixes, then OR retrieval
+    through the same executors."""
+    from searchengine_ray.pipelines.query import terms_union_queries
+
+    paths = ensure_doc_index(sf_dir)
+    expanded = _expand_prefixes(paths, SUFFIX_QUERIES,
+                                PREFIX_MAX_EXPANSIONS, mode="suffix")
+    return terms_union_queries(paths, expanded, config=doc_index_config(),
+                               concurrency=(1, 2))
+
+
+def suffix_search_sql() -> str:
+    values = ",\n        ".join(f"({qid}, '{s}')" for qid, s in SUFFIX_QUERIES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+'))
+    AS term
+  FROM documents),
+tf AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''),
+dict AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+suffixes(query_id, sfx) AS (VALUES
+        {values}),
+expanded AS (
+  SELECT s.query_id, d.term,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY d.df DESC, d.term ASC) AS rnk
+  FROM suffixes s JOIN dict d ON suffix(d.term, s.sfx)),
+surviving AS (SELECT query_id, term FROM expanded
+              WHERE rnk <= {PREFIX_MAX_EXPANSIONS})
+SELECT CAST(e.query_id AS BIGINT) AS query_id, tf.doc_id,
+       CAST(count(DISTINCT tf.term) AS BIGINT) AS n_terms
+FROM surviving e JOIN tf ON tf.term = e.term
+GROUP BY e.query_id, tf.doc_id
 """
