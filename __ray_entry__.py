@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_search": docsearch.boolean_search,
         "prefix_search": docsearch.prefix_search,
         "suffix_search": docsearch.suffix_search,
+        "term_regex_search": docsearch.term_regex_search,
         "more_like_this": docsearch.more_like_this,
         "prf_search": docsearch.prf_search,
         "percolate": docsearch.percolate,
@@ -228,6 +229,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "boolean_search": docsearch.boolean_search_sql(),
         "prefix_search": docsearch.prefix_search_sql(),
         "suffix_search": docsearch.suffix_search_sql(),
+        "term_regex_search": docsearch.term_regex_search_sql(),
         "more_like_this": docsearch.more_like_this_sql(),
         "prf_search": docsearch.prf_search_sql(),
         "percolate": docsearch.percolate_sql(),

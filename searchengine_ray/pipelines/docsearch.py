@@ -228,12 +228,20 @@ def _expand_prefixes(paths: IndexPaths, prefix_queries, cap: int,
 
     files = sorted(str(f) for f in Path(paths.dictionary).glob("*.parquet"))
     prefixes = [(int(q), p) for q, p in prefix_queries]
-    is_prefix = mode == "prefix"
-
     def match(batch: pa.Table) -> pa.Table:
-        # resolve the kernel HERE: np.char functions don't pickle as
+        # resolve kernels HERE: np.char functions don't pickle as
         # closure captures (module-alias import failure in workers)
-        kern = np.char.startswith if is_prefix else np.char.endswith
+        import re
+
+        if mode == "prefix":
+            def kern(ts, p): return np.char.startswith(ts, p)
+        elif mode == "suffix":
+            def kern(ts, p): return np.char.endswith(ts, p)
+        else:                                  # regex (RE2-safe subset)
+            def kern(ts, p):
+                rx = re.compile(p)
+                return np.fromiter((rx.search(t) is not None for t in ts),
+                                   bool, len(ts))
         terms = batch.column("term").to_numpy(zero_copy_only=False)
         dfs = batch.column("df").to_numpy(zero_copy_only=False)
         qids_out, terms_out, dfs_out = [], [], []
@@ -2120,6 +2128,63 @@ expanded AS (
          row_number() OVER (PARTITION BY s.query_id
                             ORDER BY d.df DESC, d.term ASC) AS rnk
   FROM suffixes s JOIN dict d ON suffix(d.term, s.sfx)),
+surviving AS (SELECT query_id, term FROM expanded
+              WHERE rnk <= {PREFIX_MAX_EXPANSIONS})
+SELECT CAST(e.query_id AS BIGINT) AS query_id, tf.doc_id,
+       CAST(count(DISTINCT tf.term) AS BIGINT) AS n_terms
+FROM surviving e JOIN tf ON tf.term = e.term
+GROUP BY e.query_id, tf.doc_id
+"""
+
+
+# ---- regex term queries (the general wildcard) ----
+
+REGEX_TERM_QUERIES: list[tuple[int, str]] = [
+    (1, "^.a"),            # 'a' in second position — exercises the cap
+    (2, "^(join|key)$"),   # exact alternation
+    (3, "^s.*t$"),         # s...t
+    (4, "^zzz"),           # no match: empty
+    (5, "^[ab]"),          # character class
+    (6, "er$"),            # suffix-equivalent (cross-family check)
+]
+
+
+def term_regex_search(sf_dir: str):
+    """(query_id, doc_id, n_terms) — regex term queries (Lucene's
+    RegexpQuery, ES `regexp`): the GENERAL wildcard — each pattern
+    expands against the distributed dictionary scan (one pass over the
+    vocabulary-scale columns for ALL patterns, the prefix/suffix
+    machinery with a compiled-re kernel), capped + deterministically
+    ordered, then OR retrieval. Patterns are restricted to the
+    RE2-compatible subset (no lookaround/backrefs) so python `re` and
+    DuckDB `regexp_matches` agree; both sides use SEARCH (unanchored)
+    semantics — anchor with ^$ in the pattern."""
+    from searchengine_ray.pipelines.query import terms_union_queries
+
+    paths = ensure_doc_index(sf_dir)
+    expanded = _expand_prefixes(paths, REGEX_TERM_QUERIES,
+                                PREFIX_MAX_EXPANSIONS, mode="regex")
+    return terms_union_queries(paths, expanded, config=doc_index_config(),
+                               concurrency=(1, 2))
+
+
+def term_regex_search_sql() -> str:
+    values = ",\n        ".join(f"({qid}, '{p}')"
+                                for qid, p in REGEX_TERM_QUERIES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+'))
+    AS term
+  FROM documents),
+tf AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''),
+dict AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+pats(query_id, pat) AS (VALUES
+        {values}),
+expanded AS (
+  SELECT p.query_id, d.term,
+         row_number() OVER (PARTITION BY p.query_id
+                            ORDER BY d.df DESC, d.term ASC) AS rnk
+  FROM pats p JOIN dict d ON regexp_matches(d.term, p.pat)),
 surviving AS (SELECT query_id, term FROM expanded
               WHERE rnk <= {PREFIX_MAX_EXPANSIONS})
 SELECT CAST(e.query_id AS BIGINT) AS query_id, tf.doc_id,
