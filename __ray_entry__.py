@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_search": docsearch.prefix_search,
         "suffix_search": docsearch.suffix_search,
         "term_regex_search": docsearch.term_regex_search,
+        "phrase_prefix_search": docsearch.phrase_prefix_search,
         "more_like_this": docsearch.more_like_this,
         "prf_search": docsearch.prf_search,
         "percolate": docsearch.percolate,
@@ -230,6 +231,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "prefix_search": docsearch.prefix_search_sql(),
         "suffix_search": docsearch.suffix_search_sql(),
         "term_regex_search": docsearch.term_regex_search_sql(),
+        "phrase_prefix_search": docsearch.phrase_prefix_search_sql(),
         "more_like_this": docsearch.more_like_this_sql(),
         "prf_search": docsearch.prf_search_sql(),
         "percolate": docsearch.percolate_sql(),

@@ -2192,3 +2192,112 @@ SELECT CAST(e.query_id AS BIGINT) AS query_id, tf.doc_id,
 FROM surviving e JOIN tf ON tf.term = e.term
 GROUP BY e.query_id, tf.doc_id
 """
+
+
+# ---- phrase-prefix queries (match_phrase_prefix) ----
+
+PHRASE_PREFIX_QUERIES: list[tuple[int, str]] = [
+    (1, "hash jo"),        # -> hash join
+    (2, "slow query s"),   # 3-term body, expanded tail
+    (3, "batch ba"),       # periodic phrase through expansion
+    (4, "merge zz"),       # tail expands to nothing: empty
+    (5, "data s"),         # many s-terms — exercises the expansion cap
+    (6, "the t"),          # stop-word-scale lead term
+]
+
+
+def phrase_prefix_search(sf_dir: str):
+    """(query_id, doc_id, n_matches) — phrase-PREFIX match (the
+    as-you-type phrase query: Elasticsearch `match_phrase_prefix`,
+    Lucene MultiPhraseQuery over an expanded last position): the last
+    token is a prefix whose top-``PREFIX_MAX_EXPANSIONS`` dictionary
+    expansions (df desc, term asc) each complete the phrase; a doc's
+    n_matches counts exact positional occurrences across ALL surviving
+    completions.
+
+    Shape: ONE distributed dictionary scan expands every query's tail
+    (the `prefix_search` machinery against the positional index's
+    dictionary), then the expanded phrase set — at most queries x cap
+    phrases — runs through the SAME phrase actor pool, and a bounded
+    (query, doc) groupby folds completions back together. The oracle
+    replays expansion (QUALIFY over the SQL dictionary) and the
+    positional self-join per completion."""
+    import pandas as pd
+
+    from searchengine_ray.pipelines.query import phrase_queries
+
+    paths = ensure_phrase_index(sf_dir)
+    tails = [(qid, text.rsplit(" ", 1)[1])
+             for qid, text in PHRASE_PREFIX_QUERIES]
+    expanded = dict(_expand_prefixes(paths, tails, PREFIX_MAX_EXPANSIONS))
+    phrases = []
+    for qid, text in PHRASE_PREFIX_QUERIES:
+        body = text.rsplit(" ", 1)[0]
+        for j, term in enumerate(sorted(expanded.get(qid, "").split())):
+            if term:
+                phrases.append((qid * 1000 + j, f"{body} {term}"))
+    if not phrases:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "n_matches": pa.array([], pa.int64())})
+    res = phrase_queries(paths, phrases, config=phrase_index_config(),
+                         concurrency=(1, 2))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        q = batch.column("query_id").to_numpy(zero_copy_only=False)
+        return batch.set_column(0, "query_id", int64_col(q // 1000))
+
+    def regroup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["query_id", "doc_id"], as_index=False)["n_matches"] \
+            .sum()
+        return out
+
+    return res.map_batches(fold, batch_format="pyarrow") \
+        .groupby("query_id").map_groups(regroup, batch_format="pandas")
+
+
+def phrase_prefix_search_sql() -> str:
+    analyzer = Analyzer(phrase_index_config())
+    selects = []
+    for qid, text in PHRASE_PREFIX_QUERIES:
+        body, tail = text.rsplit(" ", 1)
+        toks = analyzer.raw_tokens(body)
+        joins = []
+        for i, t in enumerate(toks[1:], start=1):
+            joins.append(f"JOIN toks t{i} ON t{i}.doc_id = t0.doc_id "
+                         f"AND t{i}.pos = t0.pos + {i} AND t{i}.term = '{t}'")
+        n = len(toks)
+        joins.append(
+            f"JOIN toks t{n} ON t{n}.doc_id = t0.doc_id "
+            f"AND t{n}.pos = t0.pos + {n} AND t{n}.term IN "
+            f"(SELECT term FROM surviving WHERE query_id = {qid})")
+        selects.append(f"""
+SELECT CAST({qid} AS BIGINT) AS query_id, t0.doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches
+FROM toks t0 {' '.join(joins)}
+WHERE t0.term = '{toks[0]}' GROUP BY t0.doc_id""")
+    union = "\nUNION ALL\n".join(selects)
+    values = ",\n        ".join(
+        f"({qid}, '{text.rsplit(' ', 1)[1]}')"
+        for qid, text in PHRASE_PREFIX_QUERIES)
+    return f"""
+WITH raw AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term,
+         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), 1) AS raw_pos
+  FROM documents),
+toks AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY raw_pos) - 1 AS pos
+  FROM raw WHERE term <> ''),
+dict AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         FROM toks GROUP BY term),
+prefixes(query_id, prefix) AS (VALUES
+        {values}),
+surviving AS (
+  SELECT p.query_id, d.term FROM prefixes p
+  JOIN dict d ON d.term LIKE p.prefix || '%'
+  QUALIFY row_number() OVER (PARTITION BY p.query_id
+                             ORDER BY d.df DESC, d.term ASC)
+          <= {PREFIX_MAX_EXPANSIONS})
+{union}
+"""

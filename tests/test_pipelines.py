@@ -61,7 +61,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "search_explain", "index_postings_export",
                "ann_filtered_topk", "quality_percentile_by_lang",
                "boilerplate_lines", "events_daily_users", "suffix_search",
-               "term_regex_search"]
+               "term_regex_search", "phrase_prefix_search"]
 
 
 @pytest.fixture(scope="module")
