@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": ts.char_entropy,
         "quality_percentile_by_lang": ts.quality_percentile_by_lang,
         "boilerplate_lines": ts.boilerplate_lines,
+        "release_pipeline": ts.release_pipeline,
         "dsir_weights": ts.dsir_weights,
         "dsir_select": ts.dsir_select,
         "source_divergence": ts.source_divergence,
@@ -257,6 +258,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "char_entropy": ts.char_entropy_sql(),
         "quality_percentile_by_lang": ts.quality_percentile_by_lang_sql(),
         "boilerplate_lines": ts.boilerplate_lines_sql(),
+        "release_pipeline": ts.release_pipeline_sql(),
         "dsir_weights": ts.dsir_weights_sql(),
         "dsir_select": ts.dsir_select_sql(),
         "source_divergence": ts.source_divergence_sql(),

@@ -4799,3 +4799,111 @@ SELECT d.doc_id, CAST(COALESCE(la.n_lines, 0) AS BIGINT) AS n_lines,
        COALESCE(ka.kept_md5, md5('')) AS kept_md5
 FROM d LEFT JOIN la USING (doc_id) LEFT JOIN ka USING (doc_id)
 """
+
+
+# ---- composed release pipeline (session-4 curation family) ----
+
+
+class _ReleaseScan:
+    """ONE text pass computing the quality keep bit AND the boilerplate
+    scrub per doc — train-side survivors leave as metadata rows (text
+    dropped at the scan, the _CurationScan discipline)."""
+
+    def __init__(self, hot_ref, n_jparts: int):
+        import ray
+
+        self.hot = ray.get(hot_ref)
+        self.n_jparts = n_jparts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from searchengine_ray.pipelines.dedup import _EVAL_MOD
+
+        q = _quality_filter_batch(batch)
+        sc = _BoilerplateScrub.__call__(self, batch)   # shares self.hot
+        ids = sc.column("doc_id").to_numpy(zero_copy_only=False)
+        keepq = q.column("keep").to_numpy(zero_copy_only=False)
+        m = (keepq == 1) & (ids % _EVAL_MOD != 0)
+        sc = sc.filter(pa.array(m))
+        ids = ids[m]
+        return pa.table({
+            "jpart": int64_col(ids % self.n_jparts),
+            "doc_id": sc.column("doc_id"),
+            "n_lines": sc.column("n_lines"),
+            "n_dropped": sc.column("n_dropped"),
+            "kept_md5": sc.column("kept_md5"),
+            "side": int64_col(np.zeros(len(ids), np.int64))})
+
+
+def release_pipeline(sf_dir: str, min_count: int = 50):
+    """(doc_id, n_lines, n_dropped, kept_md5) — the composed RELEASE
+    flow over the session-4 curation family, as one lazy streaming job:
+
+      quality gate AND boilerplate-line scrub (ONE text pass,
+        `_ReleaseScan` — metadata out, text dropped at the scan)
+      -> exact-span decontamination anti-join (`ngram_contamination`
+        drop-list through the co-located groupby(jpart) shape)
+
+    The second composition row beside `curation_pipeline`: that one
+    proves the quality/mixture/MinHash/packing family composes; this
+    proves the NEWER family (composed quality bitmask, corpus-frequency
+    scrub, verbatim-overlap decontamination) does too, sharing one
+    scan and metadata-only exchanges. The oracle nests the exact
+    generator SQL of each piece; a composition-invariant test asserts
+    the result equals the intersection of the standalone ops."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    n_jparts = 64
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    counts = ds.map_batches(_bp_line_counts, batch_format="pyarrow",
+                            batch_size=1024) \
+        .groupby("line").aggregate(Sum("c_p", alias_name="c"))
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(c >= min_count))
+
+    hot_ref = ray.put({r["line"] for r in counts.map_batches(
+        only_hot, batch_format="pyarrow").take_all()})
+
+    scanned = ds.map_batches(_ReleaseScan,
+                             fn_constructor_args=(hot_ref, n_jparts),
+                             batch_format="pyarrow", batch_size=1024,
+                             concurrency=(1, 4))
+
+    from searchengine_ray.pipelines.dedup import ngram_contamination
+
+    def drop_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        z = np.zeros(len(ids), np.int64)
+        return pa.table({"jpart": int64_col(ids % n_jparts),
+                         "doc_id": int64_col(ids), "n_lines": int64_col(z),
+                         "n_dropped": int64_col(z),
+                         "kept_md5": pa.array([""] * len(ids), pa.string()),
+                         "side": int64_col(np.ones(len(ids), np.int64))})
+
+    drops = ngram_contamination(sf_dir).map_batches(
+        drop_side, batch_format="pyarrow")
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        docs = df[df["side"] == 0]
+        dead = set(df.loc[df["side"] == 1, "doc_id"].to_numpy())
+        live = docs[~docs["doc_id"].isin(dead)]
+        return live[["doc_id", "n_lines", "n_dropped", "kept_md5"]]
+
+    return scanned.union(drops).groupby("jpart").map_groups(
+        anti, batch_format="pandas")
+
+
+def release_pipeline_sql(min_count: int = 50) -> str:
+    from searchengine_ray.pipelines.dedup import (_EVAL_MOD,
+                                                  ngram_contamination_sql)
+
+    return f"""
+SELECT b.doc_id, b.n_lines, b.n_dropped, b.kept_md5
+FROM ({boilerplate_lines_sql(min_count)}) b
+WHERE b.doc_id % {_EVAL_MOD} <> 0
+  AND b.doc_id IN (SELECT doc_id FROM ({quality_filter_sql()}) q
+                   WHERE q.keep = 1)
+  AND b.doc_id NOT IN (SELECT doc_id FROM ({ngram_contamination_sql()}) c)
+"""

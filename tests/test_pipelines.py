@@ -61,7 +61,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "search_explain", "index_postings_export",
                "ann_filtered_topk", "quality_percentile_by_lang",
                "boilerplate_lines", "events_daily_users", "suffix_search",
-               "term_regex_search", "phrase_prefix_search"]
+               "term_regex_search", "phrase_prefix_search",
+               "release_pipeline"]
 
 
 @pytest.fixture(scope="module")
@@ -1038,3 +1039,30 @@ def test_boilerplate_scrub_stage(ray_session):
     # doc 4: its only real line is hot AND it gains the hot footer
     assert out.loc[4].n_lines == 2 and out.loc[4].n_dropped == 2
     assert out.loc[4].kept_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_release_pipeline_composes(ray_session):
+    """The composed release flow equals the intersection of its
+    standalone pieces: boilerplate rows, filtered to quality keep=1,
+    train side, and not exact-span contaminated."""
+    from searchengine_ray.pipelines.dedup import (_EVAL_MOD,
+                                                  ngram_contamination)
+    from searchengine_ray.pipelines.textstats import (boilerplate_lines,
+                                                      quality_filter,
+                                                      release_pipeline)
+
+    got = _to_pandas(release_pipeline(SF_DIR)).sort_values("doc_id") \
+        .reset_index(drop=True)
+    bp = _to_pandas(boilerplate_lines(SF_DIR))
+    qf = _to_pandas(quality_filter(SF_DIR))
+    bad = set(_to_pandas(ngram_contamination(SF_DIR)).doc_id)
+    keep_q = set(qf[qf.keep == 1].doc_id)
+    want = bp[bp.doc_id.isin(keep_q)
+              & (bp.doc_id % _EVAL_MOD != 0)
+              & ~bp.doc_id.isin(bad)].sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "n_lines", "n_dropped", "kept_md5"]],
+        want[["doc_id", "n_lines", "n_dropped", "kept_md5"]],
+        check_dtype=False)
