@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": ann.embedding_pca,
         "ann_sq8_topk": ann.ann_sq8_topk,
         "ann_filtered_topk": ann.ann_filtered_topk,
+        "knn_graph": ann.knn_graph,
         "doc_outlier_score": ann.doc_outlier_score,
         # --- text analysis (non-SQL) ---
         "lang_id": ts.lang_id,
@@ -165,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": ts.dataset_split,
         "dataset_mixture": ts.dataset_mixture,
         "pack_sequences": ts.pack_sequences,
+        "chunk_documents": ts.chunk_documents,
         "shard_shuffle": ts.shard_shuffle,
         "unigram_logprob": ts.unigram_logprob,
         "quality_filter": ts.quality_filter,
@@ -175,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_prune": dedup.semdedup_prune,
         "pair_pagerank": dedup.pair_pagerank,
         "top_bigrams": ts.top_bigrams,
+        "cooccur_window": ts.cooccur_window,
         "bpe_pair_counts": ts.bpe_pair_counts,
         "bpe_train": ts.bpe_train,
         "bpe_apply": ts.bpe_apply,
@@ -301,6 +304,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "ann_topk": ann.ann_topk_sql(),
         "ann_sq8_topk": ann.ann_sq8_topk_sql(),
         "ann_filtered_topk": ann.ann_filtered_topk_sql(),
+        "knn_graph": ann.knn_graph_sql(),
         "doc_outlier_score": ann.doc_outlier_score_sql(),
         "label_cohesion": ann.label_cohesion_sql(),
         "multimodal_meta": multimodal.multimodal_meta_sql(),
@@ -333,6 +337,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "dataset_split": ts.dataset_split_sql(),
         "dataset_mixture": ts.dataset_mixture_sql(),
         "pack_sequences": ts.pack_sequences_sql(),
+        "chunk_documents": ts.chunk_documents_sql(),
         "shard_shuffle": ts.shard_shuffle_sql(),
         "unigram_logprob": ts.unigram_logprob_sql(),
         "quality_filter": ts.quality_filter_sql(),
@@ -343,6 +348,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "semdedup_prune": dedup.semdedup_prune_sql(),
         "pair_pagerank": dedup.pair_pagerank_sql(),
         "top_bigrams": ts.top_bigrams_sql(),
+        "cooccur_window": ts.cooccur_window_sql(),
         "bpe_pair_counts": ts.bpe_pair_counts_sql(),
         "bpe_train": ts.bpe_train_sql(),
         "bpe_apply": ts.bpe_apply_sql(),

@@ -2084,3 +2084,98 @@ ranked AS (
 SELECT query_vec_id, CAST(rnk AS BIGINT) AS rank, vec_id, cosine_bp
 FROM ranked WHERE rnk <= {k}
 """
+
+
+# ------------------- exact k-NN graph over embeddings -------------------
+
+
+class _KnnGraphStage:
+    """map_batches: each block's rows vs the broadcast corpus matrix —
+    one matmul, per-row top-k excluding self, ties (bp desc, nbr asc).
+    Every row's FULL comparison set lives in this one task, so the
+    result is final per row: no downstream merge groupby at all."""
+
+    def __init__(self, mat_ref, ids_ref, k: int):
+        import ray
+
+        self.mat = ray.get(mat_ref)             # (N, d), L2-normalized
+        self.ids = ray.get(ids_ref)             # (N,)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _normalize(emb_matrix(batch.column("embedding")))
+        ids = batch.column("vec_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sims_bp = bp(emb @ self.mat.T)                    # (b, N) int64
+        out_v, out_r, out_n, out_s = [], [], [], []
+        for i in range(len(ids)):
+            row = sims_bp[i]
+            cand = np.flatnonzero(self.ids != ids[i])
+            top = cand[np.lexsort((self.ids[cand], -row[cand]))[:self.k]]
+            kk = len(top)
+            out_v.append(np.full(kk, ids[i], np.int64))
+            out_r.append(np.arange(1, kk + 1, dtype=np.int64))
+            out_n.append(self.ids[top])
+            out_s.append(row[top])
+        return pa.table({
+            "vec_id": int64_col(np.concatenate(out_v) if out_v else
+                                np.empty(0, np.int64)),
+            "rank": int64_col(np.concatenate(out_r) if out_r else
+                              np.empty(0, np.int64)),
+            "nbr_id": int64_col(np.concatenate(out_n) if out_n else
+                                np.empty(0, np.int64)),
+            "cosine_bp": int64_col(np.concatenate(out_s) if out_s else
+                                   np.empty(0, np.int64))})
+
+
+def knn_graph(sf_dir: str, k: int = 5):
+    """(vec_id, rank, nbr_id, cosine_bp) — every vector's exact k
+    nearest neighbours by cosine (self excluded): the k-NN GRAPH that
+    seeds HNSW construction, UMAP/t-SNE layouts, label propagation and
+    graph-based dedup clustering. ``ann_topk`` answers a bounded query
+    set; this materializes the all-vectors graph.
+
+    Shape: the corpus matrix broadcasts ONCE (``ray.put``, zero-copy
+    into every task) and each block does one (b x d) @ (d x N) matmul;
+    a row's whole comparison set sits in its own task, so rows finalize
+    locally — zero shuffle, no merge stage. This is the exact
+    O(N^2/cluster) baseline, same contract as ``embedding_near_dups``;
+    at 100 TB the scale path is the bucketed approximate graph (IVF
+    lists / LSH buckets as in ``semdedup`` / ``ann_lsh_topk``:
+    within-bucket exact, recall audited against this baseline on a
+    sample)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from searchengine_ray.pipelines.common import table_path
+
+    tbl = pq.read_table(table_path(sf_dir, "embeddings"),
+                        columns=["vec_id", "embedding"])
+    mat_ref = ray.put(_normalize(emb_matrix(tbl.column("embedding"))))
+    ids_ref = ray.put(tbl.column("vec_id").to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ds.map_batches(_KnnGraphStage,
+                          fn_constructor_args=(mat_ref, ids_ref, k),
+                          batch_format="pyarrow", batch_size=512,
+                          concurrency=(1, 2))
+
+
+def knn_graph_sql(k: int = 5) -> str:
+    return f"""
+WITH sims AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         -- DOUBLE[] casts force float64 arithmetic (bare FLOAT[] input
+         -- runs the float32 kernel, whose ~1e-7 noise flips ~1-in-60k
+         -- cells across a bp rounding edge vs the engine's float64)
+         CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[]))
+                    * 10000 + 0.5) AS BIGINT) AS cosine_bp
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cosine_bp DESC, nbr_id ASC) AS rnk
+  FROM sims)
+SELECT vec_id, CAST(rnk AS BIGINT) AS rank, nbr_id, cosine_bp
+FROM ranked WHERE rnk <= {k}
+"""

@@ -4907,3 +4907,200 @@ WHERE b.doc_id % {_EVAL_MOD} <> 0
                    WHERE q.keep = 1)
   AND b.doc_id NOT IN (SELECT doc_id FROM ({ngram_contamination_sql()}) c)
 """
+
+
+# ---------------- context-window chunking (training prep) ----------------
+
+
+class _ChunkDocs:
+    """map_batches: explode each doc into fixed-size token windows.
+
+    Pure per-row map — zero shuffle, streams at any corpus size; the
+    chunk text itself leaves the task only as an md5 digest, so the
+    output is metadata-scale even when chunks overlap (stride <
+    chunk_len re-emits the overlap region once per window)."""
+
+    def __init__(self, chunk_len: int, stride: int):
+        import re
+
+        self.ws = re.compile(r"\S+")
+        self.chunk_len, self.stride = chunk_len, stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        o_d, o_c, o_s, o_n, o_m = [], [], [], [], []
+        for did, text in zip(ids.tolist(), batch.column("text").to_pylist()):
+            toks = self.ws.findall(text)
+            starts = list(range(0, len(toks), self.stride)) or [0]
+            for ci, st in enumerate(starts):
+                w = toks[st:st + self.chunk_len]
+                o_d.append(did)
+                o_c.append(ci)
+                o_s.append(st)
+                o_n.append(len(w))
+                o_m.append(hashlib.md5(" ".join(w).encode()).hexdigest())
+        return pa.table({"doc_id": int64_col(np.asarray(o_d, np.int64)),
+                         "chunk_id": int64_col(np.asarray(o_c, np.int64)),
+                         "tok_start": int64_col(np.asarray(o_s, np.int64)),
+                         "n_tokens": int64_col(np.asarray(o_n, np.int64)),
+                         "chunk_md5": pa.array(o_m, pa.string())})
+
+
+def chunk_documents(sf_dir: str, chunk_len: int = 64, stride: int = 48):
+    """(doc_id, chunk_id, tok_start, n_tokens, chunk_md5) — split every
+    document's whitespace-token stream into ``chunk_len``-token windows
+    every ``stride`` tokens (stride < chunk_len overlaps neighbours by
+    chunk_len - stride tokens): the context-window chunking pass that
+    prepares long documents for a fixed-context trainer or a passage
+    retriever. The complement of ``pack_sequences`` (that op
+    concatenates SHORT docs into windows; this one splits LONG docs),
+    and the digest column hash-checks the EXACT text of every chunk.
+    Empty docs emit one empty chunk so no document silently vanishes.
+
+    Shape: a pure per-row map over one corpus scan — zero shuffle,
+    nothing driver-side, output rows are 40-byte metadata + one digest
+    per chunk."""
+    return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _ChunkDocs, fn_constructor_args=(chunk_len, stride),
+        batch_format="pyarrow", batch_size=1024, concurrency=(1, 4))
+
+
+def chunk_documents_sql(chunk_len: int = 64, stride: int = 48) -> str:
+    return f"""
+WITH s AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+           FROM documents),
+c AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0, greatest(len(t) - 1, 0), {stride}))
+           AS tok_start
+  FROM s)
+SELECT doc_id,
+       CAST(tok_start // {stride} AS BIGINT) AS chunk_id,
+       CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(len(list_slice(t, tok_start + 1, tok_start + {chunk_len}))
+            AS BIGINT) AS n_tokens,
+       md5(array_to_string(
+           list_slice(t, tok_start + 1, tok_start + {chunk_len}), ' '))
+         AS chunk_md5
+FROM c
+"""
+
+
+# ------------- windowed co-occurrence counts (word2vec prep) -------------
+
+
+class _CooccurPartial:
+    """Per-batch partial windowed-pair counts: tokens factorize to
+    LEXICOGRAPHIC integer codes (np.unique), each distance d in 1..w
+    is one vectorized shifted compare over the code array (pairs never
+    span documents — a per-token doc index array gates every shift),
+    and np.unique counts unordered (min,max) code pairs. Strings are
+    built only for the distinct pairs, so the shuffle sees one
+    (pair, c_p) row per distinct pair per batch — n_batches rows per
+    group downstream at worst, hot pairs included."""
+
+    def __init__(self, window: int):
+        import re
+
+        self.tok = re.compile(r"[a-z0-9_]+")
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        docix: list[int] = []
+        for i, text in enumerate(batch.column("text").to_pylist()):
+            t = self.tok.findall(text.lower())
+            toks.extend(t)
+            docix.extend([i] * len(t))
+        if len(toks) < 2:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "c_p": pa.array([], pa.int64())})
+        uniq, codes = np.unique(np.asarray(toks, dtype=object),
+                                return_inverse=True)
+        codes = codes.astype(np.int64)
+        dix = np.asarray(docix, np.int64)
+        v = len(uniq)
+        pieces = []
+        for d in range(1, self.window + 1):
+            if d >= len(codes):
+                break
+            a, b = codes[:-d], codes[d:]
+            same = dix[:-d] == dix[d:]
+            lo = np.minimum(a, b)[same]
+            hi = np.maximum(a, b)[same]
+            pieces.append(lo * v + hi)
+        if not pieces:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "c_p": pa.array([], pa.int64())})
+        pair_codes, counts = np.unique(np.concatenate(pieces),
+                                       return_counts=True)
+        pairs = [f"{uniq[p // v]} {uniq[p % v]}" for p in pair_codes.tolist()]
+        return pa.table({"pair": pa.array(pairs, pa.string()),
+                         "c_p": int64_col(counts.astype(np.int64))})
+
+
+def cooccur_window(sf_dir: str, window: int = 4, k: int = 100):
+    """(rank, pair, count) — the corpus's k most frequent UNORDERED
+    token pairs co-occurring within ``window`` positions in the same
+    document (counted per occurrence): the skip-gram co-occurrence
+    statistic behind word2vec negative sampling, GloVe's X matrix and
+    PMI-based embedding methods. ``top_bigrams``/``bigram_pmi`` count
+    ADJACENT pairs only; this is the general windowed class. Ties break
+    (count desc, pair asc) so the cut is deterministic.
+
+    Shape: identical to ``top_bigrams`` — per-batch distinct partials
+    (the window multiplies per-batch work by w but NOT group fan-in),
+    one pair-key groupby Sum, per-block local top-k, one bounded
+    k x n_blocks merge. Pair-vocabulary scale never leaves the
+    cluster; only k-sized prefixes reach the driver path."""
+    from ray.data.aggregate import Sum
+
+    partial = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _CooccurPartial, fn_constructor_args=(window,),
+        batch_format="pyarrow", batch_size=1024, concurrency=(1, 4))
+    summed = partial.groupby("pair").aggregate(Sum("c_p", alias_name="count"))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(["count", "pair"],
+                                       ascending=[False, True]).head(k)
+        return pa.table({"g": int64_col(np.zeros(len(df), np.int64)),
+                         "pair": pa.array(df["pair"].tolist(), pa.string()),
+                         "count": int64_col(df["count"].to_numpy(np.int64))})
+
+    def final_topk(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["count", "pair"],
+                            ascending=[False, True]).head(k)
+        return pa.table({
+            "rank": int64_col(np.arange(1, len(df) + 1)),
+            "pair": pa.array(df["pair"].tolist(), pa.string()),
+            "count": int64_col(df["count"].to_numpy(np.int64))})
+
+    pruned = summed.map_batches(local_topk, batch_format="pyarrow")
+    return pruned.groupby("g").map_groups(final_topk, batch_format="pandas") \
+        .select_columns(["rank", "pair", "count"])
+
+
+def cooccur_window_sql(window: int = 4, k: int = 100) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+p AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(generate_series(1, len(t))) AS pos
+  FROM s),
+pairs AS (
+  SELECT least(p1.tok, p2.tok) || ' ' || greatest(p1.tok, p2.tok) AS pair
+  FROM p p1 JOIN p p2
+    ON p1.doc_id = p2.doc_id
+   AND p2.pos > p1.pos AND p2.pos <= p1.pos + {window}),
+c AS (SELECT pair, CAST(count(*) AS BIGINT) AS count FROM pairs GROUP BY pair),
+r AS (SELECT *, row_number() OVER (ORDER BY count DESC, pair ASC) AS rnk
+      FROM c)
+SELECT CAST(rnk AS BIGINT) AS rank, pair, count FROM r WHERE rnk <= {k}
+"""

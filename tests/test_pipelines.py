@@ -62,7 +62,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "ann_filtered_topk", "quality_percentile_by_lang",
                "boilerplate_lines", "events_daily_users", "suffix_search",
                "term_regex_search", "phrase_prefix_search",
-               "release_pipeline"]
+               "release_pipeline", "chunk_documents", "cooccur_window",
+               "knn_graph"]
 
 
 @pytest.fixture(scope="module")
@@ -1066,3 +1067,73 @@ def test_release_pipeline_composes(ray_session):
         got[["doc_id", "n_lines", "n_dropped", "kept_md5"]],
         want[["doc_id", "n_lines", "n_dropped", "kept_md5"]],
         check_dtype=False)
+
+
+def test_chunk_docs_window_semantics():
+    """Direct-callable unit test of the chunking math: overlap, exact
+    fit, short docs, and the one-empty-chunk rule for empty docs."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from searchengine_ray.pipelines.textstats import _ChunkDocs
+
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["a b c d e f g", "x y", "   "]})
+    out = _ChunkDocs(chunk_len=4, stride=3)(t).to_pandas()
+    d1 = out[out.doc_id == 1].reset_index(drop=True)
+    # starts 0,3,6 -> windows [a..d], [d..g], [g]
+    assert list(d1.tok_start) == [0, 3, 6]
+    assert list(d1.n_tokens) == [4, 4, 1]
+    assert d1.chunk_md5[0] == hashlib.md5(b"a b c d").hexdigest()
+    assert d1.chunk_md5[1] == hashlib.md5(b"d e f g").hexdigest()
+    d2 = out[out.doc_id == 2]
+    assert len(d2) == 1 and list(d2.n_tokens) == [2]
+    d3 = out[out.doc_id == 3]          # whitespace-only = empty doc
+    assert len(d3) == 1 and list(d3.n_tokens) == [0]
+    assert d3.chunk_md5.iloc[0] == hashlib.md5(b"").hexdigest()
+
+
+def test_cooccur_partial_window_semantics():
+    """Direct-callable unit test: distance cap, doc-boundary gating,
+    unordered lexicographic pair keys, per-occurrence counting."""
+    import pyarrow as pa
+
+    from searchengine_ray.pipelines.textstats import _CooccurPartial
+
+    t = pa.table({"doc_id": [1, 2], "text": ["b a b", "z a"]})
+    out = _CooccurPartial(window=2)(t).to_pandas().set_index("pair")["c_p"]
+    # doc1 pairs: (b,a) d1, (a,b) d1, (b,b) d2; doc2: (z,a) d1 — and the
+    # cross-doc (b,z) / (a,z) at the batch seam must NOT appear
+    assert out.to_dict() == {"a b": 2, "b b": 1, "a z": 1}
+    out1 = _CooccurPartial(window=1)(t).to_pandas().set_index("pair")["c_p"]
+    assert out1.to_dict() == {"a b": 2, "a z": 1}   # d=2 pair gone
+
+
+def test_knn_graph_matches_brute_force(ray_session):
+    """_KnnGraphStage against a naive numpy loop on a tiny matrix:
+    self excluded, ties (bp desc, nbr asc), exact ranks."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from searchengine_ray.pipelines.ann import _KnnGraphStage, _normalize
+    from searchengine_ray.pipelines.common import bp
+
+    rng = np.random.RandomState(7)
+    mat = rng.randn(20, 8)
+    ids = np.arange(100, 120, dtype=np.int64)
+    norm = _normalize(mat)
+    stage = _KnnGraphStage(ray.put(norm), ray.put(ids), k=3)
+    batch = pa.table({"vec_id": ids,
+                      "embedding": pa.array(mat.tolist(),
+                                            pa.list_(pa.float64()))})
+    out = stage(batch).to_pandas()
+    sims = bp(norm @ norm.T)
+    for i in range(20):
+        row = sims[i]
+        cand = np.flatnonzero(ids != ids[i])
+        top = cand[np.lexsort((ids[cand], -row[cand]))[:3]]
+        got = out[out.vec_id == ids[i]].sort_values("rank")
+        assert list(got.nbr_id) == ids[top].tolist()
+        assert list(got.cosine_bp) == row[top].tolist()
