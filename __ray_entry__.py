@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_total": events.user_running_total,
         "event_trend": events.event_trend,
         "event_topk_paths": events.event_topk_paths,
+        "event_dedup_window": events.event_dedup_window,
         "window_user_hll_violations": events.window_user_hll_violations,
         "order_lineitem_join": rel.order_lineitem_join,
         "customers_without_orders": rel.customers_without_orders,
@@ -330,6 +331,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "user_running_total": events.user_running_total_sql(),
         "event_trend": events.event_trend_sql(),
         "event_topk_paths": events.event_topk_paths_sql(),
+        "event_dedup_window": events.event_dedup_window_sql(),
         "window_user_hll_violations": events.window_user_hll_violations_sql(),
         "order_lineitem_join": rel.order_lineitem_join_sql(),
         "customers_without_orders": rel.customers_without_orders_sql(),

@@ -1325,3 +1325,85 @@ WITH marked AS (
 SELECT CAST(rnk AS BIGINT) AS rank, path, CAST(n_sessions AS BIGINT) AS n_sessions
 FROM ranked WHERE rnk <= {n}
 """
+
+
+# ---- stream dedup (drop rapid repeats of the same user+type) ----
+
+
+def _dedup_window_part(window_us: int):
+    def body(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "ts", "event_id"],
+                            kind="mergesort")
+        if len(df) == 0:
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "event_type": pd.Series(dtype="object"),
+                "ts_us": pd.Series(dtype="int64"),
+                "prev_gap_us": pd.Series(dtype="int64"),
+            })
+        uid = df["user_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        n = len(df)
+        same = np.zeros(n, dtype=bool)
+        same[1:] = (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])
+        gap = np.full(n, -1, dtype=np.int64)
+        gap[1:] = ts_us[1:] - ts_us[:-1]
+        gap[~same] = -1                     # first of its (user, type)
+        keep = (~same) | (gap > window_us)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64)[keep],
+            "user_id": uid[keep],
+            "event_type": et[keep],
+            "ts_us": ts_us[keep],
+            "prev_gap_us": gap[keep],
+        })
+
+    return body
+
+
+def event_dedup_window(sf_dir: str, window_seconds: int = 60):
+    """(event_id, user_id, event_type, ts_us, prev_gap_us) — stream
+    deduplication: drop any event that repeats the same (user, type)
+    within ``window_seconds`` of the IMMEDIATELY PRECEDING event of
+    that pair (ties on ts keep the lowest event_id first). The
+    at-least-once-delivery scrub every event pipeline runs before
+    aggregation — double-fired webhooks, client retries, duplicated
+    log shipping all land within seconds of the original.
+    ``prev_gap_us`` (-1 for a pair's first event) carries the measured
+    silence so downstream monitors can tune the window.
+
+    Lag semantics (vs previous EVENT, not previous KEPT event) keep
+    both sides a single vectorized scan — the throttle variant would
+    need a sequential pass; this is the form SQL's ``lag()`` and every
+    stream processor's dedup operator use.
+
+    Shape: the ONE ``user_id % _N_UPARTS`` hash exchange every events
+    op shares, then a per-group sorted shifted-compare — same
+    partitioning assumption (one user's history per group, documented
+    above) and zero additional shuffles."""
+    window_us = window_seconds * 1_000_000
+    ds = read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    parts = ds.map_batches(_add_upart, batch_format="pyarrow")
+    return parts.groupby("upart").map_groups(
+        _dedup_window_part(window_us), batch_format="pandas")
+
+
+def event_dedup_window_sql(window_seconds: int = 60) -> str:
+    window_us = window_seconds * 1_000_000
+    return f"""
+WITH g AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       event_type,
+       CAST(ts_us AS BIGINT) AS ts_us,
+       CAST(COALESCE(gap, -1) AS BIGINT) AS prev_gap_us
+FROM g
+WHERE gap IS NULL OR gap > {window_us}
+"""

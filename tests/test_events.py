@@ -148,3 +148,57 @@ def test_paths_part_boundaries():
     # plen=1 truncates every session to its opening event
     out1 = _paths_part(gap, plen=1)(df).set_index("path")["n_p"]
     assert out1.to_dict() == {"a": 1, "c": 1, "d": 1, "x": 1}
+
+
+def test_dedup_window_matches_brute_force():
+    """_dedup_window_part vs a per-(user,type) python lag loop, incl.
+    the boundary semantics: gap == window drops, gap == window+1 keeps,
+    ts ties keep only the lowest event_id."""
+    from searchengine_ray.pipelines.events import _dedup_window_part
+
+    df = _mk_events(seed=11, n=500, users=7)
+    # force ties + near-window gaps
+    df.loc[10, ["user_id", "event_type", "ts"]] = df.loc[
+        9, ["user_id", "event_type", "ts"]]
+    win_us = 60 * 60 * 1_000_000
+    got = _dedup_window_part(win_us)(df)
+
+    want = []
+    for (uid, et), g in df.groupby(["user_id", "event_type"]):
+        g = g.sort_values(["ts", "event_id"])
+        ts_us = g["ts"].astype("int64").to_numpy() // 1000
+        eid = g["event_id"].to_numpy()
+        prev = None
+        for i in range(len(g)):
+            gap = -1 if prev is None else ts_us[i] - prev
+            if gap == -1 or gap > win_us:
+                want.append((eid[i], uid, et, ts_us[i], gap))
+            prev = ts_us[i]
+    want = pd.DataFrame(want, columns=["event_id", "user_id", "event_type",
+                                       "ts_us", "prev_gap_us"])
+    got = got.sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False)
+    # the forced exact-tie duplicate must be dropped
+    assert 10 not in set(got["event_id"])
+
+
+def test_dedup_window_boundary():
+    from searchengine_ray.pipelines.events import _dedup_window_part
+
+    t0 = 1_700_000_000_000_000
+    win = 1_000_000  # 1s
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [5, 5, 5, 5],
+        "event_type": ["click"] * 4,
+        "ts": pd.to_datetime(np.array(
+            [t0, t0 + win, t0 + 2 * win + 1, t0 + 2 * win + 1],
+            dtype="int64"), unit="us"),
+    })
+    out = _dedup_window_part(win)(df)
+    # 2: gap == win -> drop; 3: gap == win+1 -> keep; 4: tie with 3 -> drop
+    assert list(out["event_id"]) == [1, 3]
+    assert list(out["prev_gap_us"]) == [-1, win + 1]
