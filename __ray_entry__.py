@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suffix_search": docsearch.suffix_search,
         "term_regex_search": docsearch.term_regex_search,
         "phrase_prefix_search": docsearch.phrase_prefix_search,
+        "lm_dirichlet_topk": docsearch.lm_dirichlet_topk,
+        "synonym_search": docsearch.synonym_search,
         "more_like_this": docsearch.more_like_this,
         "prf_search": docsearch.prf_search,
         "percolate": docsearch.percolate,
@@ -115,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_sq8_topk": ann.ann_sq8_topk,
         "ann_filtered_topk": ann.ann_filtered_topk,
         "knn_graph": ann.knn_graph,
+        "ann_bq_topk": ann.ann_bq_topk,
         "doc_outlier_score": ann.doc_outlier_score,
         # --- text analysis (non-SQL) ---
         "lang_id": ts.lang_id,
@@ -237,6 +240,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "suffix_search": docsearch.suffix_search_sql(),
         "term_regex_search": docsearch.term_regex_search_sql(),
         "phrase_prefix_search": docsearch.phrase_prefix_search_sql(),
+        "lm_dirichlet_topk": docsearch.lm_dirichlet_sql(),
+        "synonym_search": docsearch.synonym_search_sql(),
         "more_like_this": docsearch.more_like_this_sql(),
         "prf_search": docsearch.prf_search_sql(),
         "percolate": docsearch.percolate_sql(),
@@ -306,6 +311,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "ann_sq8_topk": ann.ann_sq8_topk_sql(),
         "ann_filtered_topk": ann.ann_filtered_topk_sql(),
         "knn_graph": ann.knn_graph_sql(),
+        "ann_bq_topk": ann.ann_bq_topk_sql(),
         "doc_outlier_score": ann.doc_outlier_score_sql(),
         "label_cohesion": ann.label_cohesion_sql(),
         "multimodal_meta": multimodal.multimodal_meta_sql(),

@@ -2179,3 +2179,126 @@ ranked AS (
 SELECT vec_id, CAST(rnk AS BIGINT) AS rank, nbr_id, cosine_bp
 FROM ranked WHERE rnk <= {k}
 """
+
+
+# ---- binary quantization (1 bit/dim) + exact rerank ----
+
+class _BqTopK:
+    """Per-batch binary-quantization scan: 1-bit sign codes (32x
+    smaller than SQ8's bytes — the layout Faiss calls binary IVF /
+    Lucene 10 ships as quantized HNSW tiers), Hamming-distance
+    candidate selection, then EXACT integer-micro rerank of only the
+    local candidate set. Blocks emit at most q x n_cand rows."""
+
+    def __init__(self, qids_ref, qmat_ref, n_cand: int):
+        import ray
+
+        self.qids = ray.get(qids_ref)
+        qmat = ray.get(qmat_ref)
+        self.qmicro = np.floor(qmat * 1_000_000 + 0.5).astype(np.int64)
+        self.qbits = self.qmicro > 0                              # (q, d)
+        self.n_cand = n_cand
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = emb_matrix(batch.column("embedding"))
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        micro = np.floor(emb * 1_000_000 + 0.5).astype(np.int64)
+        bits = micro > 0                                          # (b, d)
+        # Hamming via one int matmul pair instead of a (q, b, d) xor
+        # cube: ham = q1 @ (1-b) + (1-q1) @ b
+        qb = self.qbits.astype(np.int64)
+        eb = bits.astype(np.int64)
+        ham = qb @ (1 - eb).T + (1 - qb) @ eb.T                   # (q, b)
+        out_q, out_v, out_h, out_d = [], [], [], []
+        c = min(self.n_cand, ham.shape[1])
+        for qi in range(len(self.qids)):
+            row = ham[qi]
+            top = np.lexsort((ids, row))[:c]                      # ham ASC
+            exact = np.einsum("j,ij->i", self.qmicro[qi], micro[top])
+            out_q.append(np.full(c, self.qids[qi], dtype=np.int64))
+            out_v.append(ids[top])
+            out_h.append(row[top])
+            out_d.append(exact)
+        return pa.table({"query_vec_id": int64_col(np.concatenate(out_q)),
+                         "vec_id": int64_col(np.concatenate(out_v)),
+                         "hamming": int64_col(np.concatenate(out_h)),
+                         "dot_micro2": int64_col(np.concatenate(out_d))})
+
+
+def _bq_merge_factory(k: int, n_cand: int):
+    def merge_bq(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hamming", "vec_id"],
+                          ascending=[True, True]).head(n_cand)
+        g = g.sort_values(["dot_micro2", "vec_id"],
+                          ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_vec_id", "rank", "vec_id", "hamming", "dot_micro2"]]
+
+    merge_bq.__name__ = "merge_bq"
+    return merge_bq
+
+
+def ann_bq_topk(sf_dir: str, query_ids: list[int] | None = None,
+                k: int = 10, n_cand: int = 50):
+    """(query_vec_id, rank, vec_id, hamming, dot_micro2) — top-k MIPS
+    via BINARY QUANTIZATION with exact rerank: sign-bit codes (d bits
+    per vector — the smallest quantization tier, 8x below SQ8, 256x
+    below float32) proxy-rank by Hamming distance; only the global
+    top-``n_cand`` per query are rescored at full integer precision.
+
+    EXACT-INTEGER end to end like the SQ8/PQ rows: bit = (micro > 0)
+    with micro = floor(x*1e6 + 0.5) on both sides, Hamming and the
+    rerank dot are integer arithmetic, so every cell replays
+    bit-for-bit in SQL on any cluster shape. Candidates = global
+    top-n_cand by (hamming asc, vec_id asc); output = those reranked
+    by (dot_micro2 desc, vec_id asc). Local top-n_cand per block
+    covers the global candidate set; blocks emit q x n_cand rows,
+    never vectors. At 100 TB the scan reads d/8 bytes per vector and
+    the rerank touches only candidates — the memory-bandwidth floor of
+    the ANN family."""
+    import ray
+
+    qids_list = query_ids or DEFAULT_QUERY_IDS
+    qids, qmat = _query_matrix(sf_dir, qids_list)
+    refs = (ray.put(qids), ray.put(qmat))
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    local = ds.map_batches(_BqTopK, fn_constructor_args=(*refs, n_cand),
+                           batch_format="pyarrow", batch_size=1024,
+                           concurrency=(1, 2))
+    return local.groupby("query_vec_id").map_groups(
+        _bq_merge_factory(k, n_cand), batch_format="pandas")
+
+
+def ann_bq_topk_sql(query_ids: list[int] | None = None, k: int = 10,
+                    n_cand: int = 50) -> str:
+    ids = ",".join(map(str, query_ids or DEFAULT_QUERY_IDS))
+    return f"""
+WITH q AS (SELECT vec_id AS query_vec_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN ({ids})),
+qd AS (SELECT query_vec_id, generate_subscripts(qe, 1) AS dim,
+              CAST(floor(CAST(unnest(qe) AS DOUBLE) * 1000000 + 0.5)
+                   AS BIGINT) AS qm
+       FROM q),
+ed AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+              CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                   AS BIGINT) AS em
+       FROM embeddings),
+pair AS (
+  SELECT qd.query_vec_id, ed.vec_id,
+         CAST(sum(CASE WHEN (qd.qm > 0) <> (ed.em > 0) THEN 1 ELSE 0 END)
+              AS BIGINT) AS hamming,
+         CAST(sum(qd.qm * ed.em) AS BIGINT) AS dot_micro2
+  FROM qd JOIN ed USING (dim)
+  GROUP BY qd.query_vec_id, ed.vec_id),
+cand AS (
+  SELECT *, row_number() OVER (PARTITION BY query_vec_id
+                               ORDER BY hamming ASC, vec_id ASC) AS crnk
+  FROM pair),
+rer AS (
+  SELECT query_vec_id, vec_id, hamming, dot_micro2,
+         row_number() OVER (PARTITION BY query_vec_id
+                            ORDER BY dot_micro2 DESC, vec_id ASC) AS rnk
+  FROM cand WHERE crnk <= {n_cand})
+SELECT query_vec_id, CAST(rnk AS BIGINT) AS rank, vec_id, hamming, dot_micro2
+FROM rer WHERE rnk <= {k}
+"""

@@ -2301,3 +2301,175 @@ surviving AS (
           <= {PREFIX_MAX_EXPANSIONS})
 {union}
 """
+
+
+# ---- LM Dirichlet ranking (second relevance model) ----
+
+def lm_dirichlet_topk(sf_dir: str):
+    """(query_id, rank, doc_id, score_bp) — LM Dirichlet
+    query-likelihood top-10 for DOC_QUERIES over the SAME index image
+    that serves BM25: the second relevance model (Zhai & Lafferty 2001;
+    Lucene ships LMDirichletSimilarity beside BM25Similarity over one
+    index — the reference hardcodes its one ranker,
+    ``/root/reference/ranker.py:14-48``). Per matched term the score is
+    ``qtf * (ln(1 + tf / (mu*ctf/total_len)) + ln(mu / (dl + mu)))``;
+    ctf comes free from the term-partitioned decode (all postings of a
+    term live in one part), total_len from the index meta — no new
+    statistic is indexed. Scale shape identical to ``bm25_topk``: the
+    actor-pool executors decode only matched terms."""
+    from searchengine_ray.pipelines.query import search_queries
+
+    paths = ensure_doc_index(sf_dir)
+    res = search_queries(paths, DOC_QUERIES, k=K, config=doc_index_config(),
+                         method="dirichlet", concurrency=(1, 2)).to_pandas()
+    res["score_bp"] = np.floor(res["score"].to_numpy() * 10000 + 0.5).astype(np.int64)
+    res["rank"] = res["rank"].astype(np.int64)
+    out = res[["query_id", "rank", "doc_id", "score_bp"]]
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def lm_dirichlet_sql(mu: float = 2000.0) -> str:
+    analyzer = Analyzer(doc_index_config())
+    values = []
+    for qid, text in DOC_QUERIES:
+        for term, qtf in sorted(Counter(analyzer.terms(text)).items()):
+            values.append(f"({qid}, '{term}', {qtf})")
+    values_sql = ",\n        ".join(values)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks WHERE term <> '' GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT CAST(sum(dl) AS DOUBLE) AS total_len FROM dl),
+ctf AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS ctf FROM tf GROUP BY term),
+queries(query_id, qterm, qtf) AS (VALUES
+        {values_sql}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * (ln(1.0 + tf.tf / ({mu} * ctf.ctf / s.total_len))
+                      + ln({mu} / (dl.dl + {mu})))) AS score
+  FROM queries q
+  JOIN ctf ON ctf.term = q.qterm
+  JOIN tf ON tf.term = q.qterm
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scores)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_bp
+FROM ranked WHERE rnk <= {K}
+"""
+
+
+# ---- query-time synonym expansion ----
+
+# Synonym table — CONFIG, exactly as Lucene's SynonymGraphFilter reads
+# synonyms.txt: the groups are an input to the engine, not derived from
+# the corpus. Directed (term -> added synonyms); absent-in-vocabulary
+# expansions ("large", "quick") are deliberate edge cases — they must
+# be dropped by df=0 filtering on both sides.
+SYNONYMS: dict[str, list[str]] = {
+    "sort": ["order"],
+    "order": ["sort"],
+    "row": ["line"],
+    "agg": ["group"],
+    "big": ["large"],      # "large" not in vocab: expansion no-op
+    "fast": ["quick"],     # "quick" not in vocab: expansion no-op
+}
+
+SYN_QUERIES: list[tuple[int, str]] = [
+    (1, "fast scan"),      # expansion adds only an absent term
+    (2, "sort table"),     # sort -> +order
+    (3, "big data"),       # big -> +large (absent)
+    (4, "row filter"),     # row -> +line
+    (5, "agg window"),     # agg -> +group
+    (6, "order sort"),     # both directions fire: qtf 2 for each
+]
+
+
+def _expand_synonyms(text: str, analyzer: Analyzer) -> "Counter":
+    """Expanded query-term multiset: each analyzed occurrence also
+    contributes one copy of each of its configured synonyms (Lucene
+    expand=true semantics — synonyms score as independent terms with
+    their own df/tf statistics)."""
+    toks = analyzer.terms(text)
+    expanded = list(toks)
+    for t in toks:
+        expanded.extend(SYNONYMS.get(t, []))
+    return Counter(expanded)
+
+
+def synonym_search(sf_dir: str):
+    """(query_id, rank, doc_id, score_bp) — BM25 top-10 under
+    query-time synonym expansion (Lucene SynonymGraphFilter with
+    expand=true: each occurrence also emits its synonyms, which then
+    score as ordinary terms). Expansion happens at query-parse time —
+    the index is untouched, so synonym-table changes never re-index;
+    the engine path rewrites the query text (single alphanumeric tokens
+    are fixpoints of the analyzer) and reuses the whole BM25 serving
+    stack unchanged."""
+    from searchengine_ray.pipelines.query import search_queries
+
+    analyzer = Analyzer(doc_index_config())
+    rewritten = []
+    for qid, text in SYN_QUERIES:
+        qt = _expand_synonyms(text, analyzer)
+        rewritten.append(
+            (qid, " ".join(t for t, c in sorted(qt.items()) for _ in range(c))))
+    paths = ensure_doc_index(sf_dir)
+    res = search_queries(paths, rewritten, k=K, config=doc_index_config(),
+                         concurrency=(1, 2)).to_pandas()
+    res["score_bp"] = np.floor(res["score"].to_numpy() * 10000 + 0.5).astype(np.int64)
+    res["rank"] = res["rank"].astype(np.int64)
+    out = res[["query_id", "rank", "doc_id", "score_bp"]]
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def synonym_search_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    """Oracle: the expansion runs through the SAME Python helper as the
+    engine, so the VALUES list IS the contract; the BM25 body is the
+    bm25_topk oracle's."""
+    analyzer = Analyzer(doc_index_config())
+    values = []
+    for qid, text in SYN_QUERIES:
+        for term, qtf in sorted(_expand_synonyms(text, analyzer).items()):
+            values.append(f"({qid}, '{term}', {qtf})")
+    values_sql = ",\n        ".join(values)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks WHERE term <> '' GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+queries(query_id, qterm, qtf) AS (VALUES
+        {values_sql}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl))) AS score
+  FROM queries q
+  JOIN df ON df.term = q.qterm
+  JOIN tf ON tf.term = q.qterm
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scores)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_bp
+FROM ranked WHERE rnk <= {K}
+"""

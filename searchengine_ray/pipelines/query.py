@@ -57,6 +57,11 @@ RESULTS_SCHEMA = pa.schema([
     ("doc_id", pa.int64()), ("score", pa.float64()),
 ])
 
+# Dirichlet smoothing parameter for the LM query-likelihood scorer
+# (Zhai & Lafferty 2001; the value Lucene's LMDirichletSimilarity
+# defaults to as well).
+LM_MU = 2000.0
+
 
 def _flat_list(col) -> tuple[np.ndarray, np.ndarray]:
     """(values, row offsets) of a large_list column — zero-copy flatten."""
@@ -640,6 +645,7 @@ class IndexSearcher:
         self._mark_buf: np.ndarray | None = None
         self._impact_cache: dict[str, tuple] = {}
         self._pos_cache: dict[str, tuple] = {}
+        self._dirichlet_cache: dict[str, tuple] = {}
         # tombstones: tiny sorted id list read fresh per searcher (NOT
         # part of the plasma-shared image, so deletes take effect on
         # the next actor/searcher without re-sharing the index)
@@ -755,6 +761,8 @@ class IndexSearcher:
             return self._search_bmw(qterms, k)
         if method == "impact":
             return self._search_impact(qterms, k)
+        if method == "dirichlet":
+            return self._search_dirichlet(qterms, k)
         return self._search_vectorized(qterms, k)
 
     def _decoded(self, term: str
@@ -928,6 +936,88 @@ class IndexSearcher:
                 else cand[self._alive[cand]])
         cand_scores = buf[live].copy()
         buf[cand] = 0.0                        # reset only what we touched
+        mark[cand] = 0
+        top = top_k_indices(cand_scores, self._dl_ids[live], k,
+                            tie=self._tie_at(live))
+        return [(int(self._dl_ids[live[i]]), float(cand_scores[i])) for i in top]
+
+    def _dirichlet_decoded(self, term: str, mu: float
+                           ) -> tuple[np.ndarray, np.ndarray] | None:
+        """(positions, per-posting LM-Dirichlet contribution for qtf=1),
+        LRU-cached beside the BM25 caches (separate cache: the kernel
+        differs — ctf/total_len replace df/avgdl).
+
+        The index is term-partitioned, so ONE decode yields a term's
+        complete posting list and ctf = sum(tf) is the exact corpus
+        term frequency — no extra statistic needs to live in the
+        dictionary. Arithmetic mirrors the SQL oracle expression shape
+        exactly (same division order, ln(1+x) not log1p) so bp-rounded
+        scores replay bit-for-bit."""
+        got = self._dirichlet_cache.get(term)
+        if got is None:
+            slices = self.postings_for(term)
+            if not slices:
+                return None
+            from searchengine_ray.codec import concat_blocks, decode_blocks
+
+            docs, tfs = decode_blocks(concat_blocks(slices))
+            pos = self._doc_pos(docs)
+            total_len = float(self.meta.get("total_len",
+                                            self.avgdl * self.N))
+            ctf = float(np.int64(tfs.astype(np.int64).sum()))
+            dl = self._dl[pos].astype(np.float64)
+            contrib = (np.log(1.0 + tfs.astype(np.float64)
+                              / (mu * ctf / total_len))
+                       + np.log(mu / (dl + mu)))
+            if len(self._dl_ids) < 2**31:
+                pos = pos.astype(np.int32)
+            if len(self._dirichlet_cache) >= self._decode_cache_cap:
+                self._dirichlet_cache.pop(next(iter(self._dirichlet_cache)))
+            got = (pos, contrib)
+            self._dirichlet_cache[term] = got
+        return got
+
+    def _search_dirichlet(self, qterms: list[tuple[str, int]], k: int,
+                          mu: float = LM_MU) -> list[tuple[int, float]]:
+        """LM Dirichlet query-likelihood ranking (Zhai & Lafferty 2001;
+        Lucene's LMDirichletSimilarity) over the same index image — the
+        second relevance model beside BM25. Per matched term:
+        qtf * (ln(1 + tf / (mu * ctf / total_len)) + ln(mu / (dl + mu))).
+        Unmatched query terms contribute nothing (Lucene semantics — a
+        pure generative LM would also charge the smoothed background for
+        missing terms; that constant shift per (query, doc-length) is
+        the documented difference). Scores can be negative; the shared
+        scatter-add + top-k machinery is sign-agnostic."""
+        decoded = []
+        for term, qtf in qterms:               # ascending term order: canonical
+            got = self._dirichlet_decoded(term, mu)
+            if got is not None:
+                decoded.append((got[0], got[1], qtf))
+        if not decoded:
+            return []
+        if len(decoded) == 1:
+            pos, contrib, qtf = decoded[0]
+            scores = contrib if qtf == 1 else qtf * contrib
+            if self._alive is not None:
+                m = self._alive[pos]
+                pos, scores = pos[m], scores[m]
+            top = top_k_indices(scores, self._dl_ids[pos], k,
+                                tie=self._tie_at(pos))
+            return [(int(self._dl_ids[pos[i]]), float(scores[i])) for i in top]
+        n = len(self._dl_ids)
+        buf = self._score_buf
+        if buf is None or len(buf) != n:
+            buf = self._score_buf = np.zeros(n, dtype=np.float64)
+            self._mark_buf = np.zeros(n, dtype=np.uint8)
+        mark = self._mark_buf
+        for pos, contrib, qtf in decoded:
+            np.add.at(buf, pos, contrib if qtf == 1 else qtf * contrib)
+            mark[pos] = 1
+        cand = np.flatnonzero(mark)
+        live = (cand if self._alive is None
+                else cand[self._alive[cand]])
+        cand_scores = buf[live].copy()
+        buf[cand] = 0.0
         mark[cand] = 0
         top = top_k_indices(cand_scores, self._dl_ids[live], k,
                             tie=self._tie_at(live))

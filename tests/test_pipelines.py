@@ -63,7 +63,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "boilerplate_lines", "events_daily_users", "suffix_search",
                "term_regex_search", "phrase_prefix_search",
                "release_pipeline", "chunk_documents", "cooccur_window",
-               "knn_graph"]
+               "knn_graph", "lm_dirichlet_topk", "synonym_search",
+               "ann_bq_topk"]
 
 
 @pytest.fixture(scope="module")
@@ -1137,3 +1138,67 @@ def test_knn_graph_matches_brute_force(ray_session):
         got = out[out.vec_id == ids[i]].sort_values("rank")
         assert list(got.nbr_id) == ids[top].tolist()
         assert list(got.cosine_bp) == row[top].tolist()
+
+
+def test_dirichlet_is_a_distinct_model_on_the_shared_index(ray_session):
+    """LM Dirichlet serves from the SAME index image as BM25 but scores
+    in a different space: per-query result sets obey the same k/tie
+    policy, while the score space includes negatives (the doc-length
+    penalty ln(mu/(dl+mu)) < 0) — which BM25's never does."""
+    from searchengine_ray.pipelines import docsearch
+
+    d = _to_pandas(docsearch.lm_dirichlet_topk(SF_DIR))
+    b = _to_pandas(docsearch.bm25_topk(SF_DIR))
+    assert set(d.query_id) == set(b.query_id)
+    assert d.groupby("query_id").size().equals(b.groupby("query_id").size())
+    # different formula, different score space: the dirichlet path must
+    # not be silently delegating to the BM25 kernel
+    merged = d.merge(b, on=["query_id", "rank"], suffixes=("_lm", "_bm"))
+    assert (merged.score_bp_lm != merged.score_bp_bm).any()
+
+
+def test_synonym_noop_queries_equal_plain_bm25(ray_session):
+    """Queries whose configured synonyms are absent from the vocabulary
+    ("quick", "large") must rank IDENTICALLY to plain BM25 over the raw
+    text — expansion to a df=0 term is a no-op on both engine paths."""
+    import numpy as np
+
+    from searchengine_ray.pipelines import docsearch
+    from searchengine_ray.pipelines.query import search_queries
+
+    syn = _to_pandas(docsearch.synonym_search(SF_DIR))
+    paths = docsearch.ensure_doc_index(SF_DIR)
+    noop = [(1, "fast scan"), (3, "big data")]
+    plain = search_queries(paths, noop, k=docsearch.K,
+                           config=docsearch.doc_index_config(),
+                           concurrency=(1, 2)).to_pandas()
+    plain["score_bp"] = np.floor(
+        plain["score"].to_numpy() * 10000 + 0.5).astype(np.int64)
+    for qid, _ in noop:
+        got = syn[syn.query_id == qid][["rank", "doc_id", "score_bp"]] \
+            .sort_values("rank").reset_index(drop=True)
+        want = plain[plain.query_id == qid][["rank", "doc_id", "score_bp"]] \
+            .sort_values("rank").reset_index(drop=True)
+        want["rank"] = want["rank"].astype(got["rank"].dtype)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bq_rerank_metric_is_exact(ray_session):
+    """Every (query, candidate) dot_micro2 the BQ path emits equals the
+    brute-force integer-micro inner product — the rerank tier is exact;
+    only candidate SELECTION (hamming) is approximate."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines import ann
+
+    got = _to_pandas(ann.ann_bq_topk(SF_DIR))
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    micro = np.floor(mat * 1_000_000 + 0.5).astype(np.int64)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    for r in got.itertuples():
+        want = int(micro[pos[int(r.query_vec_id)]] @ micro[pos[int(r.vec_id)]])
+        assert int(r.dot_micro2) == want
