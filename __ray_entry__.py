@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_eval_ndcg": docsearch.search_eval_ndcg,
         "search_eval_map": docsearch.search_eval_map,
         "search_explain": docsearch.search_explain,
+        "search_snippets": docsearch.search_snippets,
         "index_postings_export": docsearch.index_postings_export,
         # --- tokenizer / aggregation surface (SURVEY §2.2/§2.5) ---
         "term_df": ts.term_df,
@@ -256,6 +257,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "search_eval_ndcg": docsearch.search_eval_ndcg_sql(),
         "search_eval_map": docsearch.search_eval_map_sql(),
         "search_explain": docsearch.search_explain_sql(),
+        "search_snippets": docsearch.search_snippets_sql(),
         "index_postings_export": docsearch.index_postings_export_sql(),
         "image_decode_features": multimodal.image_decode_features_sql(),
         "distinct_terms_hll_registers": ts.distinct_terms_hll_registers_sql(),

@@ -2473,3 +2473,100 @@ SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
        CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_bp
 FROM ranked WHERE rnk <= {K}
 """
+
+
+# ---- result highlighting (snippets) ----
+
+SNIPPET_W = 5  # tokens of context on each side of the first hit
+
+
+def search_snippets(sf_dir: str, w: int = SNIPPET_W):
+    """(query_id, rank, doc_id, score_bp, snippet) — BM25 top-k hydrated
+    with a contextual snippet: the ``2w+1``-token window centred on the
+    FIRST query-term occurrence in the document (result highlighting —
+    the reference GUI shows the matched tweet text per hit,
+    ``GUI.py:60-78``; Lucene calls this the highlighter/fragmenter).
+
+    Shape: the hit set is tiny (<= |queries| * k rows), so it is
+    broadcast once via ``ray.put`` and the documents table streams
+    through ONE ``map_batches`` that filters to hit docs and slices the
+    token window — no shuffle, no driver text materialization; at
+    100 TB the text column is touched exactly once, pruned to two
+    columns at the read."""
+    import ray
+
+    hits = bm25_topk(sf_dir)
+    analyzer = Analyzer(doc_index_config())
+    qterms = {qid: frozenset(analyzer.terms(text)) for qid, text in DOC_QUERIES}
+    by_doc: dict[int, list[tuple[int, int, int]]] = {}
+    for qid, rank, doc, sbp in zip(*(hits.column(c).to_pylist()
+                                     for c in ("query_id", "rank",
+                                               "doc_id", "score_bp"))):
+        by_doc.setdefault(int(doc), []).append((int(qid), int(rank), int(sbp)))
+    ref = ray.put((by_doc, qterms))
+
+    def hydrate(batch: pa.Table) -> pa.Table:
+        bd, qt = ray.get(ref)
+        out = {"query_id": [], "rank": [], "doc_id": [],
+               "score_bp": [], "snippet": []}
+        for did, txt in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+            entries = bd.get(int(did))
+            if not entries:
+                continue
+            toks = txt.split(" ")
+            for qid, rank, sbp in entries:
+                terms = qt[qid]
+                pos = next((i for i, t in enumerate(toks) if t in terms), None)
+                # a BM25 hit always contains >= 1 query term, so pos is
+                # never None on real hits; the guard keeps malformed
+                # input from crashing the stage
+                snip = ("" if pos is None else
+                        " ".join(toks[max(0, pos - w):pos + w + 1]))
+                out["query_id"].append(qid)
+                out["rank"].append(rank)
+                out["doc_id"].append(int(did))
+                out["score_bp"].append(sbp)
+                out["snippet"].append(snip)
+        return pa.table({"query_id": pa.array(out["query_id"], pa.int64()),
+                         "rank": pa.array(out["rank"], pa.int64()),
+                         "doc_id": pa.array(out["doc_id"], pa.int64()),
+                         "score_bp": pa.array(out["score_bp"], pa.int64()),
+                         "snippet": pa.array(out["snippet"], pa.string())})
+
+    res = (read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(hydrate, batch_format="pyarrow")
+           .to_pandas())
+    res = res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(res, preserve_index=False)
+
+
+def search_snippets_sql(w: int = SNIPPET_W) -> str:
+    analyzer = Analyzer(doc_index_config())
+    values = []
+    for qid, text in DOC_QUERIES:
+        for term in sorted(set(analyzer.terms(text))):
+            values.append(f"({qid}, '{term}')")
+    values_sql = ",\n        ".join(values)
+    return f"""
+WITH ex AS MATERIALIZED ({bm25_topk_sql()}),
+qterms(query_id, term) AS (VALUES
+        {values_sql}),
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+  WHERE doc_id IN (SELECT DISTINCT doc_id FROM ex)),
+firstpos AS (
+  SELECT e.query_id, e.doc_id,
+         min(CAST(list_position(t.arr, q.term) AS BIGINT)) AS p
+  FROM ex e
+  JOIN qterms q ON q.query_id = e.query_id
+  JOIN toks t ON t.doc_id = e.doc_id
+  WHERE list_position(t.arr, q.term) > 0
+  GROUP BY e.query_id, e.doc_id)
+SELECT e.query_id, e.rank, e.doc_id, e.score_bp,
+       array_to_string(list_slice(t.arr, greatest(1, f.p - {w}), f.p + {w}),
+                       ' ') AS snippet
+FROM ex e
+JOIN firstpos f ON f.query_id = e.query_id AND f.doc_id = e.doc_id
+JOIN toks t ON t.doc_id = e.doc_id
+"""

@@ -64,7 +64,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "term_regex_search", "phrase_prefix_search",
                "release_pipeline", "chunk_documents", "cooccur_window",
                "knn_graph", "lm_dirichlet_topk", "synonym_search",
-               "ann_bq_topk"]
+               "ann_bq_topk", "search_snippets"]
 
 
 @pytest.fixture(scope="module")
