@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": docsearch.phrase_search,
         "proximity_search": docsearch.proximity_search,
         "boolean_search": docsearch.boolean_search,
+        "msm_search": docsearch.msm_search,
+        "span_first_search": docsearch.span_first_search,
         "prefix_search": docsearch.prefix_search,
         "suffix_search": docsearch.suffix_search,
         "term_regex_search": docsearch.term_regex_search,
@@ -237,6 +239,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "phrase_search": docsearch.phrase_search_sql(),
         "proximity_search": docsearch.proximity_search_sql(),
         "boolean_search": docsearch.boolean_search_sql(),
+        "msm_search": docsearch.msm_search_sql(),
+        "span_first_search": docsearch.span_first_search_sql(),
         "prefix_search": docsearch.prefix_search_sql(),
         "suffix_search": docsearch.suffix_search_sql(),
         "term_regex_search": docsearch.term_regex_search_sql(),

@@ -2570,3 +2570,131 @@ FROM ex e
 JOIN firstpos f ON f.query_id = e.query_id AND f.doc_id = e.doc_id
 JOIN toks t ON t.doc_id = e.doc_id
 """
+
+
+# ---- minimum_should_match (m-of-n) retrieval ----
+
+MSM_QUERIES: list[tuple[int, str, int]] = [
+    (1, "hash join window agg", 3),        # 3-of-4
+    (2, "customer order line", 2),         # 2-of-3
+    (3, "stream batch filter scan", 3),
+    (4, "big small data value table", 4),  # 4-of-5
+    (5, "zzznosuchterm hash join", 2),     # absent term can't count
+    (6, "merge sort", 2),                  # m = n: degenerates to AND
+]
+
+
+def msm_search(sf_dir: str):
+    """(query_id, doc_id, n_terms) — minimum_should_match retrieval
+    (Lucene/ES ``minimum_should_match`` / terms_set query): docs
+    containing at least ``m`` of the query's distinct terms, with the
+    matched-term count. Sits between pure OR (m=1) and pure AND (m=n)
+    — the partial-conjunction query class neither `boolean_search` nor
+    BM25 exercises.
+
+    Shape: the same disjunctive actor-pool stage wildcard queries use
+    (`terms_union` — one np.unique over decoded posting arrays the
+    BM25 pool already shares), then a vectorized threshold filter; the
+    per-query m map is a handful of ints captured in the closure, not
+    a shuffle."""
+    from searchengine_ray.pipelines.query import terms_union_queries
+
+    paths = ensure_doc_index(sf_dir)
+    analyzer = Analyzer(doc_index_config())
+    expanded = [(qid, " ".join(sorted(set(analyzer.terms(text)))))
+                for qid, text, _m in MSM_QUERIES]
+    m_by_qid = {qid: int(m) for qid, _t, m in MSM_QUERIES}
+    res = terms_union_queries(paths, expanded, config=doc_index_config(),
+                              concurrency=(1, 2))
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        qids = batch.column("query_id").to_numpy(zero_copy_only=False)
+        mins = np.array([m_by_qid[int(q)] for q in qids], np.int64)
+        keep = pc.greater_equal(
+            batch.column("n_terms"), pa.array(mins, pa.int64()))
+        return batch.filter(keep)
+
+    return res.map_batches(threshold, batch_format="pyarrow")
+
+
+def msm_search_sql() -> str:
+    analyzer = Analyzer(doc_index_config())
+    qterm_vals, qm_vals = [], []
+    for qid, text, m in MSM_QUERIES:
+        qm_vals.append(f"({qid}, {m})")
+        for t in sorted(set(analyzer.terms(text))):
+            qterm_vals.append(f"({qid}, '{t}')")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+'))
+    AS term
+  FROM documents),
+dtoks AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''),
+qterms(query_id, term) AS (VALUES
+        {', '.join(qterm_vals)}),
+qm(query_id, m) AS (VALUES {', '.join(qm_vals)}),
+hits AS (
+  SELECT q.query_id, t.doc_id, CAST(count(*) AS BIGINT) AS n_terms
+  FROM qterms q JOIN dtoks t ON t.term = q.term
+  GROUP BY q.query_id, t.doc_id)
+SELECT h.query_id, h.doc_id, h.n_terms
+FROM hits h JOIN qm ON qm.query_id = h.query_id
+WHERE h.n_terms >= qm.m
+"""
+
+
+# ---- span-first queries (term near the start of the field) ----
+
+SPAN_FIRST_QUERIES: list[tuple[int, str, int]] = [
+    (1, "hash", 5),
+    (2, "customer", 10),
+    (3, "the", 3),
+    (4, "zzznosuchterm", 50),    # miss
+    (5, "window", 1),            # doc must START with the term
+    (6, "data", 20),
+]
+
+
+def span_first_search(sf_dir: str):
+    """(query_id, doc_id, first_pos) — span-first retrieval over the
+    positions-enabled index: docs whose FIRST occurrence of the term
+    is at raw-token position < the query's limit (Lucene
+    SpanFirstQuery — the 'matches near the start of the document'
+    class used for title/lead boosts). The oracle recomputes it from
+    token ordinals, so the positional decode path is checked from a
+    third angle (phrase = adjacency, proximity = windowed chains, this
+    = absolute position)."""
+    from searchengine_ray.pipelines.query import span_first_queries
+
+    paths = ensure_phrase_index(sf_dir)
+    return span_first_queries(paths, SPAN_FIRST_QUERIES,
+                              config=phrase_index_config(),
+                              concurrency=(1, 2))
+
+
+def span_first_search_sql() -> str:
+    analyzer = Analyzer(phrase_index_config())
+    selects = []
+    for qid, text, limit in SPAN_FIRST_QUERIES:
+        terms = analyzer.terms(text)
+        if not terms:
+            continue
+        selects.append(
+            f"SELECT CAST({qid} AS BIGINT) AS query_id, doc_id, "
+            f"CAST(min(pos) AS BIGINT) AS first_pos FROM toks "
+            f"WHERE term = '{terms[0]}' GROUP BY doc_id "
+            f"HAVING min(pos) < {int(limit)}")
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH raw AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term,
+         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), 1) AS raw_pos
+  FROM documents),
+toks AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY raw_pos) - 1 AS pos
+  FROM raw WHERE term <> '')
+{union}
+"""

@@ -1355,6 +1355,32 @@ class IndexSearcher:
             pos, counts = pos[keep], counts[keep]
         return self._dl_ids[pos], counts
 
+    def span_first(self, text: str, limit: int) -> list[tuple[int, int]]:
+        """Docs whose FIRST occurrence of the (analyzed) query term is
+        at raw-token position < ``limit`` (Lucene's SpanFirstQuery —
+        'term near the start of the field', the title/lead-paragraph
+        heuristic). Returns ``[(doc_id, first_pos)]`` ascending by
+        doc_id. Requires a positions-enabled index; the first position
+        of posting ``j`` is ``pos[offs[j]]`` — positions are stored
+        ascending per posting, so no scan of the tail is needed."""
+        raws = self.analyzer.raw_tokens(text)
+        if not raws:
+            return []
+        exp = self.analyzer.expand(raws[0])
+        if not exp:
+            return []
+        got = self._positions_for(exp[0])
+        if got is None:
+            return []
+        docs, pos, offs = got
+        first = pos[offs[:-1]]
+        keep = first < int(limit)
+        docs, first = docs[keep], first[keep]
+        if self._alive is not None and len(docs):
+            alive = self._alive[np.searchsorted(self._dl_ids, docs)]
+            docs, first = docs[alive], first[alive]
+        return list(zip(docs.tolist(), first.tolist()))
+
     def phrase_search(self, text: str) -> list[tuple[int, int]]:
         """Exact phrase match via positional postings: docs containing the
         query tokens at consecutive RAW-token positions. Returns
@@ -1651,6 +1677,50 @@ class TermsUnionExecutorStage:
         return pa.table({"query_id": pa.array(qids, pa.int64()),
                          "doc_id": pa.array(docs, pa.int64()),
                          "n_terms": pa.array(counts, pa.int64())})
+
+
+class SpanFirstExecutorStage:
+    """Actor-pool stage for span-first queries: batches of (query_id,
+    text, limit); emits (query_id, doc_id, first_pos) for docs whose
+    first occurrence of the term is before raw position ``limit``.
+    Index (with positions) loaded once per actor."""
+
+    def __init__(self, index_root: str, config: IndexConfig | None = None,
+                 data_ref=None):
+        self.searcher = IndexSearcher(index_root, config,
+                                      data=_resolve_shared(data_ref))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs, fps = [], [], []
+        for qid, text, lim in zip(batch.column("query_id").to_pylist(),
+                                  batch.column("text").to_pylist(),
+                                  batch.column("limit").to_pylist()):
+            for doc, fp in self.searcher.span_first(text, int(lim)):
+                qids.append(qid); docs.append(doc); fps.append(fp)
+        return pa.table({"query_id": pa.array(qids, pa.int64()),
+                         "doc_id": pa.array(docs, pa.int64()),
+                         "first_pos": pa.array(fps, pa.int64())})
+
+
+def span_first_queries(index_root: str | IndexPaths, queries, *,
+                       config: IndexConfig | None = None,
+                       concurrency: int | tuple = 4, share_index: bool = True):
+    """Run span-first queries through the actor pool; Dataset of
+    (query_id, doc_id, first_pos). ``queries``: list[(query_id, text,
+    limit)] or a Dataset with (query_id, text, limit)."""
+    import ray
+    import ray.data
+
+    root = index_root.root if isinstance(index_root, IndexPaths) else str(index_root)
+    data_ref = (load_index_shared(root, precompute_hot=False)
+                if share_index else None)
+    if not hasattr(queries, "map_batches"):
+        queries = ray.data.from_items(
+            [{"query_id": int(q), "text": t, "limit": int(lim)}
+             for q, t, lim in queries])
+    return queries.map_batches(
+        SpanFirstExecutorStage, fn_constructor_args=(root, config, data_ref),
+        batch_format="pyarrow", batch_size=8, concurrency=concurrency)
 
 
 class ProximityExecutorStage:
