@@ -2698,3 +2698,119 @@ toks AS (
   FROM raw WHERE term <> '')
 {union}
 """
+
+
+# ---- federated (document-partitioned) scatter-gather search ----
+
+FED_SHARDS = 3
+
+
+def ensure_fed_shards(sf_dir: str, n_shards: int = FED_SHARDS
+                      ) -> list[IndexPaths]:
+    """Build (once, resumable) ``n_shards`` INDEPENDENT indexes over a
+    doc_id-hash partition of the documents table — the document-
+    partitioned layout every sharded web index uses (each node owns a
+    slice of the corpus and a full dictionary over it). Original
+    doc_ids are kept so shard results are globally addressable."""
+    roots = []
+    tag = hashlib.blake2b(f"{sf_dir}|fed{n_shards}".encode(),
+                          digest_size=6).hexdigest()
+    corpus = _docs_as_corpus(sf_dir)
+    for s in range(n_shards):
+        def pick(batch: pa.Table, _s=s) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % n_shards == _s))
+
+        shard_corpus = corpus.map_batches(pick, batch_format="pyarrow")
+        roots.append(build_index(
+            shard_corpus, f"/tmp/graft_fed_shards/{tag}/shard{s}",
+            doc_index_config(), id_column="doc_id", resume=True,
+            source_tag=f"{sf_dir}|fed{s}"))
+    return roots
+
+
+def _fed_shard_df(dict_dir: str, terms: list[str]) -> dict[str, int]:
+    """Per-shard df for the query vocabulary: a filtered 2-column read
+    of that shard's dictionary — O(|query terms|) rows leave the node."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+    from pathlib import Path as _Path
+
+    files = sorted(str(f) for f in _Path(dict_dir).glob("*.parquet"))
+    tbl = _pq.read_table(files, columns=["term", "df"],
+                         filters=_pc.field("term").isin(
+                             pa.array(terms, pa.string())))
+    out: dict[str, int] = {}
+    for t, d in zip(tbl.column("term").to_pylist(),
+                    tbl.column("df").to_pylist()):
+        out[t] = out.get(t, 0) + int(d)
+    return out
+
+
+def federated_search(sf_dir: str, n_shards: int = FED_SHARDS):
+    """(query_id, rank, doc_id, score_bp) — BM25 top-k over ``n_shards``
+    document-partitioned indexes via scatter-gather: global stats
+    (N = sum N_s, avgdl = sum total_len_s / N, df = sum df_s over the
+    query vocabulary) are folded from the shard metas/dictionaries and
+    broadcast; every (query, shard) pair scores a partial top-k on its
+    shard with those stats injected; a per-query gather merges the
+    partials. The oracle is the SAME single-index BM25 SQL — a hash
+    match proves document-partitioned serving is rank- AND score-
+    identical to one monolithic index (the MultiReader/distributed-IDF
+    equivalence, the core correctness claim of sharded serving).
+
+    Scale shape: stats fold moves O(shards x |query terms|) rows; the
+    scatter is the existing actor-pool search per shard; the gather
+    shuffles only k rows per (query, shard). Nothing touches a second
+    shard's postings."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from searchengine_ray.pipelines.query import FederatedPartialStage
+
+    shards = ensure_fed_shards(sf_dir, n_shards)
+    metas = [s.meta() for s in shards]
+    n_total = sum(int(m["N"]) for m in metas)
+    total_len = sum(int(m["total_len"]) for m in metas)
+    analyzer = Analyzer(doc_index_config())
+    qvocab = sorted({t for _qid, text in DOC_QUERIES
+                     for t in analyzer.terms(text)})
+    df_task = ray.remote(_fed_shard_df)
+    df_maps = ray.get([df_task.remote(s.dictionary, qvocab) for s in shards])
+    gdf: dict[str, int] = {}
+    for m in df_maps:
+        for t, d in m.items():
+            gdf[t] = gdf.get(t, 0) + d
+    stats = {"N": n_total, "avgdl": total_len / n_total if n_total else 1.0,
+             "df": gdf}
+    stats_ref = ray.put(stats)
+
+    scatter = ray.data.from_items(
+        [{"query_id": int(qid), "text": text, "shard": s}
+         for qid, text in DOC_QUERIES for s in range(n_shards)])
+    partials = scatter.map_batches(
+        FederatedPartialStage,
+        fn_constructor_args=([s.root for s in shards], doc_index_config(),
+                             stats_ref, K),
+        batch_format="pyarrow", batch_size=8, concurrency=(1, 2))
+
+    def merge(df: "pd.DataFrame") -> pd.DataFrame:
+        df = df.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(K)
+        return pd.DataFrame({
+            "query_id": df["query_id"].to_numpy(np.int64),
+            "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "score_bp": np.floor(df["score"].to_numpy() * 10000
+                                 + 0.5).astype(np.int64)})
+
+    out = partials.groupby("query_id").map_groups(
+        merge, batch_format="pandas").to_pandas()
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def federated_search_sql() -> str:
+    # the WHOLE point: sharded serving must equal the monolithic index
+    return bm25_topk_sql()

@@ -615,7 +615,8 @@ class IndexSearcher:
 
     def __init__(self, index: IndexPaths | str, config: IndexConfig | None = None,
                  preload: bool = False, data: dict | None = None,
-                 pool_cache=None, pool_cache_min_df: int = 65536):
+                 pool_cache=None, pool_cache_min_df: int = 65536,
+                 stats_override: dict | None = None):
         self.paths = index if isinstance(index, IndexPaths) else IndexPaths(str(index))
         if data is None:
             data = load_index_data(self.paths)
@@ -687,6 +688,19 @@ class IndexSearcher:
                 alive = np.ones(len(self._dl_ids), dtype=bool)
                 alive[hit] = False
                 self._alive = alive
+        # federated serving: score THIS shard with GLOBAL collection
+        # stats {"N", "avgdl", "df": {term: global_df}} so shard-local
+        # idf skew can't bend ranks. The hot plasma image and the pool
+        # cache bake the LOCAL stats into their precomputed contribs,
+        # so both are disabled — every term takes the cold-decode path,
+        # which reads the override.
+        self._df_override: dict[str, int] | None = None
+        if stats_override is not None:
+            self.N = int(stats_override["N"])
+            self.avgdl = float(stats_override["avgdl"])
+            self._df_override = dict(stats_override.get("df") or {})
+            self._hot = {}
+            self._pool_cache = None
 
     # ---- posting access ----
 
@@ -802,6 +816,8 @@ class IndexSearcher:
 
         docs, tfs = decode_blocks(concat_blocks(slices))
         pos = self._doc_pos(docs)
+        if self._df_override is not None:
+            df = self._df_override.get(term, df)
         idf_t = float(bm25_idf(self.N, df))
         contrib = bm25_term_scores(tfs, self._dl[pos], idf_t=idf_t,
                                    avgdl=self.avgdl, k1=self.k1, b=self.b)
@@ -1721,6 +1737,48 @@ def span_first_queries(index_root: str | IndexPaths, queries, *,
     return queries.map_batches(
         SpanFirstExecutorStage, fn_constructor_args=(root, config, data_ref),
         batch_format="pyarrow", batch_size=8, concurrency=concurrency)
+
+
+class FederatedPartialStage:
+    """Scatter half of document-partitioned scatter-gather serving
+    (Lucene MultiReader / every sharded web index): batches of
+    (query_id, text, shard) rows, each scored against THAT shard only,
+    with GLOBAL collection stats (N, avgdl, per-term df) injected via
+    ``stats_override`` so shard-local idf skew can't bend ranks; emits
+    per-shard partial top-k (query_id, doc_id, score). Shard searchers
+    open lazily on first touch and persist per actor — an actor only
+    ever pays for the shards its rows route to (on a real cluster the
+    pool is sized per shard-host and rows arrive pre-bucketed)."""
+
+    def __init__(self, shard_roots: list[str], config: IndexConfig | None,
+                 stats_ref, k: int = 10):
+        import ray
+
+        self.roots = list(shard_roots)
+        self.config = config
+        self.k = int(k)
+        self.stats = (ray.get(stats_ref)
+                      if isinstance(stats_ref, ray.ObjectRef) else stats_ref)
+        self._searchers: dict[int, IndexSearcher] = {}
+
+    def _shard(self, s: int) -> "IndexSearcher":
+        got = self._searchers.get(s)
+        if got is None:
+            got = IndexSearcher(self.roots[s], self.config,
+                                stats_override=self.stats)
+            self._searchers[s] = got
+        return got
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs, scores = [], [], []
+        for qid, text, shard in zip(batch.column("query_id").to_pylist(),
+                                    batch.column("text").to_pylist(),
+                                    batch.column("shard").to_pylist()):
+            for doc, score in self._shard(int(shard)).search(text, self.k):
+                qids.append(qid); docs.append(doc); scores.append(score)
+        return pa.table({"query_id": pa.array(qids, pa.int64()),
+                         "doc_id": pa.array(docs, pa.int64()),
+                         "score": pa.array(scores, pa.float64())})
 
 
 class ProximityExecutorStage:
