@@ -2399,3 +2399,120 @@ SELECT doc_a AS doc_id, CAST(count(*) AS BIGINT) AS n_eval_docs,
        CAST(sum(n_pos) AS BIGINT) AS n_pos
 FROM pair_spans GROUP BY doc_a
 """
+
+
+# ---------------- incremental (snapshot-vs-batch) exact dedup ----------------
+
+_INC_MOD = 3          # incoming = doc_id % _INC_MOD == 0 (deterministic split)
+_INC_SENTINEL = 1 << 62
+
+
+def _ensure_sig_store(sf_dir: str) -> str:
+    """Persist (once, marker-gated) the BASE corpus's exact-dedup
+    signature table — (text_md5, doc_id) parquet, no text. This is the
+    artifact an incremental pipeline keeps between snapshots: the next
+    batch dedups against it without ever re-reading base text (at
+    100 TB the signature store is ~1/2000th of the corpus)."""
+    import json
+    from pathlib import Path
+
+    import ray.data
+
+    tag = hashlib.blake2b(f"{sf_dir}|sig".encode(), digest_size=6).hexdigest()
+    root = Path(f"/tmp/graft_sig_store/{tag}")
+    marker = root / "_DONE.json"
+    out = root / "sigs"
+    if marker.is_file():
+        return str(out)
+
+    def base_sig(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % _INC_MOD != 0
+        sub = batch.filter(pa.array(keep))
+        return _md5_batch(sub)
+
+    (read(sf_dir, "documents", ["doc_id", "text"])
+     .map_batches(base_sig, batch_format="pyarrow", batch_size=2048)
+     .write_parquet(str(out)))
+    marker.write_text(json.dumps({"sf_dir": sf_dir, "mod": _INC_MOD}))
+    return str(out)
+
+
+def dedup_incremental(sf_dir: str):
+    """(text_md5, doc_id, n_incoming) — incremental exact dedup: the
+    INCOMING batch (doc_id % 3 == 0) deduped against the persisted BASE
+    signature store (doc_id % 3 != 0) AND within itself (first-wins =
+    min doc_id), without touching base text. The snapshot-lifecycle op:
+    at 100 TB you never re-dedup the corpus, you fold each new crawl
+    against the signature table and append the survivors' signatures.
+
+    Shape: base side streams (hash, id) rows from the signature store;
+    incoming side hashes its text once; ONE hash-partitioned groupby
+    folds min-base-id / min-incoming-id / incoming-count per hash;
+    survivors are hashes with no base hit. Nothing ships text, nothing
+    materializes on the driver."""
+    from ray.data.aggregate import Min, Sum
+
+    import ray.data
+
+    sig_dir = _ensure_sig_store(sf_dir)
+
+    def tag_base(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "text_md5": batch.column("text_md5"),
+            "base_min": batch.column("doc_id").cast(pa.int64()),
+            "inc_min": pa.array([_INC_SENTINEL] * n, pa.int64()),
+            "n_inc": pa.array([0] * n, pa.int64())})
+
+    def tag_incoming(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % _INC_MOD == 0))
+        h = _md5_batch(sub)
+        n = h.num_rows
+        return pa.table({
+            "text_md5": h.column("text_md5"),
+            "base_min": pa.array([_INC_SENTINEL] * n, pa.int64()),
+            "inc_min": h.column("doc_id").cast(pa.int64()),
+            "n_inc": pa.array([1] * n, pa.int64())})
+
+    base = ray.data.read_parquet(sig_dir).map_batches(
+        tag_base, batch_format="pyarrow")
+    incoming = (read(sf_dir, "documents", ["doc_id", "text"])
+                .map_batches(tag_incoming, batch_format="pyarrow",
+                             batch_size=2048))
+    agg = (base.union(incoming)
+           .groupby("text_md5")
+           .aggregate(Min("base_min", alias_name="base_min"),
+                      Min("inc_min", alias_name="inc_min"),
+                      Sum("n_inc", alias_name="n_incoming")))
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(
+            pc.equal(batch.column("base_min"), pa.scalar(_INC_SENTINEL)),
+            pc.not_equal(batch.column("inc_min"), pa.scalar(_INC_SENTINEL)))
+        sub = batch.filter(keep)
+        return pa.table({"text_md5": sub.column("text_md5"),
+                         "doc_id": sub.column("inc_min").cast(pa.int64()),
+                         "n_incoming": sub.column("n_incoming").cast(pa.int64())})
+
+    return agg.map_batches(survivors, batch_format="pyarrow")
+
+
+def dedup_incremental_sql() -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id, md5(text) AS text_md5, doc_id % {_INC_MOD} = 0 AS inc
+  FROM documents),
+agg AS (
+  SELECT text_md5,
+         min(CASE WHEN NOT inc THEN doc_id END) AS base_min,
+         min(CASE WHEN inc THEN doc_id END) AS inc_min,
+         count(CASE WHEN inc THEN 1 END) AS n_incoming
+  FROM h GROUP BY text_md5)
+SELECT text_md5, CAST(inc_min AS BIGINT) AS doc_id,
+       CAST(n_incoming AS BIGINT) AS n_incoming
+FROM agg WHERE inc_min IS NOT NULL AND base_min IS NULL
+"""

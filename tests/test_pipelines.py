@@ -65,7 +65,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "release_pipeline", "chunk_documents", "cooccur_window",
                "knn_graph", "lm_dirichlet_topk", "synonym_search",
                "ann_bq_topk", "search_snippets", "msm_search",
-               "span_first_search", "federated_search"]
+               "span_first_search", "federated_search",
+               "dedup_incremental"]
 
 
 @pytest.fixture(scope="module")
