@@ -2516,3 +2516,101 @@ SELECT text_md5, CAST(inc_min AS BIGINT) AS doc_id,
        CAST(n_incoming AS BIGINT) AS n_incoming
 FROM agg WHERE inc_min IS NOT NULL AND base_min IS NULL
 """
+
+
+# ---------------- incremental MinHash (snapshot-vs-batch near-dup) ----------
+
+
+def _ensure_band_store(sf_dir: str) -> str:
+    """Persist (once, marker-gated) the BASE corpus's LSH band rows —
+    (doc_id, band, band_hash) parquet. The near-dup analog of the
+    exact-dedup signature store: between snapshots the base corpus is
+    never re-shingled or re-minhashed (the dominant cost of the LSH
+    pipeline); a new batch folds its own band rows against this table."""
+    import json
+    from pathlib import Path
+
+    tag = hashlib.blake2b(f"{sf_dir}|bands".encode(),
+                          digest_size=6).hexdigest()
+    root = Path(f"/tmp/graft_band_store/{tag}")
+    marker = root / "_DONE.json"
+    out = root / "bands"
+    if marker.is_file():
+        return str(out)
+
+    def pick_base(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % _INC_MOD != 0))
+
+    (read(sf_dir, "documents", ["doc_id", "text"])
+     .map_batches(pick_base, batch_format="pyarrow")
+     .map_batches(MinHashStage, batch_format="pyarrow", batch_size=512,
+                  concurrency=(1, 4))
+     .write_parquet(str(out)))
+    marker.write_text(json.dumps({"sf_dir": sf_dir, "mod": _INC_MOD}))
+    return str(out)
+
+
+def minhash_incremental(sf_dir: str, threshold_bp: int = 5000):
+    """(doc_a, doc_b, jaccard_bp) — incremental MinHash-LSH near-dup:
+    the INCOMING batch (doc_id % 3 == 0) minhashed fresh, bucketed
+    against the persisted BASE band store (doc_id % 3 != 0), keeping
+    only pairs that touch an incoming doc; exact-Jaccard verified by
+    the same distributed verifier as the full pipeline. Incoming-vs-
+    incoming dups are caught too (a new crawl duplicates itself as
+    often as it duplicates the archive).
+
+    Shape: identical to ``minhash_lsh_dedup`` except the base side
+    streams precomputed (doc_id, band, band_hash) rows from parquet —
+    no base text is read until a verify task references a specific
+    doc_id. The membership test is arithmetic on the id, so the pair
+    filter costs one vectorized modulo, not a join."""
+    import ray.data
+
+    from searchengine_ray.pipelines.common import table_path
+
+    band_store = _ensure_band_store(sf_dir)
+
+    def pick_incoming(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % _INC_MOD == 0))
+
+    base = ray.data.read_parquet(band_store)
+    incoming = (read(sf_dir, "documents", ["doc_id", "text"])
+                .map_batches(pick_incoming, batch_format="pyarrow")
+                .map_batches(MinHashStage, batch_format="pyarrow",
+                             batch_size=512, concurrency=(1, 4)))
+    pairs = (base.union(incoming)
+             .map_batches(_add_gkey, batch_format="pyarrow")
+             .groupby("gkey").map_groups(
+                 _make_grouped_pairs(["band", "band_hash"], _BUCKET_CAP,
+                                     hot="star"),
+                 batch_format="pandas"))
+
+    def touch_incoming(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        keep = (a % _INC_MOD == 0) | (b % _INC_MOD == 0)
+        return batch.filter(pa.array(keep))
+
+    uniq = _distinct_pairs(pairs.map_batches(touch_incoming,
+                                             batch_format="pyarrow"))
+
+    def add_vpart(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        return batch.append_column("vpart", int64_col(a % _N_VERIFY_PARTS))
+
+    routed = uniq.map_batches(add_vpart, batch_format="pyarrow")
+    verify = JaccardVerifyGroup(table_path(sf_dir, "documents"), threshold_bp)
+    return routed.groupby("vpart").map_groups(verify, batch_format="pyarrow")
+
+
+def minhash_incremental_sql(threshold_bp: int = 5000) -> str:
+    # base ∪ incoming is the whole corpus and the band/star policies are
+    # shared, so the incremental pair set is EXACTLY the full replay
+    # restricted to pairs touching an incoming doc
+    return f"""
+SELECT doc_a, doc_b, jaccard_bp
+FROM ({minhash_lsh_dedup_sql(threshold_bp)})
+WHERE doc_a % {_INC_MOD} = 0 OR doc_b % {_INC_MOD} = 0
+"""
