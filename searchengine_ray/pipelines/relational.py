@@ -924,3 +924,116 @@ SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
 """
+
+
+# ---- table profiling (DuckDB SUMMARIZE class) ----
+
+_PROFILE_COLS: list[tuple[str, list[str]]] = [
+    ("lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]),
+    ("events", ["value"]),
+]
+
+
+def table_profile(sf_dir: str):
+    """(col, n_rows, n_nulls, n_distinct, min_bp, max_bp) — per-column
+    data profiling over the numeric measure columns (the DESCRIBE /
+    DuckDB-SUMMARIZE class every warehouse exposes; the first stage of
+    any data-quality audit on a new drop).
+
+    Shape: count/null/min/max fold from per-batch PARTIALS (one row per
+    column per batch through the groupby — the exchange carries
+    O(columns x batches) rows, never data). Exact distinct counts go
+    through a (col, value) groupby whose input is deduped per batch
+    first, so the shuffle is bounded by the column's true cardinality
+    per batch, not its row count; at 100 TB swap the exact path for the
+    mergeable HLL registers `distinct_terms_hll` already demonstrates
+    (documented trade, same output column)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from searchengine_ray.pipelines.common import bp as _bp
+
+    stat_parts = []
+    dist_parts = []
+    for table, cols in _PROFILE_COLS:
+        def make_partial(tname: str, cnames: list[str]):
+            def partial(batch: pa.Table) -> pa.Table:
+                out = {"col": [], "n_rows": [], "n_nulls": [],
+                       "min_v": [], "max_v": []}
+                for c in cnames:
+                    arr = batch.column(c)
+                    vals = arr.drop_null().to_numpy(zero_copy_only=False)
+                    out["col"].append(f"{tname}.{c}")
+                    out["n_rows"].append(batch.num_rows)
+                    out["n_nulls"].append(arr.null_count)
+                    # empty-batch guard: +-inf partials are identities
+                    # for the min/max fold and can't win a real batch
+                    out["min_v"].append(float(vals.min()) if len(vals)
+                                        else float("inf"))
+                    out["max_v"].append(float(vals.max()) if len(vals)
+                                        else float("-inf"))
+                return pa.table({"col": pa.array(out["col"], pa.string()),
+                                 "n_rows": pa.array(out["n_rows"], pa.int64()),
+                                 "n_nulls": pa.array(out["n_nulls"], pa.int64()),
+                                 "min_v": pa.array(out["min_v"], pa.float64()),
+                                 "max_v": pa.array(out["max_v"], pa.float64())})
+
+            def distinct(batch: pa.Table) -> pa.Table:
+                names, values = [], []
+                for c in cnames:
+                    vals = batch.column(c).drop_null().to_numpy(
+                        zero_copy_only=False)
+                    u = np.unique(vals)
+                    names.extend([f"{tname}.{c}"] * len(u))
+                    values.append(u.astype(np.float64))
+                return pa.table({
+                    "col": pa.array(names, pa.string()),
+                    "value": pa.array(
+                        np.concatenate(values) if values
+                        else np.empty(0, np.float64), pa.float64())})
+
+            return partial, distinct
+
+        partial, distinct = make_partial(table, cols)
+        ds = read(sf_dir, table, cols)
+        stat_parts.append(ds.map_batches(partial, batch_format="pyarrow"))
+        dist_parts.append(ds.map_batches(distinct, batch_format="pyarrow"))
+
+    stats_ds = stat_parts[0]
+    dist_ds = dist_parts[0]
+    for s in stat_parts[1:]:
+        stats_ds = stats_ds.union(s)
+    for d in dist_parts[1:]:
+        dist_ds = dist_ds.union(d)
+
+    stats = (stats_ds.groupby("col")
+             .aggregate(Sum("n_rows", alias_name="n_rows"),
+                        Sum("n_nulls", alias_name="n_nulls"),
+                        Min("min_v", alias_name="min_v"),
+                        Max("max_v", alias_name="max_v"))
+             .to_pandas())
+    ndist = (dist_ds.groupby(["col", "value"])
+             .aggregate(Count(alias_name="_n"))
+             .groupby("col").aggregate(Count(alias_name="n_distinct"))
+             .to_pandas())
+    out = stats.merge(ndist, on="col").sort_values("col").reset_index(drop=True)
+    return pa.table({
+        "col": pa.array(out["col"], pa.string()),
+        "n_rows": pa.array(out["n_rows"].to_numpy(np.int64), pa.int64()),
+        "n_nulls": pa.array(out["n_nulls"].to_numpy(np.int64), pa.int64()),
+        "n_distinct": pa.array(out["n_distinct"].to_numpy(np.int64), pa.int64()),
+        "min_bp": pa.array(_bp(out["min_v"].to_numpy()), pa.int64()),
+        "max_bp": pa.array(_bp(out["max_v"].to_numpy()), pa.int64())})
+
+
+def table_profile_sql() -> str:
+    selects = []
+    for table, cols in _PROFILE_COLS:
+        for c in cols:
+            selects.append(f"""
+SELECT '{table}.{c}' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(floor(min({c}) * 10000 + 0.5) AS BIGINT) AS min_bp,
+       CAST(floor(max({c}) * 10000 + 0.5) AS BIGINT) AS max_bp
+FROM {table}""")
+    return "\nUNION ALL\n".join(selects)
