@@ -2814,3 +2814,89 @@ def federated_search(sf_dir: str, n_shards: int = FED_SHARDS):
 def federated_search_sql() -> str:
     # the WHOLE point: sharded serving must equal the monolithic index
     return bm25_topk_sql()
+
+
+# ---- delete -> compact lifecycle, dictionary-verified ----
+
+DEL_MOD = 7            # tombstone every doc_id % 7 == 0
+
+
+def _dictionary_df(paths: IndexPaths):
+    """(term, df) Dataset over an index's dictionary partitions — the
+    shared distributed fold `index_dictionary` / `index_merge_dictionary`
+    use (pre-aggregate per batch, tiny groupby folds block splits)."""
+    from pathlib import Path
+
+    import ray.data
+
+    files = sorted(str(f) for f in Path(paths.dictionary).glob("*.parquet"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("term").aggregate([("df", "sum")])
+        return pa.table({"term": g.column("term"),
+                         "df": g.column("df_sum").cast(pa.int64())})
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"term": batch.column("term"),
+                         "df": batch.column("sum(df)").cast(pa.int64())})
+
+    return (ray.data.read_parquet(files, columns=["term", "df"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("term").sum("df")
+            .map_batches(rename, batch_format="pyarrow"))
+
+
+def ensure_compacted_index(sf_dir: str) -> IndexPaths:
+    """Build (once, marker-gated) a dedicated index copy, tombstone
+    every doc_id % DEL_MOD == 0, and ``compact_index`` it — the full
+    Lucene delete->merge lifecycle, exercised end to end on real build
+    output. The delete list comes from a single-column pruned read of
+    the documents table (deletes are control-plane input; at corpus
+    scale the caller supplies ids, it doesn't scan for them)."""
+    import json
+    from pathlib import Path
+
+    import pyarrow.parquet as _pq
+
+    from searchengine_ray.pipelines.build import (compact_index,
+                                                  delete_documents)
+    from searchengine_ray.pipelines.common import table_path
+
+    tag = hashlib.blake2b(f"{sf_dir}|del{DEL_MOD}".encode(),
+                          digest_size=6).hexdigest()
+    root = Path(f"/tmp/graft_del_index/{tag}")
+    marker = root / "_DONE.json"
+    compacted = root / "compacted"
+    if marker.is_file():
+        return IndexPaths(str(compacted))
+    base = build_index(_docs_as_corpus(sf_dir), root / "base",
+                       doc_index_config(), id_column="doc_id", resume=True,
+                       source_tag=f"{sf_dir}|delbase")
+    ids = _pq.read_table(table_path(sf_dir, "documents"),
+                         columns=["doc_id"]).column("doc_id").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    delete_documents(base.root, ids[ids % DEL_MOD == 0])
+    out = compact_index(base.root, compacted)
+    marker.write_text(json.dumps({"sf_dir": sf_dir, "mod": DEL_MOD}))
+    return out
+
+
+def index_delete_dictionary(sf_dir: str):
+    """(term, df) of the COMPACTED index after tombstoning every
+    doc_id % 7 == 0 — the delete->compact lifecycle's correctness gate:
+    the oracle recomputes df over only the surviving documents, so a
+    hash match proves tombstones fully left the postings, df/N stats
+    were rebuilt exactly, and no live posting was lost in the fold
+    (`index_merge_dictionary` proves the same for segment merges;
+    together they cover the index lifecycle's two mutation paths)."""
+    return _dictionary_df(ensure_compacted_index(sf_dir))
+
+
+def index_delete_dictionary_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents WHERE doc_id % {DEL_MOD} <> 0)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM toks WHERE term <> '' GROUP BY term
+"""

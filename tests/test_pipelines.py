@@ -66,7 +66,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "knn_graph", "lm_dirichlet_topk", "synonym_search",
                "ann_bq_topk", "search_snippets", "msm_search",
                "span_first_search", "federated_search",
-               "dedup_incremental", "minhash_incremental", "table_profile"]
+               "dedup_incremental", "minhash_incremental", "table_profile", "index_delete_dictionary"]
 
 
 @pytest.fixture(scope="module")
