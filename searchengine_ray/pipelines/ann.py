@@ -2302,3 +2302,194 @@ rer AS (
 SELECT query_vec_id, CAST(rnk AS BIGINT) AS rank, vec_id, hamming, dot_micro2
 FROM rer WHERE rnk <= {k}
 """
+
+
+# ---- supervised linear probe (distributed ridge fit + inference) ----
+
+_PROBE_MICRO = 1_000_000
+_PROBE_LAMBDA = 1e-3
+_PROBE_CLASSES = 10      # labels are dense 0..9 in the synthetic table
+
+
+def _probe_micro(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(vec_ids, micro int64 (n,d), labels int64) for one batch — the
+    shared exact-integer quantization (floor(x*1e6+0.5), the bp
+    contract at micro scale; float32 -> float64 cast is exact, so the
+    ints match DuckDB's CAST(el AS DOUBLE) replay bit-for-bit)."""
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = emb_matrix(batch.column("embedding")).astype(np.float64)
+    micro = np.floor(mat * _PROBE_MICRO + 0.5).astype(np.int64)
+    labels = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    return ids, micro, labels
+
+
+def _probe_gram_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial of the AUGMENTED Gram matrix G = Z^T Z where
+    Z = [X_micro | onehot(label)*1e6] — one fixed-size (d+C)^2 int64
+    summary per batch regardless of row count (the sufficient
+    statistics of the ridge fit; exact integer sums are order-free, so
+    the distributed fold is bit-identical to any serial replay)."""
+    _ids, micro, labels = _probe_micro(batch)
+    n, d = micro.shape
+    z = np.zeros((n, d + _PROBE_CLASSES), dtype=np.int64)
+    z[:, :d] = micro
+    z[np.arange(n), d + labels] = _PROBE_MICRO
+    g = z.T @ z
+    m = d + _PROBE_CLASSES
+    ii = np.repeat(np.arange(m, dtype=np.int64), m)
+    jj = np.tile(np.arange(m, dtype=np.int64), m)
+    # off-diagonal label x label cells are STRUCTURALLY absent (no row
+    # carries two labels): the SQL self-join never emits them, and
+    # including always-zero rows here would make the fold's row set
+    # differ from the oracle's
+    keep = ~((ii >= d) & (jj >= d) & (ii != jj))
+    return pa.table({"i": int64_col(ii[keep]),
+                     "j": int64_col(jj[keep]),
+                     "g": int64_col(g.reshape(-1)[keep])})
+
+
+def linear_probe_gram(sf_dir: str):
+    """(i, j, g) — the exact augmented Gram matrix of the embeddings
+    table (X^T X, X^T Y and class counts in one (d+C)^2 block): the
+    SUFFICIENT STATISTICS of a ridge / linear-probe fit, computed as a
+    distributed mergeable aggregate (fixed-size integer partial per
+    batch -> one tiny groupby). Hash-verified cell-for-cell, this row
+    proves the distributed half of `linear_probe`'s training is exact;
+    the driver-side solve is a (d+C)-sized dense op on this output."""
+    from ray.data.aggregate import Sum
+
+    partial = read(sf_dir, "embeddings",
+                   ["vec_id", "embedding", "label"]).map_batches(
+        _probe_gram_partial, batch_format="pyarrow", batch_size=4096)
+    out = partial.groupby(["i", "j"]).aggregate(Sum("g", alias_name="g"))
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table({"i": batch.column("i").cast(pa.int64()),
+                         "j": batch.column("j").cast(pa.int64()),
+                         "g": batch.column("g").cast(pa.int64())})
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def linear_probe_gram_sql(sf_dir: str = _SF_ORACLE_DEFAULT) -> str:
+    d = _table_dim(sf_dir)
+    return f"""
+WITH u AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_PROBE_MICRO}
+                    + 0.5) AS BIGINT) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id, {d} + CAST(label AS BIGINT) AS i,
+         CAST({_PROBE_MICRO} AS BIGINT) AS v
+  FROM embeddings)
+SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS g
+FROM u a JOIN u b ON a.vec_id = b.vec_id
+GROUP BY a.i, b.i
+"""
+
+
+def _probe_solve(gram: np.ndarray, d: int) -> np.ndarray:
+    """Ridge solve from the exact integer Gram block: W = (XtX/s + lam I)^-1
+    (XtY/s), s = micro^2 — float64 on EXACT integer inputs, so engine
+    and oracle generator produce bit-identical weights from their
+    independently computed (but integer-equal) Gram matrices. Returns
+    w_micro int64 (d x C)."""
+    s = float(_PROBE_MICRO) ** 2
+    xtx = gram[:d, :d].astype(np.float64) / s
+    xty = gram[:d, d:].astype(np.float64) / s
+    w = np.linalg.solve(xtx + _PROBE_LAMBDA * np.eye(d), xty)
+    return np.floor(w * _PROBE_MICRO + 0.5).astype(np.int64)
+
+
+def _probe_weights_from_ray(sf_dir: str) -> np.ndarray:
+    import ray
+
+    tbl = linear_probe_gram(sf_dir).to_pandas()
+    m = int(tbl["i"].max()) + 1
+    gram = np.zeros((m, m), dtype=np.int64)
+    gram[tbl["i"].to_numpy(np.int64), tbl["j"].to_numpy(np.int64)] = \
+        tbl["g"].to_numpy(np.int64)
+    return _probe_solve(gram, m - _PROBE_CLASSES)
+
+
+def _probe_weights_from_duckdb(sf_dir: str) -> np.ndarray:
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS "
+            f"SELECT * FROM '{sf_dir}/embeddings.parquet'")
+    rows = con.sql(linear_probe_gram_sql(sf_dir)).fetchall()
+    m = max(r[0] for r in rows) + 1
+    gram = np.zeros((m, m), dtype=np.int64)
+    for i, j, g in rows:
+        gram[i, j] = g
+    return _probe_solve(gram, m - _PROBE_CLASSES)
+
+
+def linear_probe(sf_dir: str):
+    """(vec_id, label, pred, score_micro) — supervised linear-probe
+    classification over the embeddings table: a one-vs-rest ridge
+    model FIT DISTRIBUTED (exact-integer Gram partials folded by one
+    groupby — `linear_probe_gram` is that fold's own registry row),
+    solved on the driver at (d+C) size, then scored back over the
+    table in one broadcast map (exact int64 dot products; argmax ties
+    resolve to the lowest class). The quality-classifier shape of
+    modern data curation (fastText/linear-probe filtering), expressed
+    as mergeable-aggregate + broadcast-inference — no shuffle touches
+    a vector.
+
+    The SQL oracle recomputes predictions with the weights inlined as
+    integer literals (the ANN-hyperplane pattern); the weights
+    themselves are reproducible because both sides solve from
+    integer-identical Gram matrices."""
+    import ray
+
+    w_micro = _probe_weights_from_ray(sf_dir)      # (d, C) int64
+    w_ref = ray.put(w_micro)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        w = _ray.get(w_ref)
+        ids, micro, labels = _probe_micro(batch)
+        scores = micro @ w                          # (n, C) exact int64
+        pred = np.argmax(scores, axis=1).astype(np.int64)  # first-max tie
+        best = scores[np.arange(len(ids)), pred]
+        return pa.table({"vec_id": int64_col(ids),
+                         "label": int64_col(labels),
+                         "pred": int64_col(pred),
+                         "score_micro": int64_col(best)})
+
+    return read(sf_dir, "embeddings",
+                ["vec_id", "embedding", "label"]).map_batches(
+        score, batch_format="pyarrow", batch_size=4096)
+
+
+def linear_probe_sql(sf_dir: str = _SF_ORACLE_DEFAULT) -> str:
+    w_micro = _probe_weights_from_duckdb(sf_dir)    # (d, C) int64
+    d, c = w_micro.shape
+    vals = ",".join(f"({cls},{dim + 1},{int(w_micro[dim, cls])})"
+                    for cls in range(c) for dim in range(d))
+    return f"""
+WITH w(cls, dim, wm) AS (VALUES {vals}),
+u AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_PROBE_MICRO}
+                    + 0.5) AS BIGINT) AS v
+  FROM embeddings),
+s AS (
+  SELECT u.vec_id, any_value(u.label) AS label, w.cls,
+         CAST(sum(u.v * w.wm) AS BIGINT) AS score
+  FROM u JOIN w ON w.dim = u.dim
+  GROUP BY u.vec_id, w.cls),
+r AS (
+  SELECT vec_id, label, cls, score,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, cls ASC) AS rnk
+  FROM s)
+SELECT vec_id, label, CAST(cls AS BIGINT) AS pred, score AS score_micro
+FROM r WHERE rnk = 1
+"""

@@ -1204,3 +1204,23 @@ def test_bq_rerank_metric_is_exact(ray_session):
     for r in got.itertuples():
         want = int(micro[pos[int(r.query_vec_id)]] @ micro[pos[int(r.vec_id)]])
         assert int(r.dot_micro2) == want
+
+
+def test_linear_probe_matches_oracle(ray_session, duck):
+    """Generated-oracle rows checked at THIS scale (their defaults
+    point at the driver's sf0.01): distributed Gram fold and the
+    inlined-weights prediction replay, both exact-integer."""
+    from searchengine_ray.pipelines import ann
+
+    got = _canon(_to_pandas(ann.linear_probe_gram(SF_DIR)))
+    want = _canon(duck.sql(ann.linear_probe_gram_sql(SF_DIR)).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    got = _canon(_to_pandas(ann.linear_probe(SF_DIR)))
+    want = _canon(duck.sql(ann.linear_probe_sql(SF_DIR)).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the probe should beat 10-class chance comfortably on the
+    # synthetic labels (measured ~0.40 at this scale)
+    df = _to_pandas(ann.linear_probe(SF_DIR))
+    acc = float((df["pred"] == df["label"]).mean())
+    assert acc > 0.3, acc
