@@ -2367,6 +2367,85 @@ FROM ranked WHERE rnk <= {K}
 """
 
 
+# ---- tf-idf cosine ranking (the reference's own model) ----
+
+def tfidf_cosine_topk(sf_dir: str):
+    """(query_id, rank, doc_id, score_bp) — classic tf-idf COSINE top-10
+    for DOC_QUERIES over the same index image that serves BM25: the
+    reference's OWN ranking model (``/root/reference/ranker.py:14-48``
+    scores ``dot(d, q) / (|d| * |q|)`` over the doc's tf-idf vector
+    restricted to the matched query terms, ``searcher.py:143-159``;
+    the north rule replaces it with BM25, and this row keeps the
+    original model available beside BM25/Dirichlet as Lucene keeps
+    ClassicSimilarity beside BM25Similarity). Per-doc-scalar
+    normalizations in the reference (``tf/max_tf`` doc-side,
+    ``qtf/max_qtf`` query-side) cancel inside the cosine, so the score
+    is ``sum(w*qtf) / (sqrt(sum(w^2)) * |q|)`` with
+    ``w = log10(N/df) * tf`` — two scatter-adds over matched postings,
+    the exact scale shape of ``bm25_topk``."""
+    from searchengine_ray.pipelines.query import search_queries
+
+    paths = ensure_doc_index(sf_dir)
+    res = search_queries(paths, DOC_QUERIES, k=K, config=doc_index_config(),
+                         method="cosine", concurrency=(1, 2)).to_pandas()
+    # the cosine method already returns basis-point-quantized scores
+    # (ranking must happen on the quantized value: proportional-tf docs
+    # are exact math ties whose raw floats differ only by association
+    # order — see _search_cosine)
+    res["score_bp"] = res["score"].to_numpy().astype(np.int64)
+    res["rank"] = res["rank"].astype(np.int64)
+    out = res[["query_id", "rank", "doc_id", "score_bp"]]
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def tfidf_cosine_sql() -> str:
+    analyzer = Analyzer(doc_index_config())
+    values = []
+    for qid, text in DOC_QUERIES:
+        for term, qtf in sorted(Counter(analyzer.terms(text)).items()):
+            values.append(f"({qid}, '{term}', {qtf})")
+    values_sql = ",\n        ".join(values)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks WHERE term <> '' GROUP BY doc_id, term),
+dl AS (SELECT doc_id FROM tf GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dl),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+queries(query_id, qterm, qtf) AS (VALUES
+        {values_sql}),
+matched AS (
+  SELECT q.query_id, q.qterm, q.qtf, df.df
+  FROM queries q JOIN df ON df.term = q.qterm),
+qnorm AS (SELECT query_id, sqrt(sum(CAST(qtf AS DOUBLE) * qtf)) AS qn
+          FROM matched GROUP BY query_id),
+scores AS (
+  SELECT m.query_id, tf.doc_id,
+         sum(log10(s.n / m.df) * tf.tf * m.qtf)
+         / (sqrt(sum(pow(log10(s.n / m.df) * tf.tf, 2))) * qn.qn) AS score
+  FROM matched m
+  JOIN tf ON tf.term = m.qterm
+  JOIN qnorm qn ON qn.query_id = m.query_id
+  CROSS JOIN stats s
+  GROUP BY m.query_id, tf.doc_id, qn.qn),
+-- rank on the basis-point-quantized score: proportional-tf docs are
+-- exact mathematical cosine ties whose raw floats differ only by
+-- summation order between engines (see _search_cosine)
+bp AS (SELECT query_id, doc_id,
+              CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_bp
+       FROM scores),
+ranked AS (
+  SELECT query_id, doc_id, score_bp,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_bp DESC, doc_id ASC) AS rnk
+  FROM bp)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, score_bp
+FROM ranked WHERE rnk <= {K}
+"""
+
+
 # ---- query-time synonym expansion ----
 
 # Synonym table — CONFIG, exactly as Lucene's SynonymGraphFilter reads

@@ -647,6 +647,8 @@ class IndexSearcher:
         self._impact_cache: dict[str, tuple] = {}
         self._pos_cache: dict[str, tuple] = {}
         self._dirichlet_cache: dict[str, tuple] = {}
+        self._cosine_cache: dict[str, tuple] = {}
+        self._sumsq_buf: np.ndarray | None = None
         # tombstones: tiny sorted id list read fresh per searcher (NOT
         # part of the plasma-shared image, so deletes take effect on
         # the next actor/searcher without re-sharing the index)
@@ -777,6 +779,8 @@ class IndexSearcher:
             return self._search_impact(qterms, k)
         if method == "dirichlet":
             return self._search_dirichlet(qterms, k)
+        if method == "cosine":
+            return self._search_cosine(qterms, k)
         return self._search_vectorized(qterms, k)
 
     def _decoded(self, term: str
@@ -1034,6 +1038,101 @@ class IndexSearcher:
                 else cand[self._alive[cand]])
         cand_scores = buf[live].copy()
         buf[cand] = 0.0
+        mark[cand] = 0
+        top = top_k_indices(cand_scores, self._dl_ids[live], k,
+                            tie=self._tie_at(live))
+        return [(int(self._dl_ids[live[i]]), float(cand_scores[i])) for i in top]
+
+    def _cosine_decoded(self, term: str
+                        ) -> tuple[np.ndarray, np.ndarray] | None:
+        """(positions, per-posting tf-idf weight ``log10(N/df) * tf``),
+        LRU-cached beside the BM25/Dirichlet caches — the doc-vector
+        component of the reference's OWN ranking model.
+
+        The reference scores cosine similarity between the query vector
+        and the doc's tf-idf vector RESTRICTED to the matched query
+        terms (``/root/reference/ranker.py:27``: ``relevant_docs[doc]``
+        holds only the matched-term components,
+        ``searcher.py:143-159``). Because the doc norm is taken over
+        that same sub-vector, every per-doc scalar cancels — the
+        reference's ``tf / max_freq_term`` normalization
+        (``indexer.py:107``) and the query's ``qtf / max_qtf``
+        (``searcher.py:161-175``) both divide out of
+        ``dot(d, q) / (|d| * |q|)``. What remains needs only matched
+        postings: no per-doc statistic beyond what one decode yields."""
+        got = self._cosine_cache.get(term)
+        if got is None:
+            h, df = self._term_info(term)
+            if df == 0:
+                return None
+            slices = self.postings_for(term)
+            if not slices:
+                return None
+            from searchengine_ray.codec import concat_blocks, decode_blocks
+
+            docs, tfs = decode_blocks(concat_blocks(slices))
+            pos = self._doc_pos(docs)
+            if self._df_override is not None:
+                df = self._df_override.get(term, df)
+            idf10 = np.log10(float(self.N) / float(df))
+            w = idf10 * tfs.astype(np.float64)
+            if len(self._dl_ids) < 2**31:
+                pos = pos.astype(np.int32)
+            if len(self._cosine_cache) >= self._decode_cache_cap:
+                self._cosine_cache.pop(next(iter(self._cosine_cache)))
+            got = (pos, w)
+            self._cosine_cache[term] = got
+        return got
+
+    def _search_cosine(self, qterms: list[tuple[str, int]], k: int
+                       ) -> list[tuple[int, float]]:
+        """Classic tf-idf cosine ranking — the reference's ranking model
+        (``/root/reference/ranker.py:14-48``), third relevance model
+        beside BM25 and LM Dirichlet over the same index image. Per
+        candidate doc: ``sum(w_t * qtf_t) / (sqrt(sum(w_t^2)) * |q|)``
+        with ``w_t = log10(N/df_t) * tf_td`` over matched terms only and
+        ``|q| = sqrt(sum qtf_t^2)`` over the df>0 query terms (the
+        reference's max-frequency normalizations cancel — see
+        ``_cosine_decoded``). Two scatter-add passes (dot and sum of
+        squares) reuse the shared score/mark buffers. Returned scores
+        are basis-point quantized (int-valued floats, 10000 = cos 1.0)
+        so the top-k cut is deterministic across replays."""
+        decoded = []
+        qnorm_sq = 0.0
+        for term, qtf in qterms:               # ascending term order: canonical
+            got = self._cosine_decoded(term)
+            if got is not None:
+                decoded.append((got[0], got[1], qtf))
+                qnorm_sq += float(qtf) * float(qtf)
+        if not decoded:
+            return []
+        qnorm = float(np.sqrt(qnorm_sq))
+        n = len(self._dl_ids)
+        buf = self._score_buf
+        if buf is None or len(buf) != n:
+            buf = self._score_buf = np.zeros(n, dtype=np.float64)
+            self._mark_buf = np.zeros(n, dtype=np.uint8)
+        ssq = self._sumsq_buf
+        if ssq is None or len(ssq) != n:
+            ssq = self._sumsq_buf = np.zeros(n, dtype=np.float64)
+        mark = self._mark_buf
+        for pos, w, qtf in decoded:
+            np.add.at(buf, pos, w if qtf == 1 else qtf * w)
+            np.add.at(ssq, pos, w * w)
+            mark[pos] = 1
+        cand = np.flatnonzero(mark)
+        live = (cand if self._alive is None
+                else cand[self._alive[cand]])
+        cand_scores = buf[live] / (np.sqrt(ssq[live]) * qnorm)
+        # Quantize to basis points BEFORE the top-k cut: cosine packs
+        # proportional-tf docs into exact mathematical ties (tf=(1,1)
+        # and (2,2) have the same angle) whose float realizations
+        # differ only by summation-association noise — ranking on raw
+        # floats would cut tie clusters nondeterministically vs any
+        # replay. Scores are in [0,1]; 1e-4 resolution is the signal.
+        cand_scores = np.floor(cand_scores * 10000.0 + 0.5)
+        buf[cand] = 0.0
+        ssq[cand] = 0.0
         mark[cand] = 0
         top = top_k_indices(cand_scores, self._dl_ids[live], k,
                             tie=self._tie_at(live))

@@ -66,7 +66,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "knn_graph", "lm_dirichlet_topk", "synonym_search",
                "ann_bq_topk", "search_snippets", "msm_search",
                "span_first_search", "federated_search",
-               "dedup_incremental", "minhash_incremental", "table_profile", "index_delete_dictionary"]
+               "dedup_incremental", "minhash_incremental", "table_profile",
+               "index_delete_dictionary", "tfidf_cosine_topk"]
 
 
 @pytest.fixture(scope="module")
@@ -1157,6 +1158,30 @@ def test_dirichlet_is_a_distinct_model_on_the_shared_index(ray_session):
     # not be silently delegating to the BM25 kernel
     merged = d.merge(b, on=["query_id", "rank"], suffixes=("_lm", "_bm"))
     assert (merged.score_bp_lm != merged.score_bp_bm).any()
+
+
+def test_cosine_is_the_reference_model_and_quantized(ray_session):
+    """tf-idf cosine (the reference's OWN ranker, ranker.py:14-48)
+    serves from the same index image as BM25: same k/query coverage,
+    but scores are basis-point cosines in [0, 10000] — bounded above
+    in a way BM25 scores never are — and a doc matching the whole
+    query with proportional tfs hits exactly 10000."""
+    from searchengine_ray.pipelines import docsearch
+
+    c = _to_pandas(docsearch.tfidf_cosine_topk(SF_DIR))
+    b = _to_pandas(docsearch.bm25_topk(SF_DIR))
+    assert set(c.query_id) == set(b.query_id)
+    assert c.groupby("query_id").size().equals(b.groupby("query_id").size())
+    assert c.score_bp.between(0, 10000).all()
+    # distinct model: rankings must not silently mirror BM25 everywhere
+    merged = c.merge(b, on=["query_id", "rank"], suffixes=("_cos", "_bm"))
+    assert (merged.doc_id_cos != merged.doc_id_bm).any()
+    # math-tie clusters (equal score_bp) are doc_id-ascending: the
+    # quantized ranking is deterministic, not float-noise-ordered
+    for _, g in c.groupby("query_id"):
+        g = g.sort_values("rank")
+        for _, tie in g.groupby("score_bp"):
+            assert list(tie.doc_id) == sorted(tie.doc_id)
 
 
 def test_synonym_noop_queries_equal_plain_bm25(ray_session):
