@@ -2446,6 +2446,226 @@ FROM ranked WHERE rnk <= {K}
 """
 
 
+# ---- BM25F: field-aware ranking over two field indexes ----
+
+# BM25F weights/normalization (Robertson, Zaragoza & Taylor, CIKM 2004
+# "Simple BM25 extension to multiple weighted fields"): per-field
+# length-normalized tf is WEIGHT-COMBINED BEFORE the k1 saturation —
+# what distinguishes BM25F from naively summing per-field BM25 scores.
+BM25F_W_TEXT = 1.0
+BM25F_W_SOURCE = 2.5       # short field boosted, like ES boosting "title"
+BM25F_B_TEXT = 0.75
+BM25F_B_SOURCE = 0.75
+BM25F_K1 = 1.2
+
+# mixes source-field tokens (src0..src19) with text-vocabulary terms:
+# field routing, pure-text, pure-source and absent-term cases
+BM25F_QUERIES: list[tuple[int, str]] = [
+    (1, "src3 hash join"),
+    (2, "src17 window agg"),
+    (3, "value row"),                 # text-only terms
+    (4, "src5 src9"),                 # source-only terms
+    (5, "data src0 table"),
+    (6, "zzznosuchterm src1"),
+    (7, "merge sort src12 part"),
+]
+
+
+def ensure_source_index(sf_dir: str) -> IndexPaths:
+    """Second field index: same doc_ids, content = the ``source``
+    column (one short token per doc — the 'title-ish' field)."""
+    ds = read(sf_dir, "documents", ["doc_id", "source"])
+
+    def remap(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "repo": batch.column("source"),
+            "path": pa.array([f"doc_{i}.txt" for i in ids.tolist()], pa.string()),
+            "commit": pa.array([""] * n, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "content": batch.column("source"),
+        })
+
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    root = f"/tmp/graft_src_index/{tag}"
+    return build_index(ds.map_batches(remap, batch_format="pyarrow"), root,
+                       doc_index_config(), id_column="doc_id", resume=True,
+                       source_tag=sf_dir + "#source")
+
+
+class _BM25FStage:
+    """Actor-pool stage scoring BM25F from TWO per-field indexes.
+
+    Per query term both fields' postings are decoded once (term-
+    partitioned indexes: one decode per field yields the complete
+    lists), idf comes from the UNION df (a term counts as 'in the
+    document' if it is in any field), and the per-field normalized tfs
+    ``tf_f / (1 - b_f + b_f * dl_f/avgdl_f)`` are weight-summed before
+    one shared k1 saturation. Scores are bp-quantized before the top-k
+    cut (same determinism argument as ``_search_cosine``)."""
+
+    def __init__(self, text_root: str, source_root: str,
+                 config: IndexConfig, k: int = K):
+        from searchengine_ray.pipelines.query import IndexSearcher
+
+        self.text = IndexSearcher(text_root, config)
+        self.src = IndexSearcher(source_root, config)
+        self.analyzer = Analyzer(config)
+        self.k = k
+
+    def _field_postings(self, searcher, term: str):
+        """(doc_ids, normalized tf) for one field, or None."""
+        slices = searcher.postings_for(term)
+        if not slices:
+            return None
+        from searchengine_ray.codec import concat_blocks, decode_blocks
+
+        docs, tfs = decode_blocks(concat_blocks(slices))
+        b = BM25F_B_TEXT if searcher is self.text else BM25F_B_SOURCE
+        dl = searcher.doc_lens(docs).astype(np.float64)
+        norm = 1.0 - b + b * dl / searcher.avgdl
+        return docs, tfs.astype(np.float64) / norm
+
+    def _score_query(self, text: str) -> list[tuple[int, float]]:
+        qt = Counter(self.analyzer.terms(text))
+        terms = []                     # ascending term order: canonical
+        for term in sorted(qt):
+            pt = self._field_postings(self.text, term)
+            ps = self._field_postings(self.src, term)
+            if pt is None and ps is None:
+                continue
+            docs_t = pt[0] if pt is not None else np.empty(0, np.int64)
+            docs_s = ps[0] if ps is not None else np.empty(0, np.int64)
+            union = np.union1d(docs_t, docs_s)
+            terms.append((term, qt[term], pt, ps, union))
+        if not terms:
+            return []
+        cand = np.union1d(
+            np.concatenate([u for *_, u in terms]), np.empty(0, np.int64))
+        N = float(self.text.N)
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for _term, qtf, pt, ps, union in terms:
+            tfn = np.zeros(len(cand), dtype=np.float64)
+            if pt is not None:
+                idx = np.searchsorted(cand, pt[0])
+                tfn[idx] += BM25F_W_TEXT * pt[1]
+            if ps is not None:
+                idx = np.searchsorted(cand, ps[0])
+                tfn[idx] += BM25F_W_SOURCE * ps[1]
+            df = float(len(union))
+            idf = np.log((N - df + 0.5) / (df + 0.5) + 1.0)
+            scores += qtf * idf * tfn * (BM25F_K1 + 1.0) / (BM25F_K1 + tfn)
+        bp = np.floor(scores * 10000.0 + 0.5)
+        order = np.lexsort((cand, -bp))[:self.k]
+        return [(int(cand[i]), float(bp[i])) for i in order]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, bps = [], [], [], []
+        for qid, text in zip(batch.column("query_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            for rank, (doc, bp) in enumerate(self._score_query(text), start=1):
+                qids.append(qid); ranks.append(rank)
+                docs.append(doc); bps.append(int(bp))
+        return pa.table({
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_bp": pa.array(bps, pa.int64()),
+        })
+
+
+def bm25f_topk(sf_dir: str):
+    """(query_id, rank, doc_id, score_bp) — BM25F top-10 for
+    BM25F_QUERIES over TWO per-field indexes (text + source), the
+    field-aware ranking class (Robertson et al. 2004; Lucene's
+    multi-field scoring): per-field length-normalized tfs are
+    weight-combined BEFORE saturation, idf uses the union df. The
+    reference is single-field (tweet text only) — this is the
+    capability a (repo, path, content) code corpus needs, where a path
+    hit should outweigh a body hit. Scale shape: each actor opens both
+    field indexes once; per term ONE decode per field (term-partitioned
+    indexes), everything vectorized over the candidate union."""
+    import ray.data
+
+    text_paths = ensure_doc_index(sf_dir)
+    src_paths = ensure_source_index(sf_dir)
+    queries = ray.data.from_items(
+        [{"query_id": int(q), "text": t} for q, t in BM25F_QUERIES])
+    res = queries.map_batches(
+        _BM25FStage, fn_constructor_args=(text_paths.root, src_paths.root,
+                                          doc_index_config(), K),
+        batch_format="pyarrow", concurrency=(1, 2), batch_size=64,
+    ).to_pandas()
+    res = res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(res, preserve_index=False)
+
+
+def bm25f_sql() -> str:
+    analyzer = Analyzer(doc_index_config())
+    values = []
+    for qid, text in BM25F_QUERIES:
+        for term, qtf in sorted(Counter(analyzer.terms(text)).items()):
+            values.append(f"({qid}, '{term}', {qtf})")
+    values_sql = ",\n        ".join(values)
+    k1 = BM25F_K1
+    return f"""
+WITH tokt AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(source), '[^a-z0-9_]+')) AS term
+  FROM documents),
+tft AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM tokt WHERE term <> '' GROUP BY doc_id, term),
+tfs AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term),
+dlt AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tft GROUP BY doc_id),
+dls AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tfs GROUP BY doc_id),
+statt AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 sum(dl) / count(*) AS avgdl FROM dlt),
+stats AS (SELECT sum(dl) / count(*) AS avgdl FROM dls),
+dfu AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
+          SELECT doc_id, term FROM tft
+          UNION SELECT doc_id, term FROM tfs) GROUP BY term),
+queries(query_id, qterm, qtf) AS (VALUES
+        {values_sql}),
+fields AS (
+  SELECT coalesce(t.term, s.term) AS term,
+         coalesce(t.doc_id, s.doc_id) AS doc_id,
+         coalesce({BM25F_W_TEXT} * t.tf
+                  / (1.0 - {BM25F_B_TEXT} + {BM25F_B_TEXT} * dlt.dl / st.avgdl), 0.0)
+         + coalesce({BM25F_W_SOURCE} * s.tf
+                  / (1.0 - {BM25F_B_SOURCE} + {BM25F_B_SOURCE} * dls.dl / ss.avgdl), 0.0)
+           AS tfn
+  FROM tft t
+  FULL JOIN tfs s ON s.term = t.term AND s.doc_id = t.doc_id
+  LEFT JOIN dlt ON dlt.doc_id = t.doc_id
+  LEFT JOIN dls ON dls.doc_id = s.doc_id
+  CROSS JOIN statt st CROSS JOIN stats ss),
+scores AS (
+  SELECT q.query_id, f.doc_id,
+         sum(q.qtf * ln((st.n - dfu.df + 0.5) / (dfu.df + 0.5) + 1.0)
+             * f.tfn * ({k1} + 1.0) / ({k1} + f.tfn)) AS score
+  FROM queries q
+  JOIN fields f ON f.term = q.qterm
+  JOIN dfu ON dfu.term = q.qterm
+  CROSS JOIN statt st
+  GROUP BY q.query_id, f.doc_id),
+bp AS (SELECT query_id, doc_id,
+              CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_bp
+       FROM scores),
+ranked AS (
+  SELECT query_id, doc_id, score_bp,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_bp DESC, doc_id ASC) AS rnk
+  FROM bp)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, score_bp
+FROM ranked WHERE rnk <= {K}
+"""
+
+
 # ---- query-time synonym expansion ----
 
 # Synonym table — CONFIG, exactly as Lucene's SynonymGraphFilter reads

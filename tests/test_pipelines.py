@@ -1184,6 +1184,27 @@ def test_cosine_is_the_reference_model_and_quantized(ray_session):
             assert list(tie.doc_id) == sorted(tie.doc_id)
 
 
+def test_bm25f_routes_fields_and_boosts_source(ray_session, duck):
+    """BM25F: a source-only query must return only docs of those
+    sources; an absent text term beside a source term degrades to the
+    source field alone — the union-df idf and field weighting route
+    queries across both per-field indexes."""
+    from searchengine_ray.pipelines import docsearch
+
+    out = _to_pandas(docsearch.bm25f_topk(SF_DIR))
+    src_of = dict(duck.sql(
+        "SELECT doc_id, source FROM documents").fetchall())
+    q4 = out[out.query_id == 4]
+    assert len(q4) == 10
+    assert set(src_of[d] for d in q4.doc_id) <= {"src5", "src9"}
+    q6 = out[out.query_id == 6]           # zzznosuchterm src1
+    assert len(q6) == 10
+    assert set(src_of[d] for d in q6.doc_id) == {"src1"}
+    # ranks contiguous from 1 per query
+    for _, g in out.groupby("query_id"):
+        assert list(g.sort_values("rank")["rank"]) == list(range(1, len(g) + 1))
+
+
 def test_synonym_noop_queries_equal_plain_bm25(ray_session):
     """Queries whose configured synonyms are absent from the vocabulary
     ("quick", "large") must rank IDENTICALLY to plain BM25 over the raw
