@@ -3115,6 +3115,125 @@ def federated_search_sql() -> str:
     return bm25_topk_sql()
 
 
+# ---- search_after: stateless deep paging over the federated path ----
+
+class _SearchAfterPartialStage:
+    """Scatter half of cursor paging (Elasticsearch ``search_after``):
+    each shard returns its top-k among hits strictly AFTER the
+    broadcast per-query cursor ``(score, doc_id)`` in (score desc,
+    doc_id asc) order. The shard searches ``k + K`` then filters — a
+    sound bound because at most K hits GLOBALLY sort before the
+    page-1 cursor, so no shard can hold more than K of them. This is
+    the point of search_after at scale: a shard never ships
+    ``offset + k`` hits to the gather the way offset paging must;
+    the cursor filter caps every shard's contribution at k."""
+
+    def __init__(self, shard_roots, config, stats_ref, cursors, k: int = K):
+        from searchengine_ray.pipelines.query import FederatedPartialStage
+
+        self._inner = FederatedPartialStage(shard_roots, config, stats_ref,
+                                            k=k + K)
+        self.cursors = dict(cursors)
+        self.k = int(k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs, scores = [], [], []
+        for qid, text, shard in zip(batch.column("query_id").to_pylist(),
+                                    batch.column("text").to_pylist(),
+                                    batch.column("shard").to_pylist()):
+            cur = self.cursors.get(int(qid))
+            if cur is None:            # page 1 was short: no page 2
+                continue
+            c_score, c_doc = cur
+            kept = 0
+            for doc, score in self._inner._shard(int(shard)).search(
+                    text, self.k + K):
+                # strictly after the cursor in (score desc, doc_id asc)
+                if score > c_score or (score == c_score and doc <= c_doc):
+                    continue
+                qids.append(qid); docs.append(doc); scores.append(score)
+                kept += 1
+                if kept >= self.k:
+                    break
+        return pa.table({"query_id": pa.array(qids, pa.int64()),
+                         "doc_id": pa.array(docs, pa.int64()),
+                         "score": pa.array(scores, pa.float64())})
+
+
+def search_after_federated(sf_dir: str, n_shards: int = FED_SHARDS):
+    """(query_id, rank, doc_id, score_bp) — PAGE TWO (ranks 11..20) of
+    DOC_QUERIES via cursor paging over the document-partitioned
+    federated index: page 1's last hit (score, doc_id) is the cursor;
+    shards score with global stats injected and keep only hits strictly
+    after the cursor; the gather merges k-row partials and renumbers
+    from 11. Hash-checked against ranks 11..20 of the monolithic BM25
+    SQL window — cursor paging over shards must equal deep paging over
+    one index. Queries with <=10 total hits produce no page 2 on
+    either side (the short-page degenerate case rides along)."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from searchengine_ray.pipelines.query import search_queries
+
+    shards = ensure_fed_shards(sf_dir, n_shards)
+    metas = [s.meta() for s in shards]
+    n_total = sum(int(m["N"]) for m in metas)
+    total_len = sum(int(m["total_len"]) for m in metas)
+    analyzer = Analyzer(doc_index_config())
+    qvocab = sorted({t for _qid, text in DOC_QUERIES
+                     for t in analyzer.terms(text)})
+    df_task = ray.remote(_fed_shard_df)
+    df_maps = ray.get([df_task.remote(s.dictionary, qvocab) for s in shards])
+    gdf: dict[str, int] = {}
+    for m in df_maps:
+        for t, d in m.items():
+            gdf[t] = gdf.get(t, 0) + d
+    stats = {"N": n_total, "avgdl": total_len / n_total if n_total else 1.0,
+             "df": gdf}
+    stats_ref = ray.put(stats)
+
+    # page-1 cursors: the k-th hit per query (federated scoring is
+    # score-identical to monolithic — the federated_search hash row —
+    # so the cheap single-index pass provides the exact cursor floats)
+    page1 = search_queries(ensure_doc_index(sf_dir), DOC_QUERIES, k=K,
+                           config=doc_index_config(),
+                           concurrency=(1, 2)).to_pandas()
+    cursors = {int(qid): (float(g.iloc[-1]["score"]), int(g.iloc[-1]["doc_id"]))
+               for qid, g in page1.groupby("query_id")
+               if len(g) == K}
+
+    scatter = ray.data.from_items(
+        [{"query_id": int(qid), "text": text, "shard": s}
+         for qid, text in DOC_QUERIES for s in range(n_shards)])
+    partials = scatter.map_batches(
+        _SearchAfterPartialStage,
+        fn_constructor_args=([s.root for s in shards], doc_index_config(),
+                             stats_ref, cursors, K),
+        batch_format="pyarrow", batch_size=8, concurrency=(1, 2))
+
+    def merge(df: "pd.DataFrame") -> pd.DataFrame:
+        df = df.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(K)
+        return pd.DataFrame({
+            "query_id": df["query_id"].to_numpy(np.int64),
+            "rank": np.arange(K + 1, K + len(df) + 1, dtype=np.int64),
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "score_bp": np.floor(df["score"].to_numpy() * 10000
+                                 + 0.5).astype(np.int64)})
+
+    out = partials.groupby("query_id").map_groups(
+        merge, batch_format="pandas").to_pandas()
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def search_after_sql() -> str:
+    base = bm25_topk_sql()
+    return base.replace(f"WHERE rnk <= {K}",
+                        f"WHERE rnk > {K} AND rnk <= {2 * K}")
+
+
 # ---- delete -> compact lifecycle, dictionary-verified ----
 
 DEL_MOD = 7            # tombstone every doc_id % 7 == 0

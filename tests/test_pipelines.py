@@ -1184,6 +1184,23 @@ def test_cosine_is_the_reference_model_and_quantized(ray_session):
             assert list(tie.doc_id) == sorted(tie.doc_id)
 
 
+def test_search_after_pages_are_disjoint_continuations(ray_session):
+    """Cursor paging over the federated shards: page 2 never repeats a
+    page-1 doc, ranks run 11..20, and every page-2 score is <= the
+    page-1 cursor score (the strict-after filter held per shard)."""
+    from searchengine_ray.pipelines import docsearch
+
+    p1 = _to_pandas(docsearch.bm25_topk(SF_DIR))
+    p2 = _to_pandas(docsearch.search_after_federated(SF_DIR))
+    assert set(p2.query_id) <= set(p1.query_id)
+    for qid, g2 in p2.groupby("query_id"):
+        g1 = p1[p1.query_id == qid]
+        assert len(g1) == 10          # a page 2 exists only after a full page 1
+        assert not (set(g2.doc_id) & set(g1.doc_id))
+        assert list(g2.sort_values("rank")["rank"]) == list(range(11, 11 + len(g2)))
+        assert g2.score_bp.max() <= g1.score_bp.min()
+
+
 def test_bm25f_routes_fields_and_boosts_source(ray_session, duck):
     """BM25F: a source-only query must return only docs of those
     sources; an absent text term beside a source term degrades to the
