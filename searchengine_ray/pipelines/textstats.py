@@ -5104,3 +5104,165 @@ r AS (SELECT *, row_number() OVER (ORDER BY count DESC, pair ASC) AS rnk
       FROM c)
 SELECT CAST(rnk AS BIGINT) AS rank, pair, count FROM r WHERE rnk <= {k}
 """
+
+
+# ---- significant terms: result-set analytics (ES significant_terms) ----
+
+SIGTERM_FILTERS: tuple[str, ...] = ("hash", "window", "dup")
+SIGTERM_TOPK = 15
+
+
+class _SigTermsPartial(_SimpleTokenStage):
+    """batch -> per-term partials: background df + per-filter foreground
+    df (distinct docs containing the term AMONG docs that contain the
+    filter term). One tokenize pass yields all columns; a sentinel
+    ``term=''`` row carries the batch's doc count (the tokenizer can
+    never emit the empty string, so the channel is collision-free)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = np.arange(len(texts), dtype=np.int64)
+        codes, docs, tfs, info = self.analyzer.tokenize_batch(texts, ids)
+        vocab = list(info["vocab"])
+        n_terms = len(vocab)
+        if n_terms == 0:
+            cols = {"term": pa.array([], pa.string()),
+                    "bg_p": pa.array([], pa.int64())}
+            for j in range(len(SIGTERM_FILTERS)):
+                cols[f"fg{j}_p"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        bg_p = np.bincount(codes, minlength=n_terms).astype(np.int64)
+        code_of = {t: i for i, t in enumerate(vocab)}
+        fg_cols = []
+        for f in SIGTERM_FILTERS:
+            fc = code_of.get(f)
+            member = np.zeros(len(texts), dtype=bool)
+            if fc is not None:
+                member[docs[codes == fc]] = True
+            sel = member[docs]
+            fg_cols.append(np.bincount(codes[sel], minlength=n_terms)
+                           .astype(np.int64))
+        # sentinel row: term='' carries #docs with >=1 token in batch
+        terms = vocab + [""]
+        bg = np.concatenate([bg_p, [np.unique(docs).size]])
+        cols = {"term": pa.array(terms, pa.string()), "bg_p": int64_col(bg)}
+        for j, fg in enumerate(fg_cols):
+            cols[f"fg{j}_p"] = int64_col(np.concatenate([fg, [0]]))
+        return pa.table(cols)
+
+
+def significant_terms(sf_dir: str):
+    """(filter_term, term, fg_n, bg_n, score_mp) — Elasticsearch-class
+    ``significant_terms`` result-set analytics: for each foreground
+    filter (docs containing the filter term) the top-15 terms by JLH
+    significance ``(fg% - bg%) * (fg% / bg%)`` against the whole-corpus
+    background (scores in millionths; negative/zero significance -> 0).
+
+    Scale shape: ONE tokenize pass emits per-batch exact partials
+    (term, bg_df, per-filter fg_df) — the term groupby only moves one
+    row per (term, batch); the global stats the scorer needs (corpus
+    doc count via the sentinel row, foreground sizes = the filter
+    terms' own bg rows) are a BOUNDED ``len(filters)+1``-row fetch
+    broadcast to a vectorized scoring stage; each scoring batch
+    locally prunes to its top-15 per filter before the final
+    len(filters)-group selection — vocabulary-scale rows never
+    concentrate in one task."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nf = len(SIGTERM_FILTERS)
+    partial = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _SigTermsPartial, batch_format="pyarrow", batch_size=512,
+        concurrency=(1, 4))
+    aggs = [Sum("bg_p", alias_name="bg_n")] + [
+        Sum(f"fg{j}_p", alias_name=f"fg{j}_n") for j in range(nf)]
+    summed = partial.groupby("term").aggregate(*aggs)
+
+    # bounded stats fetch: sentinel + one row per filter term
+    import pyarrow.compute as pc
+
+    keys = pa.array(("",) + SIGTERM_FILTERS, pa.string())
+
+    def pick_stats(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("term"), value_set=keys))
+
+    stat_rows = summed.map_batches(
+        pick_stats, batch_format="pyarrow").take_all()
+    by_term = {r["term"]: r for r in stat_rows}
+    n_docs = float(by_term[""]["bg_n"])
+    n_fg = [float(by_term[f]["bg_n"]) if f in by_term else 0.0
+            for f in SIGTERM_FILTERS]
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        df = df[df["term"] != ""]
+        outs = []
+        for j, f in enumerate(SIGTERM_FILTERS):
+            if n_fg[j] == 0:
+                continue
+            fgp = df[f"fg{j}_n"].to_numpy(np.float64) / n_fg[j]
+            bgp = df["bg_n"].to_numpy(np.float64) / n_docs
+            jlh = np.where(fgp > bgp, (fgp - bgp) * (fgp / bgp), 0.0)
+            mp = np.floor(jlh * 1000000.0 + 0.5).astype(np.int64)
+            part = pd.DataFrame({
+                "filter_term": f, "term": df["term"].to_numpy(),
+                "fg_n": df[f"fg{j}_n"].to_numpy(np.int64),
+                "bg_n": df["bg_n"].to_numpy(np.int64), "score_mp": mp})
+            part = part[part.fg_n > 0]
+            part = part.sort_values(
+                ["score_mp", "term"], ascending=[False, True]
+            ).head(SIGTERM_TOPK)          # local prune before the groupby
+            outs.append(part)
+        if outs:
+            cat = pd.concat(outs, ignore_index=True)
+        else:
+            cat = pd.DataFrame({"filter_term": [], "term": [], "fg_n": [],
+                                "bg_n": [], "score_mp": []})
+        return pa.table({
+            "filter_term": pa.array(cat["filter_term"], pa.string()),
+            "term": pa.array(cat["term"], pa.string()),
+            "fg_n": pa.array(cat["fg_n"].astype(np.int64), pa.int64()),
+            "bg_n": pa.array(cat["bg_n"].astype(np.int64), pa.int64()),
+            "score_mp": pa.array(cat["score_mp"].astype(np.int64), pa.int64())})
+
+    def top(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g.sort_values(["score_mp", "term"],
+                             ascending=[False, True]).head(SIGTERM_TOPK)
+
+    return summed.map_batches(score, batch_format="pyarrow") \
+                 .groupby("filter_term").map_groups(top, batch_format="pandas")
+
+
+def significant_terms_sql() -> str:
+    filt = ", ".join(f"('{f}')" for f in SIGTERM_FILTERS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term FROM toks WHERE term <> '' GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS bg_n FROM tf GROUP BY term),
+nstat AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+filters(fterm) AS (VALUES {filt}),
+fgdocs AS (SELECT f.fterm, t.doc_id FROM filters f JOIN tf t ON t.term = f.fterm),
+nfg AS (SELECT fterm, CAST(count(*) AS DOUBLE) AS n_fg FROM fgdocs GROUP BY fterm),
+fg AS (SELECT fd.fterm, t.term, CAST(count(*) AS BIGINT) AS fg_n
+       FROM fgdocs fd JOIN tf t ON t.doc_id = fd.doc_id
+       GROUP BY fd.fterm, t.term),
+scored AS (
+  SELECT fg.fterm AS filter_term, fg.term, fg.fg_n, df.bg_n,
+         CAST(floor(CASE WHEN fg.fg_n / nfg.n_fg > df.bg_n / s.n
+                         THEN (fg.fg_n / nfg.n_fg - df.bg_n / s.n)
+                              * ((fg.fg_n / nfg.n_fg) / (df.bg_n / s.n))
+                         ELSE 0.0 END * 1000000 + 0.5) AS BIGINT) AS score_mp
+  FROM fg JOIN df ON df.term = fg.term
+  JOIN nfg ON nfg.fterm = fg.fterm
+  CROSS JOIN nstat s),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY filter_term
+                               ORDER BY score_mp DESC, term ASC) AS rnk
+  FROM scored)
+SELECT filter_term, term, fg_n, bg_n, score_mp
+FROM ranked WHERE rnk <= {SIGTERM_TOPK}
+"""

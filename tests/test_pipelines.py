@@ -1184,6 +1184,24 @@ def test_cosine_is_the_reference_model_and_quantized(ray_session):
             assert list(tie.doc_id) == sorted(tie.doc_id)
 
 
+def test_significant_terms_surfaces_the_filter_itself(ray_session):
+    """JLH significance: the filter term is trivially its own most
+    significant term (fg% = 1), and a rare term's foreground ('dup',
+    df=25 of ~500) scores it far above corpus-wide stopword-like terms
+    whose fg% ~ bg%."""
+    from searchengine_ray.pipelines import textstats as ts
+
+    out = _to_pandas(ts.significant_terms(SF_DIR))
+    for f, g in out.groupby("filter_term"):
+        assert len(g) <= ts.SIGTERM_TOPK
+        best = g.sort_values(["score_mp", "term"],
+                             ascending=[False, True]).iloc[0]
+        assert best.term == f            # fg% == 1 maximizes JLH
+        assert best.fg_n == best.bg_n
+    assert set(out.filter_term) == set(ts.SIGTERM_FILTERS)
+    assert (out.score_mp >= 0).all()
+
+
 def test_search_after_pages_are_disjoint_continuations(ray_session):
     """Cursor paging over the federated shards: page 2 never repeats a
     page-1 doc, ranks run 11..20, and every page-2 score is <= the
