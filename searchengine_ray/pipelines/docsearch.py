@@ -2446,6 +2446,100 @@ FROM ranked WHERE rnk <= {K}
 """
 
 
+# ---- spell-corrected search (the reference's spellchecker path) ----
+
+# typos with a unique edit-distance-1 dictionary correction, a known
+# query (no-op), an uncorrectable term (dropped), and a merge case
+# where the corrected term collides with a term already in the query
+SPELL_QUERIES: list[tuple[int, str]] = [
+    (1, "hashh join"),        # insert:   hashh -> hash
+    (2, "windwo agg"),        # transpose: windwo -> window
+    (3, "valeu row"),         # transpose: valeu -> value
+    (4, "tabel"),             # transpose: tabel -> table
+    (5, "qzwxqz data"),       # no distance-1 candidate: term dropped
+    (6, "join table"),        # all known: spell path is a no-op
+    (7, "hash hashh"),        # correction merges into existing qtf
+]
+
+
+def spell_search(sf_dir: str):
+    """(query_id, rank, doc_id, score_bp) — BM25 top-10 with the
+    engine's spell-correction enabled: unknown query terms fall back to
+    their best Damerau-distance-1 dictionary match (max df, ties
+    lexicographic) — the reference's spellchecker integration
+    (``/root/reference/searcher.py:32,76-119``) as a query-parse step
+    inside the actor-pool executors. The oracle replays the CORRECTION
+    itself (DuckDB ``damerau_levenshtein`` over the dictionary), not
+    just the corrected search, so the candidate-choice policy is what
+    the hash verifies."""
+    from searchengine_ray.pipelines.query import search_queries
+
+    paths = ensure_doc_index(sf_dir)
+    res = search_queries(paths, SPELL_QUERIES, k=K, config=doc_index_config(),
+                         concurrency=(1, 2), spell_correct=True).to_pandas()
+    res["score_bp"] = np.floor(res["score"].to_numpy() * 10000 + 0.5).astype(np.int64)
+    res["rank"] = res["rank"].astype(np.int64)
+    out = res[["query_id", "rank", "doc_id", "score_bp"]]
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def spell_search_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    analyzer = Analyzer(doc_index_config())
+    values = []
+    for qid, text in SPELL_QUERIES:
+        for term, qtf in sorted(Counter(analyzer.terms(text)).items()):
+            values.append(f"({qid}, '{term}', {qtf})")
+    values_sql = ",\n        ".join(values)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks WHERE term <> '' GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+raw_queries(query_id, rterm, qtf) AS (VALUES
+        {values_sql}),
+-- the spell step: known terms stay; unknown terms take the best
+-- Damerau-distance-1 dictionary candidate (max df, ties lexicographic)
+-- or drop; corrections then MERGE with any existing identical term
+corrected AS (
+  SELECT rq.query_id,
+         CASE WHEN EXISTS (SELECT 1 FROM df WHERE df.term = rq.rterm)
+              THEN rq.rterm
+              ELSE (SELECT c.term FROM df c
+                    WHERE damerau_levenshtein(c.term, rq.rterm) <= 1
+                    ORDER BY c.df DESC, c.term ASC LIMIT 1)
+         END AS qterm,
+         rq.qtf
+  FROM raw_queries rq),
+queries AS (
+  SELECT query_id, qterm, CAST(sum(qtf) AS BIGINT) AS qtf
+  FROM corrected WHERE qterm IS NOT NULL GROUP BY query_id, qterm),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl))) AS score
+  FROM queries q
+  JOIN df ON df.term = q.qterm
+  JOIN tf ON tf.term = q.qterm
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scores)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_bp
+FROM ranked WHERE rnk <= {K}
+"""
+
+
 # ---- BM25F: field-aware ranking over two field indexes ----
 
 # BM25F weights/normalization (Robertson, Zaragoza & Taylor, CIKM 2004

@@ -1707,18 +1707,22 @@ class QueryExecutorStage:
     pickled index once per process, ``search_engine.py:62-71``)."""
 
     def __init__(self, index_root: str, config: IndexConfig | None = None,
-                 k: int = 10, method: str = "vectorized", data_ref=None):
+                 k: int = 10, method: str = "vectorized", data_ref=None,
+                 spell_correct: bool = False):
         self.searcher = IndexSearcher(index_root, config,
                                       data=_resolve_shared(data_ref))
         self.k = k
         self.method = method
+        self.spell_correct = bool(spell_correct)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []
         for qid, text in zip(batch.column("query_id").to_pylist(),
                              batch.column("text").to_pylist()):
             for rank, (doc, score) in enumerate(
-                    self.searcher.search(text, self.k, self.method), start=1):
+                    self.searcher.search(text, self.k, self.method,
+                                         spell_correct=self.spell_correct),
+                    start=1):
                 qids.append(qid); ranks.append(rank)
                 docs.append(doc); scores.append(score)
         return pa.table({"query_id": pa.array(qids, pa.int64()),
@@ -1994,7 +1998,8 @@ def proximity_queries(index_root: str | IndexPaths, queries, *,
 
 def search_queries(index_root: str | IndexPaths, queries, *, k: int = 10,
                    config: IndexConfig | None = None, method: str = "vectorized",
-                   concurrency: int | tuple = 4, share_index: bool = True):
+                   concurrency: int | tuple = 4, share_index: bool = True,
+                   spell_correct: bool = False):
     """Run a query set through the actor-pool executors.
 
     ``queries``: list[(query_id, text)] or a Dataset with (query_id, text).
@@ -2013,7 +2018,8 @@ def search_queries(index_root: str | IndexPaths, queries, *, k: int = 10,
         queries = ray.data.from_items(
             [{"query_id": int(q), "text": t} for q, t in queries])
     return queries.map_batches(
-        QueryExecutorStage, fn_constructor_args=(root, config, k, method, data_ref),
+        QueryExecutorStage,
+        fn_constructor_args=(root, config, k, method, data_ref, spell_correct),
         batch_format="pyarrow", batch_size=8, concurrency=concurrency)
 
 

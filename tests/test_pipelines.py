@@ -1184,6 +1184,31 @@ def test_cosine_is_the_reference_model_and_quantized(ray_session):
             assert list(tie.doc_id) == sorted(tie.doc_id)
 
 
+def test_spell_search_corrects_typos_and_noops_known_terms(ray_session):
+    """The actor-pool spell path: a typo query returns exactly the
+    corrected query's results ('windwo agg' == 'window agg'), a
+    known-terms query is untouched by the flag, an uncorrectable term
+    drops (query 5 behaves like 'data' alone), and a correction merges
+    multiplicity (query 7 'hash hashh' == 'hash hash')."""
+    from searchengine_ray.pipelines import docsearch
+    from searchengine_ray.pipelines.query import search_queries
+
+    paths = docsearch.ensure_doc_index(SF_DIR)
+    cfg = docsearch.doc_index_config()
+
+    def run(queries, spell):
+        df = search_queries(paths, queries, k=10, config=cfg,
+                            concurrency=(1, 2), spell_correct=spell
+                            ).to_pandas().sort_values(["query_id", "rank"])
+        return df[["query_id", "doc_id", "score"]].reset_index(drop=True)
+
+    got = run(SPELL := [(2, "windwo agg"), (5, "qzwxqz data"),
+                        (6, "join table"), (7, "hash hashh")], spell=True)
+    want = run([(2, "window agg"), (5, "data"),
+                (6, "join table"), (7, "hash hash")], spell=False)
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_significant_terms_surfaces_the_filter_itself(ray_session):
     """JLH significance: the filter term is trivially its own most
     significant term (fg% = 1), and a rare term's foreground ('dup',
