@@ -2493,3 +2493,200 @@ r AS (
 SELECT vec_id, label, CAST(cls AS BIGINT) AS pred, score AS score_micro
 FROM r WHERE rnk = 1
 """
+
+
+# ---- incremental IVF: add a vector batch without retraining ----
+
+IVF_INCR_MOD = 5          # incoming batch = vec_id % 5 == 0, base = the rest
+
+
+def _mod_filter(keep_incoming: bool):
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = (ids % IVF_INCR_MOD == 0) if keep_incoming \
+            else (ids % IVF_INCR_MOD != 0)
+        return batch.take(pa.array(np.flatnonzero(m)))
+    pick.__name__ = "pick_incoming" if keep_incoming else "pick_base"
+    return pick
+
+
+def _ivf_sample_base(sf_dir: str, sample_size: int = 4096) -> np.ndarray:
+    """Bounded deterministic training sample drawn from the BASE rows
+    only (vec_id % IVF_INCR_MOD != 0) — the quantizer must be trained
+    before the incoming batch exists. Same ``id % m == 0`` rule and
+    ordering as ``_ivf_sample``."""
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = ds.count()                                   # parquet metadata, no scan
+    m = max(1, n // sample_size)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = (ids % m == 0) & (ids % IVF_INCR_MOD != 0)
+        return batch.take(pa.array(np.flatnonzero(keep)))
+
+    rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    return np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+
+def _ivf_sample_base_local(sf_dir: str, sample_size: int = 4096) -> np.ndarray:
+    """No-Ray twin of ``_ivf_sample_base`` for oracle generation."""
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.sql(f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
+                ).fetchone()[0]
+    m = max(1, n // sample_size)
+    rows = con.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"WHERE vec_id % {m} = 0 AND vec_id % {IVF_INCR_MOD} != 0 "
+        f"ORDER BY vec_id").fetchall()
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+@_lru(maxsize=16)
+def _oracle_centroids_incr(sf_dir: str, n_centroids: int,
+                           seed: int) -> np.ndarray:
+    return _spherical_kmeans(_ivf_sample_base_local(sf_dir), n_centroids, seed)
+
+
+def ensure_ivf_incr_index(sf_dir: str, n_centroids: int = 16, seed: int = 42
+                          ) -> tuple[str, np.ndarray]:
+    """IVF index grown INCREMENTALLY: the quantizer is trained on the
+    base corpus only; the base build writes ``list=<c>/`` partitions;
+    the incoming batch (vec_id % IVF_INCR_MOD == 0) is then ADDED by
+    assigning against the FROZEN centroids and appending new parquet
+    files into the same list partitions — no retraining, no rewrite of
+    any base file (the Faiss ``add``-after-``train`` lifecycle; at
+    100 TB an ingest tick appends its own files per list and queries
+    see them on the next directory listing). Resumable via done-marker;
+    the add phase records the base file set so the test can prove
+    append-only growth."""
+    import hashlib
+    import json
+    from pathlib import Path
+
+    import ray
+
+    tag = hashlib.blake2b(f"{sf_dir}|ivfincr|{n_centroids}|{seed}".encode(),
+                          digest_size=6).hexdigest()
+    root = Path(f"/tmp/graft_ivf_incr_index/{tag}")
+    marker = root / "_DONE.json"
+    if marker.is_file():
+        return str(root), np.load(root / "centroids.npy")
+    if root.exists():
+        import shutil
+
+        shutil.rmtree(root)
+    centroids = _spherical_kmeans(_ivf_sample_base(sf_dir), n_centroids, seed)
+    cref = ray.put(centroids)
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    base = ds.map_batches(_mod_filter(False), batch_format="pyarrow") \
+             .map_batches(IvfAssignStage, fn_constructor_args=(cref,),
+                          batch_format="pyarrow", batch_size=1024,
+                          concurrency=(1, 2))
+    base.write_parquet(str(root), partition_cols=["list"])
+    base_files = sorted(str(f.relative_to(root))
+                        for f in root.rglob("*.parquet"))
+    # the incremental add: frozen quantizer, append-only
+    incoming = ds.map_batches(_mod_filter(True), batch_format="pyarrow") \
+                 .map_batches(IvfAssignStage, fn_constructor_args=(cref,),
+                              batch_format="pyarrow", batch_size=1024,
+                              concurrency=(1, 2))
+    incoming.write_parquet(str(root), partition_cols=["list"])
+    np.save(root / "centroids.npy", centroids)
+    marker.write_text(json.dumps({"sf_dir": sf_dir,
+                                  "n_centroids": n_centroids, "seed": seed,
+                                  "base_files": base_files}))
+    return str(root), centroids
+
+
+def ann_ivf_incr_topk(sf_dir: str, query_ids: list[int] | None = None,
+                      k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+                      seed: int = 42):
+    """(query_vec_id, rank, vec_id, cosine_bp) — IVF top-k over the
+    INCREMENTALLY grown index: results must include incoming vectors
+    exactly as if the whole corpus had been assigned in one pass under
+    the same frozen quantizer (which is what the SQL oracle computes).
+    Probing/scan shape identical to ``ann_ivf_topk``."""
+    from pathlib import Path
+
+    import ray
+
+    qids_list = query_ids or DEFAULT_QUERY_IDS
+    qids, qmat = _query_matrix(sf_dir, qids_list)
+    root, centroids = ensure_ivf_incr_index(sf_dir, n_centroids=n_centroids,
+                                            seed=seed)
+    sims = _normalize(qmat) @ centroids.T
+    nprobe = min(nprobe, sims.shape[1])
+    probe = set()
+    for qi in range(len(qids)):
+        for c in np.argsort(-sims[qi], kind="stable")[:nprobe]:
+            probe.add(int(c))
+    paths = [str(f) for c in sorted(probe)
+             for p in [Path(root) / f"list={c}"] if p.is_dir()
+             for f in sorted(p.glob("*.parquet"))]
+    if not paths:
+        return pa.table({"query_vec_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "cosine_bp": pa.array([], pa.int64())})
+    qids_ref, qmat_ref = ray.put(qids), ray.put(qmat)
+    import ray.data
+
+    pruned = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+    local = pruned.map_batches(BruteCosineTopK,
+                               fn_constructor_args=(qids_ref, qmat_ref, k),
+                               batch_format="pyarrow", batch_size=1024,
+                               concurrency=(1, 2))
+    return local.groupby("query_vec_id").map_groups(
+        _merge_topk_factory(k), batch_format="pandas")
+
+
+def ann_ivf_incr_topk_sql(sf_dir: str = _SF_ORACLE_DEFAULT,
+                          query_ids: list[int] | None = None, k: int = 10,
+                          n_centroids: int = 16, nprobe: int = 4,
+                          seed: int = 42) -> str:
+    """Replay: retrain the quantizer from the BASE-only sample
+    (bit-identical to the engine), then assign ALL vectors — base and
+    incoming alike — probe, and scan. A hash match proves the
+    append-only add is indistinguishable from a one-shot build under
+    the frozen quantizer."""
+    centroids = _oracle_centroids_incr(sf_dir, n_centroids, seed)
+    cent_rows = ",".join(f"({c},{_sql_vec(centroids[c])})"
+                         for c in range(len(centroids)))
+    ids = ",".join(map(str, query_ids or DEFAULT_QUERY_IDS))
+    nprobe = min(nprobe, len(centroids))
+    return f"""
+WITH cents(c, v) AS (VALUES {cent_rows}),
+asg AS (
+  SELECT e.vec_id, ct.c,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding, ct.v) DESC, ct.c ASC) AS rn
+  FROM embeddings e CROSS JOIN cents ct),
+vl AS (SELECT vec_id, c AS list FROM asg WHERE rn = 1),
+qp AS (
+  SELECT e.vec_id AS query_vec_id, ct.c,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding, ct.v) DESC, ct.c ASC) AS rn
+  FROM embeddings e CROSS JOIN cents ct WHERE e.vec_id IN ({ids})),
+probe AS (SELECT DISTINCT c FROM qp WHERE rn <= {nprobe}),
+cand AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e JOIN vl ON vl.vec_id = e.vec_id
+  WHERE vl.list IN (SELECT c FROM probe)),
+q AS (SELECT vec_id AS query_vec_id, embedding AS qe FROM embeddings
+      WHERE vec_id IN ({ids})),
+sims AS (
+  SELECT q.query_vec_id, c.vec_id,
+         CAST(floor(list_cosine_similarity(q.qe, c.embedding) * 10000 + 0.5)
+              AS BIGINT) AS cosine_bp
+  FROM q CROSS JOIN cand c),
+ranked AS (
+  SELECT query_vec_id, vec_id, cosine_bp,
+         row_number() OVER (PARTITION BY query_vec_id
+             ORDER BY cosine_bp DESC, vec_id ASC) AS rnk
+  FROM sims)
+SELECT query_vec_id, CAST(rnk AS BIGINT) AS rank, vec_id, cosine_bp
+FROM ranked WHERE rnk <= {k}
+"""

@@ -201,6 +201,32 @@ def _mean_recall(exact: pd.DataFrame, approx: pd.DataFrame) -> float:
     return sum(recalls) / len(recalls)
 
 
+def test_ann_ivf_incr_is_append_only_and_serves_incoming(ray_session, duck):
+    """Incremental IVF lifecycle: the add phase appends new parquet
+    files into the list partitions WITHOUT touching any base file (the
+    marker records the base file set), incoming vectors
+    (vec_id % IVF_INCR_MOD == 0) appear in results, and the whole index
+    hash-matches the frozen-quantizer one-shot oracle regenerated for
+    this sf_dir."""
+    import json
+    from pathlib import Path
+
+    from searchengine_ray.pipelines import ann
+
+    got = _to_pandas(ann.ann_ivf_incr_topk(SF_DIR))
+    want = _canon(duck.sql(ann.ann_ivf_incr_topk_sql(SF_DIR)).df())
+    pd.testing.assert_frame_equal(_canon(got), want, check_dtype=False)
+    # at least one incoming vector serves (queries include id%5==0 vecs)
+    assert (got.vec_id % ann.IVF_INCR_MOD == 0).any()
+    root, _ = ann.ensure_ivf_incr_index(SF_DIR)
+    meta = json.loads((Path(root) / "_DONE.json").read_text())
+    all_files = {str(f.relative_to(root))
+                 for f in Path(root).rglob("*.parquet")}
+    base = set(meta["base_files"])
+    assert base <= all_files            # every base file survived the add
+    assert all_files - base             # and the add created new files
+
+
 def test_ann_lsh_recall_vs_exact(ray_session):
     """LSH multiprobe should recover most of the exact top-10."""
     from searchengine_ray.pipelines.ann import ann_lsh_topk, ann_topk
