@@ -5266,3 +5266,282 @@ ranked AS (
 SELECT filter_term, term, fg_n, bg_n, score_mp
 FROM ranked WHERE rnk <= {SIGTERM_TOPK}
 """
+
+
+# ---- bigram LM doc log-probability (context-dependent perplexity) ----
+
+_DLS_TAGGED_SCHEMA = pa.schema([
+    ("k1", pa.int64()), ("src", pa.int64()), ("key", pa.string()),
+    ("doc_id", pa.int64()), ("n", pa.int64()), ("s_bp", pa.int64()),
+])
+
+
+class _DocBigramRows:
+    """batch -> pre-aggregated (doc_id, key='x y', n) rows: each doc's
+    adjacent-pair multiset, one row per distinct (doc, bigram)."""
+
+    def __init__(self, firsts_only: bool = False):
+        import re
+
+        self.tok = re.compile(r"[a-z0-9_]+")
+        self.firsts_only = firsts_only
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        out_d, out_k, out_n = [], [], []
+        for did, text in zip(ids.tolist(), batch.column("text").to_pylist()):
+            t = self.tok.findall(text.lower())
+            if len(t) < 2:
+                continue
+            if self.firsts_only:
+                keys = t[:-1]                       # bigram FIRST tokens
+            else:
+                keys = [f"{a} {b}" for a, b in zip(t[:-1], t[1:])]
+            uniq, counts = np.unique(np.asarray(keys, dtype=object),
+                                     return_counts=True)
+            out_d.append(np.full(len(uniq), did, np.int64))
+            out_k.append(uniq)
+            out_n.append(counts.astype(np.int64))
+        if not out_d:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "key": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"doc_id": int64_col(np.concatenate(out_d)),
+                         "key": pa.array(np.concatenate(out_k), pa.string()),
+                         "n": int64_col(np.concatenate(out_n))})
+
+
+class _LogSumScoreOrTag:
+    """(doc_id, key, n) rows -> tagged union rows for the head/cold
+    split (the unigram_logprob pattern generalized to any key->count
+    table): head keys (count >= head_cnt, broadcast) score inline with
+    ``s_bp = floor(n * ln(count) * 1e4 + 0.5)`` PRE-SUMMED per doc;
+    cold rows co-group with count entries under a bounded gkey."""
+
+    def __init__(self, head_ref, dparts: int, n_groups: int):
+        import math
+
+        import ray
+
+        head = ray.get(head_ref) if not isinstance(head_ref, dict) else head_ref
+        self.lp = {k: math.log(int(c)) for k, c in head.items()}
+        self.dparts = dparts
+        self.n_groups = n_groups
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from zlib import crc32
+
+        if batch.num_rows == 0:
+            return _DLS_TAGGED_SCHEMA.empty_table()
+        keys = np.asarray(batch.column("key").to_pylist(), dtype=object)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        lp = np.fromiter((self.lp.get(k, np.nan) for k in keys),
+                         np.float64, len(keys))
+        hot = ~np.isnan(lp)
+        out = {"k1": [], "src": [], "key": [], "doc_id": [], "n": [], "s_bp": []}
+        if hot.any():
+            hb = bp(n[hot].astype(np.float64) * lp[hot])
+            uniq, inv = np.unique(did[hot], return_inverse=True)
+            n_sum = np.bincount(inv, weights=n[hot]).astype(np.int64)
+            s_sum = np.bincount(inv, weights=hb).astype(np.int64)
+            out["k1"].append(self.n_groups + uniq % (8 * self.dparts))
+            out["src"].append(np.full(len(uniq), 2, np.int64))
+            out["key"].append(np.full(len(uniq), "", object))
+            out["doc_id"].append(uniq)
+            out["n"].append(n_sum)
+            out["s_bp"].append(s_sum)
+        cold = ~hot
+        if cold.any():
+            ck = keys[cold]
+            gk = np.fromiter((crc32(k.encode()) % self.n_groups for k in ck),
+                             np.int64, len(ck))
+            z = np.zeros(cold.sum(), np.int64)
+            out["k1"].append(gk)
+            out["src"].append(z)
+            out["key"].append(ck)
+            out["doc_id"].append(did[cold])
+            out["n"].append(n[cold])
+            out["s_bp"].append(z)
+        return pa.table(
+            {"k1": int64_col(np.concatenate(out["k1"])),
+             "src": int64_col(np.concatenate(out["src"])),
+             "key": pa.array(np.concatenate(out["key"]), pa.string()),
+             "doc_id": int64_col(np.concatenate(out["doc_id"])),
+             "n": int64_col(np.concatenate(out["n"])),
+             "s_bp": int64_col(np.concatenate(out["s_bp"]))},
+            schema=_DLS_TAGGED_SCHEMA)
+
+
+def _logsum_score_cold(df: pd.DataFrame) -> pa.Table:
+    """k1 co-group body: cold rows join count entries of the same gkey
+    (max group bounded — every cold key has count < head_cnt), score,
+    pre-sum per doc; hot groups (src=2) pass through summed."""
+    import math
+
+    rows = df[df["src"] == 0]
+    if len(rows):
+        ent = df[df["src"] == 1]
+        lp_map = {k: math.log(int(c)) for k, c in zip(ent["key"], ent["n"])}
+        lp = rows["key"].map(lp_map).to_numpy(np.float64)
+        lb = bp(rows["n"].to_numpy(np.float64) * lp)
+        g = pd.DataFrame({"doc_id": rows["doc_id"].to_numpy(np.int64),
+                          "n": rows["n"].to_numpy(np.int64),
+                          "s_bp": lb}).groupby("doc_id", as_index=False).sum()
+        return pa.table({"doc_id": int64_col(g["doc_id"].to_numpy()),
+                         "n": int64_col(g["n"].to_numpy()),
+                         "s_bp": int64_col(g["s_bp"].to_numpy())})
+    hot = df[df["src"] == 2]
+    return pa.table({"doc_id": int64_col(hot["doc_id"].to_numpy(np.int64)),
+                     "n": int64_col(hot["n"].to_numpy(np.int64)),
+                     "s_bp": int64_col(hot["s_bp"].to_numpy(np.int64))})
+
+
+def _doc_log_sum(sf_dir: str, counts_ds, firsts_only: bool, head_cnt: int,
+                 n_groups: int, dparts: int):
+    """Dataset (doc_id, n, s_bp) with s_bp = Σ_rows floor(n·ln(count)·1e4
+    + 0.5) over a doc's bigram (or bigram-first-token) rows."""
+    import ray
+    from zlib import crc32
+
+    head: dict[str, int] = {}
+    for b in counts_ds.iter_batches(batch_format="pandas"):
+        hb = b[b["cnt"] >= head_cnt]
+        head.update(zip(hb["key"], hb["cnt"].astype(int)))
+    head_ref = ray.put(head)
+
+    def to_entry(b: pa.Table) -> pa.Table:
+        ks = np.asarray(b.column("key").to_pylist(), dtype=object)
+        c = b.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        coldm = c < head_cnt
+        ks = ks[coldm]
+        gk = np.fromiter((crc32(k.encode()) % n_groups for k in ks),
+                         np.int64, len(ks))
+        z = np.zeros(len(ks), np.int64)
+        return pa.table({"k1": int64_col(gk), "src": int64_col(z + 1),
+                         "key": pa.array(ks, pa.string()),
+                         "doc_id": int64_col(z), "n": int64_col(c[coldm]),
+                         "s_bp": int64_col(z)}, schema=_DLS_TAGGED_SCHEMA)
+
+    entries = counts_ds.map_batches(to_entry, batch_format="pyarrow")
+    rows = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _DocBigramRows, fn_constructor_args=(firsts_only,),
+        batch_format="pyarrow", batch_size=512, concurrency=(1, 4))
+    tagged = rows.map_batches(
+        _LogSumScoreOrTag, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 4),
+        fn_constructor_args=(head_ref, dparts, n_groups))
+    return entries.union(tagged).groupby("k1").map_groups(
+        _logsum_score_cold, batch_format="pandas")
+
+
+def bigram_logprob(sf_dir: str, head_cnt: int = 4096, n_groups: int = 256,
+                   dparts: int = 64):
+    """(doc_id, n_bigrams, logprob_bp, avg_logprob_bp) — each document
+    scored by its log-probability under the corpus BIGRAM MLE language
+    model: Σ ln P(w_i | w_{i-1}) with P(b|a) = c(ab)/c(a·) — the
+    context-dependent upgrade of ``unigram_logprob`` (CCNet/Wenzek 2020
+    filter documents by LM perplexity; a bigram model penalizes
+    improbable TRANSITIONS, not just rare words). Scoring the training
+    corpus under its own counts means no unseen event, so no smoothing
+    term muddies the SQL replay.
+
+    Exact-integer contract: the score decomposes as
+    Σ floor(n·ln c(ab)·1e4 + .5) − Σ floor(n·ln c(a·)·1e4 + .5), each
+    sum bp'd per (doc, key) row BEFORE summing — order-independent on
+    any cluster shape, and each sum joins docs to ONE count table so
+    the skew-safe head/cold split applies unchanged: head keys (the
+    Zipf mass) broadcast and pre-sum per doc inside the map stage; cold
+    keys co-group under a bounded gkey (max group < head_cnt rows per
+    key). c(a·) derives from the bigram count table (Σ_b c(ab)), a
+    vocabulary-scale fold — the corpus is scanned 3×: counts, bigram
+    rows, first-token rows; nothing corpus-scale ever materializes."""
+    from ray.data.aggregate import Sum
+
+    cb = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _BigramPartial, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, 4)) \
+        .groupby("bigram").aggregate(Sum("c_p", alias_name="cnt")) \
+        .map_batches(lambda b: pa.table(
+            {"key": b.column("bigram"), "cnt": b.column("cnt")}),
+            batch_format="pyarrow") \
+        .materialize()                       # bigram-vocabulary scale
+
+    def first_partial(b: pa.Table) -> pa.Table:
+        ks = b.column("key").to_pylist()
+        firsts = [k.split(" ", 1)[0] for k in ks]
+        return pa.table({"key": pa.array(firsts, pa.string()),
+                         "cnt": b.column("cnt")})
+
+    ca = cb.map_batches(first_partial, batch_format="pyarrow") \
+           .groupby("key").aggregate(Sum("cnt", alias_name="cnt2")) \
+           .map_batches(lambda b: pa.table(
+               {"key": b.column("key"), "cnt": b.column("cnt2")}),
+               batch_format="pyarrow") \
+           .materialize()                    # unigram-vocabulary scale
+
+    # Materialize each branch's per-(doc, gkey) partial sums BEFORE the
+    # union: each branch holds two actor pools (min 1 actor each), so a
+    # lazy union would run all four concurrently and on a small worker
+    # (e.g. the 4-cpu test session) the pinned pool actors starve the
+    # shuffle tasks — a scheduling deadlock. The materialized state is
+    # doc-metadata scale (<= docs x n_groups int rows, no text).
+    sa = _doc_log_sum(sf_dir, cb, False, head_cnt, n_groups, dparts) \
+        .materialize()
+    sb = _doc_log_sum(sf_dir, ca, True, head_cnt, n_groups, dparts) \
+        .materialize()
+
+    def neg(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+            "s_bp": pa.array(-b.column("s_bp").to_numpy(zero_copy_only=False),
+                             pa.int64())})
+
+    combined = sa.union(sb.map_batches(neg, batch_format="pyarrow")) \
+                 .groupby("doc_id").aggregate(
+                     Sum("n", alias_name="n_bigrams"),
+                     Sum("s_bp", alias_name="logprob_bp"))
+
+    def add_avg(b: pa.Table) -> pa.Table:
+        lp = b.column("logprob_bp").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = b.column("n_bigrams").to_numpy(zero_copy_only=False).astype(np.float64)
+        avg = np.floor(lp / n + 0.5).astype(np.int64)
+        return b.append_column("avg_logprob_bp", int64_col(avg))
+
+    return combined.map_batches(add_avg, batch_format="pyarrow")
+
+
+def bigram_logprob_sql() -> str:
+    return """
+WITH raw AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term,
+         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), 1)
+           AS raw_pos
+  FROM documents),
+toks AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY raw_pos) AS pos
+  FROM raw WHERE term <> ''),
+big AS (
+  SELECT a.doc_id, a.term AS x, b.term AS y
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+cb AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cnt FROM big GROUP BY x, y),
+ca AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM big GROUP BY x),
+docb AS (SELECT doc_id, x, y, CAST(count(*) AS BIGINT) AS n
+         FROM big GROUP BY doc_id, x, y),
+doca AS (SELECT doc_id, x, CAST(count(*) AS BIGINT) AS n
+         FROM big GROUP BY doc_id, x),
+sa AS (SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS n_bigrams,
+              sum(CAST(floor(d.n * ln(cb.cnt) * 10000 + 0.5) AS BIGINT)) AS s
+       FROM docb d JOIN cb ON cb.x = d.x AND cb.y = d.y GROUP BY d.doc_id),
+sb AS (SELECT d.doc_id,
+              sum(CAST(floor(d.n * ln(ca.cnt) * 10000 + 0.5) AS BIGINT)) AS s
+       FROM doca d JOIN ca ON ca.x = d.x GROUP BY d.doc_id)
+SELECT sa.doc_id, sa.n_bigrams,
+       CAST(sa.s - sb.s AS BIGINT) AS logprob_bp,
+       CAST(floor(CAST(sa.s - sb.s AS DOUBLE) / sa.n_bigrams + 0.5) AS BIGINT)
+         AS avg_logprob_bp
+FROM sa JOIN sb ON sb.doc_id = sa.doc_id
+"""

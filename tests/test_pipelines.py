@@ -1210,6 +1210,25 @@ def test_cosine_is_the_reference_model_and_quantized(ray_session):
             assert list(tie.doc_id) == sorted(tie.doc_id)
 
 
+def test_bigram_logprob_matches_sql_and_is_a_transition_model(ray_session, duck):
+    """Bigram LM doc scores replay exactly in SQL at this sf too; the
+    score is (up to per-row half-bp rounding) nonpositive — ln c(ab)
+    <= ln c(a.) per transition — and docs exist where the bigram and
+    unigram models disagree on relative quality (context matters)."""
+    from searchengine_ray.pipelines import textstats as ts
+
+    got = _canon(_to_pandas(ts.bigram_logprob(SF_DIR)))
+    want = _canon(duck.sql(ts.bigram_logprob_sql()).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    out = _to_pandas(ts.bigram_logprob(SF_DIR))
+    assert (out.logprob_bp <= out.n_bigrams).all()   # rounding slack only
+    uni = _to_pandas(ts.unigram_logprob(SF_DIR)).set_index("doc_id")
+    merged = out.set_index("doc_id").join(uni, rsuffix="_u")
+    ranks_b = merged.avg_logprob_bp.rank()
+    ranks_u = merged.avg_logprob_bp_u.rank()
+    assert (ranks_b != ranks_u).any()                # not the same ordering
+
+
 def test_spell_search_corrects_typos_and_noops_known_terms(ray_session):
     """The actor-pool spell path: a typo query returns exactly the
     corrected query's results ('windwo agg' == 'window agg'), a
