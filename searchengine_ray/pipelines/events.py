@@ -1407,3 +1407,267 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
 FROM g
 WHERE gap IS NULL OR gap > {window_us}
 """
+
+
+# ---- dyadic Count-Min quantile sketch (mergeable rank queries) ------
+#
+# Fourth member of the mergeable-sketch family (HLL registers / the
+# Misra-Gries summary / the point-query CMS in textstats.py): QUANTILE
+# queries from a fixed-size sketch. Construction is the classic dyadic
+# decomposition over a Count-Min sketch (Cormode & Muthukrishnan 2005,
+# "An improved data stream summary: the count-min sketch and its
+# applications", section on range queries / quantiles): the cents
+# universe [0, 2^L) is covered by L levels of dyadic buckets
+# (bucket = cents >> level); each level keeps its own d x w CMS whose
+# cells are exact int64 SUMS — so the merged sketch is bit-identical
+# on any partitioning / cluster shape, and every face below is
+# SQL-hash-verified. A quantile is answered by a deterministic
+# root-to-leaf walk: at each level, estimate the left child's count
+# (min over the d salted-md5 cells, each an exact sum and therefore a
+# one-sided OVERestimate) and descend left iff the accumulated
+# below-count reaches the target rank k. One-sided guarantee, held
+# deterministically for any input: the returned cent v-hat satisfies
+# true_count(< v-hat) <= acc <= k-1, i.e. v-hat <= the exact k-th
+# smallest cent — driver-verified in the oracled-empty
+# ``value_quantiles_sketch_violations`` row.
+
+_DQS_L = 20                       # levels: cents universe [0, 2^20)
+_DQS_D = 3                        # CMS depth per level
+_DQS_W = 1024                     # CMS width per level
+_DQS_QS_BP = (5000, 9000, 9900)   # p50 / p90 / p99 as basis points
+
+
+def _dqs_col(level: int, j: int, bucket: int) -> int:
+    """Cell column of ``bucket`` in row ``j`` of level ``level``'s CMS:
+    md5 low-64 of 'level:j:bucket' (== DuckDB
+    ``md5_number_lower(level || ':' || j || ':' || bucket)``) mod w."""
+    import hashlib
+
+    h = hashlib.md5(f"{level}:{j}:{bucket}".encode("utf-8")).digest()
+    return int.from_bytes(h[8:16], "little") % _DQS_W
+
+
+def _dqs_clamp(v: np.ndarray) -> np.ndarray:
+    c = cents(v)
+    return np.clip(c, 0, (1 << _DQS_L) - 1)
+
+
+class _DyadicQuantilePartial:
+    """batch -> ONE row holding the L x d x w dyadic sketch of the
+    batch's clamped cents. Per-level placement hashes are computed per
+    DISTINCT bucket (distinct count halves per level), memoized across
+    batches in a per-actor cache — setup state lives in the actor, the
+    shuffle carries one fixed ~480 KiB row per 64 Ki-event batch."""
+
+    def __init__(self):
+        self._colcache: dict[tuple[int, int], np.ndarray] = {}
+
+    def _cols(self, level: int, buckets: np.ndarray) -> np.ndarray:
+        out = np.empty((_DQS_D, len(buckets)), dtype=np.int64)
+        for i, b in enumerate(buckets.tolist()):
+            key = (level, b)
+            got = self._colcache.get(key)
+            if got is None:
+                got = np.array([_dqs_col(level, j, b)
+                                for j in range(_DQS_D)], dtype=np.int64)
+                if len(self._colcache) < (1 << 18):
+                    self._colcache[key] = got
+            out[:, i] = got
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        c = _dqs_clamp(v)
+        cells = np.zeros((_DQS_L, _DQS_D, _DQS_W), dtype=np.int64)
+        for level in range(_DQS_L):
+            uniq, cnt = np.unique(c >> level, return_counts=True)
+            cols = self._cols(level, uniq)
+            for j in range(_DQS_D):
+                np.add.at(cells[level, j], cols[j], cnt)
+        return pa.table({
+            "cells": pa.array([cells.tobytes()], pa.binary()),
+            "n_p": pa.array([len(v)], pa.int64())})
+
+
+def _merged_dqs(sf_dir: str) -> tuple[np.ndarray, int]:
+    """(summed L x d x w sketch, total event count) — the driver folds
+    one bounded row per batch, exactly the HLL/CMS merge shape."""
+    partial = read(sf_dir, "events", ["value"]).map_batches(
+        _DyadicQuantilePartial, batch_format="pyarrow", batch_size=65536,
+        concurrency=(1, 4))
+    cells = np.zeros((_DQS_L, _DQS_D, _DQS_W), dtype=np.int64)
+    n = 0
+    for b in partial.iter_batches(batch_format="pyarrow"):
+        for buf in b.column("cells").to_pylist():
+            cells += np.frombuffer(buf, dtype=np.int64).reshape(
+                _DQS_L, _DQS_D, _DQS_W)
+        n += int(b.column("n_p").to_numpy(zero_copy_only=False).sum())
+    return cells, n
+
+
+def value_quantiles_sketch_cells(sf_dir: str):
+    """(level, row, col, count) for every nonzero cell of the merged
+    dyadic sketch — the integer-exact face, hash-verified cell for
+    cell against the SQL replay of the salted-md5 placement."""
+    cells, _ = _merged_dqs(sf_dir)
+    lv, rows, cols = np.nonzero(cells)
+    return pa.table({"level": int64_col(lv.astype(np.int64)),
+                     "row": int64_col(rows.astype(np.int64)),
+                     "col": int64_col(cols.astype(np.int64)),
+                     "count": int64_col(cells[lv, rows, cols])})
+
+
+def _dqs_cells_cte() -> str:
+    """Shared SQL prefix computing the sketch cells from ``events``."""
+    return f"""
+b AS (
+  SELECT LEAST(GREATEST(CAST(floor(value * 100 + 0.5) AS BIGINT), 0),
+               {(1 << _DQS_L) - 1}) AS cents
+  FROM events),
+lv AS (
+  SELECT l.l AS level, b.cents >> l.l AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM b CROSS JOIN range(0, {_DQS_L}) l(l)
+  GROUP BY l.l, b.cents >> l.l),
+cells AS MATERIALIZED (
+  SELECT level, j.j AS row,
+         CAST(CAST(md5_number_lower(CAST(level AS VARCHAR) || ':' ||
+                                    CAST(j.j AS VARCHAR) || ':' ||
+                                    CAST(bucket AS VARCHAR))
+                   AS UHUGEINT) % {_DQS_W} AS BIGINT) AS col,
+         CAST(sum(n) AS BIGINT) AS count
+  FROM lv CROSS JOIN range(0, {_DQS_D}) j(j)
+  GROUP BY level, j.j, col)"""
+
+
+def value_quantiles_sketch_cells_sql() -> str:
+    return f"""
+WITH {_dqs_cells_cte()}
+SELECT level, row, col, count FROM cells
+"""
+
+
+def _dqs_walk(cells: np.ndarray, k: int) -> int:
+    """Deterministic root-to-leaf descent for target rank ``k`` (1-based)
+    over the merged sketch; returns the answer cent."""
+    b = 0          # current bucket at level (l+1); root = bucket 0
+    acc = 0        # estimated count strictly below current interval
+    for level in range(_DQS_L - 1, -1, -1):
+        left = 2 * b
+        est = min(int(cells[level, j, _dqs_col(level, j, left)])
+                  for j in range(_DQS_D))
+        if acc + est >= k:
+            b = left
+        else:
+            acc += est
+            b = left + 1
+    return b
+
+
+def value_quantiles_sketch(sf_dir: str):
+    """(q_bp, k, est_cents) — p50/p90/p99 of ``value`` estimated purely
+    from the merged dyadic sketch. Because the cells are exact integer
+    sums and the walk is deterministic, the estimate itself is
+    partitioning-independent and hash-verified against a generated SQL
+    replay that unrolls the same L-level walk as chained CTEs. The
+    target rank is the pure-integer ``k = (q_bp*n + 9999) // 10000``
+    (ceil of q*n with no float q to diverge over)."""
+    cells, n = _merged_dqs(sf_dir)
+    qs, ks, est = [], [], []
+    for q_bp in _DQS_QS_BP:
+        k = (q_bp * n + 9999) // 10000
+        qs.append(q_bp)
+        ks.append(k)
+        est.append(_dqs_walk(cells, k))
+    return pa.table({"q_bp": int64_col(np.array(qs, np.int64)),
+                     "k": int64_col(np.array(ks, np.int64)),
+                     "est_cents": int64_col(np.array(est, np.int64))})
+
+
+def value_quantiles_sketch_sql() -> str:
+    """Generated replay of the root-to-leaf walk: one CTE per level,
+    each carrying (bucket, acc) per target rank, reading the left
+    child's d cells via correlated salted-md5 lookups."""
+    def child_est(level: int, var: str) -> str:
+        lookups = []
+        for j in range(_DQS_D):
+            lookups.append(
+                f"COALESCE((SELECT count FROM cells c WHERE c.level = {level}"
+                f" AND c.row = {j} AND c.col = CAST("
+                f"CAST(md5_number_lower('{level}:{j}:' ||"
+                f" CAST(2 * p.{var} AS VARCHAR)) AS UHUGEINT)"
+                f" % {_DQS_W} AS BIGINT)), 0)")
+        return "LEAST(" + ", ".join(lookups) + ")"
+
+    qcols = [f"q{q_bp}" for q_bp in _DQS_QS_BP]
+    top = ", ".join(
+        f"0 AS b_{c}, CAST(0 AS BIGINT) AS acc_{c}, "
+        f"CAST(({q_bp} * (SELECT n FROM tot) + 9999) // 10000 AS BIGINT)"
+        f" AS k_{c}"
+        for c, q_bp in zip(qcols, _DQS_QS_BP))
+    ctes = [f"lvl{_DQS_L} AS (SELECT {top})"]
+    for level in range(_DQS_L - 1, -1, -1):
+        parts = []
+        for c in qcols:
+            e = child_est(level, f"b_{c}")
+            parts.append(
+                f"CASE WHEN p.acc_{c} + {e} >= p.k_{c}"
+                f" THEN 2 * p.b_{c} ELSE 2 * p.b_{c} + 1 END AS b_{c}, "
+                f"CASE WHEN p.acc_{c} + {e} >= p.k_{c}"
+                f" THEN p.acc_{c} ELSE p.acc_{c} + {e} END AS acc_{c}, "
+                f"p.k_{c} AS k_{c}")
+        ctes.append(f"lvl{level} AS (SELECT " + ", ".join(parts)
+                    + f" FROM lvl{level + 1} p)")
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({q_bp} AS BIGINT) AS q_bp, k_{c} AS k,"
+        f" CAST(b_{c} AS BIGINT) AS est_cents FROM lvl0"
+        for c, q_bp in zip(qcols, _DQS_QS_BP))
+    return (f"WITH {_dqs_cells_cte()},\n"
+            f"tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),\n"
+            + ",\n".join(ctes) + "\n" + unions)
+
+
+def value_quantiles_sketch_violations(sf_dir: str):
+    """(q_bp, est_cents, exact_cents) rows where the one-sided walk
+    guarantee ``est_cents <= exact k-th smallest cent`` is VIOLATED —
+    expected (and oracled) EMPTY for any input and any partitioning.
+    The exact side reuses the mergeable cent-histogram shape (bounded
+    bin rows, never the raw values) rather than sorting events."""
+    from ray.data.aggregate import Sum
+
+    est_tbl = value_quantiles_sketch(sf_dir)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        c = _dqs_clamp(batch.column("value").to_numpy(zero_copy_only=False))
+        uniq, cnt = np.unique(c, return_counts=True)
+        return pa.table({"cents": int64_col(uniq),
+                         "n_p": int64_col(cnt.astype(np.int64))})
+
+    hist = read(sf_dir, "events", ["value"]).map_batches(
+        hist_partial, batch_format="pyarrow", batch_size=65536) \
+        .groupby("cents").aggregate(Sum("n_p", alias_name="n")) \
+        .sort("cents").to_pandas()
+    cum = hist["n"].to_numpy(np.int64).cumsum()
+    bins = hist["cents"].to_numpy(np.int64)
+    out_q, out_e, out_x = [], [], []
+    for q_bp, k, est in zip(est_tbl.column("q_bp").to_pylist(),
+                            est_tbl.column("k").to_pylist(),
+                            est_tbl.column("est_cents").to_pylist()):
+        exact = int(bins[int(np.searchsorted(cum, k))])
+        if est > exact:
+            out_q.append(q_bp)
+            out_e.append(est)
+            out_x.append(exact)
+    return pa.table({"q_bp": int64_col(np.array(out_q, np.int64)),
+                     "est_cents": int64_col(np.array(out_e, np.int64)),
+                     "exact_cents": int64_col(np.array(out_x, np.int64))})
+
+
+def value_quantiles_sketch_violations_sql() -> str:
+    """The one-sided bound is deterministic, so the oracle is the empty
+    set with the matching schema."""
+    return """
+SELECT CAST(NULL AS BIGINT) AS q_bp, CAST(NULL AS BIGINT) AS est_cents,
+       CAST(NULL AS BIGINT) AS exact_cents
+WHERE FALSE
+"""

@@ -67,7 +67,9 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "ann_bq_topk", "search_snippets", "msm_search",
                "span_first_search", "federated_search",
                "dedup_incremental", "minhash_incremental", "table_profile",
-               "index_delete_dictionary", "tfidf_cosine_topk"]
+               "index_delete_dictionary", "tfidf_cosine_topk",
+               "value_quantiles_sketch", "value_quantiles_sketch_cells",
+               "value_quantiles_sketch_violations"]
 
 
 @pytest.fixture(scope="module")
@@ -1227,6 +1229,27 @@ def test_bigram_logprob_matches_sql_and_is_a_transition_model(ray_session, duck)
     ranks_b = merged.avg_logprob_bp.rank()
     ranks_u = merged.avg_logprob_bp_u.rank()
     assert (ranks_b != ranks_u).any()                # not the same ordering
+
+
+def test_value_quantiles_sketch_one_sided_and_tight(ray_session, duck):
+    """The dyadic-CMS walk's deterministic guarantee — the estimate
+    never exceeds the exact k-th smallest cent — plus a tightness
+    check: the true rank just below the estimate sits within 1% + 5 of
+    the target (the d x w sketch is nearly exact at this scale)."""
+    from searchengine_ray.pipelines import events as ev
+
+    est = _to_pandas(ev.value_quantiles_sketch(SF_DIR))
+    n = duck.sql("SELECT count(*) FROM events").fetchone()[0]
+    u = (1 << 20) - 1
+    for _, r in est.iterrows():
+        below = duck.sql(
+            f"SELECT count(*) FROM (SELECT LEAST(GREATEST(CAST("
+            f"floor(value*100+0.5) AS BIGINT), 0), {u}) c FROM events)"
+            f" WHERE c < {int(r.est_cents)}").fetchone()[0]
+        assert below <= r.k - 1                     # one-sided guarantee
+        assert r.k - 1 - below <= 0.01 * n + 5      # tightness
+    assert len(_to_pandas(
+        ev.value_quantiles_sketch_violations(SF_DIR))) == 0
 
 
 def test_spell_search_corrects_typos_and_noops_known_terms(ray_session):
