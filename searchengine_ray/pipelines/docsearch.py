@@ -2446,6 +2446,109 @@ FROM ranked WHERE rnk <= {K}
 """
 
 
+# ---- window rescoring (two-phase ranking over one index) ----
+
+RESCORE_WINDOW = 30
+
+
+def rescore_search(sf_dir: str):
+    """(query_id, rank, doc_id, combined_bp) — two-phase ranking: BM25
+    retrieves the top-``RESCORE_WINDOW`` candidates, then ONLY that
+    window is rescored by the tf-idf cosine model (the reference's own
+    ranker) and re-ranked on ``bm25_bp + cosine_bp`` — the
+    Elasticsearch ``rescore`` block with query_weight =
+    rescore_query_weight = 1 and combine = total. The serving shape for
+    expensive rerankers: phase 2 cost is CONSTANT per query (window
+    docs only) no matter the corpus size, and both models read the same
+    index image inside the same actor pool (see
+    ``query.py::_search_rescore``). The oracle replays the exact same
+    two phases: the float-exact BM25 window cut, then the integer-bp
+    combine."""
+    from searchengine_ray.pipelines.query import search_queries
+
+    paths = ensure_doc_index(sf_dir)
+    res = search_queries(paths, DOC_QUERIES, k=K, config=doc_index_config(),
+                         method="rescore", concurrency=(1, 2)).to_pandas()
+    # combined scores are already integer-valued bp floats
+    res["combined_bp"] = res["score"].to_numpy().astype(np.int64)
+    res["rank"] = res["rank"].astype(np.int64)
+    out = res[["query_id", "rank", "doc_id", "combined_bp"]]
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def rescore_search_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    analyzer = Analyzer(doc_index_config())
+    values = []
+    for qid, text in DOC_QUERIES:
+        for term, qtf in sorted(Counter(analyzer.terms(text)).items()):
+            values.append(f"({qid}, '{term}', {qtf})")
+    values_sql = ",\n        ".join(values)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks WHERE term <> '' GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+queries(query_id, qterm, qtf) AS (VALUES
+        {values_sql}),
+bm AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl))) AS score
+  FROM queries q
+  JOIN df ON df.term = q.qterm
+  JOIN tf ON tf.term = q.qterm
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+-- phase 1: the float-exact BM25 window cut (same order contract as
+-- bm25_topk: score desc, doc_id asc)
+win AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score * 10000 + 0.5) AS BIGINT) AS bm_bp
+  FROM (SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM bm)
+  WHERE rnk <= {RESCORE_WINDOW}),
+-- phase 2: tf-idf cosine over ONLY the window docs' matched terms
+matched AS (
+  SELECT q.query_id, q.qterm, q.qtf, df.df
+  FROM queries q JOIN df ON df.term = q.qterm),
+qnorm AS (SELECT query_id, sqrt(sum(CAST(qtf AS DOUBLE) * qtf)) AS qn
+          FROM matched GROUP BY query_id),
+cosw AS (
+  SELECT m.query_id, w.doc_id,
+         CAST(floor(sum(log10(s.n / m.df) * tf.tf * m.qtf)
+                    / (sqrt(sum(pow(log10(s.n / m.df) * tf.tf, 2))) * qn.qn)
+                    * 10000 + 0.5) AS BIGINT) AS cos_bp
+  FROM win w
+  JOIN matched m ON m.query_id = w.query_id
+  JOIN tf ON tf.doc_id = w.doc_id AND tf.term = m.qterm
+  JOIN qnorm qn ON qn.query_id = m.query_id
+  CROSS JOIN stats s
+  GROUP BY m.query_id, w.doc_id, qn.qn),
+combined AS (
+  SELECT w.query_id, w.doc_id,
+         w.bm_bp + COALESCE(c.cos_bp, 0) AS combined_bp
+  FROM win w
+  LEFT JOIN cosw c ON c.query_id = w.query_id AND c.doc_id = w.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, combined_bp,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY combined_bp DESC, doc_id ASC) AS rnk
+  FROM combined)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       CAST(combined_bp AS BIGINT) AS combined_bp
+FROM ranked WHERE rnk <= {K}
+"""
+
+
 # ---- spell-corrected search (the reference's spellchecker path) ----
 
 # typos with a unique edit-distance-1 dictionary correction, a known

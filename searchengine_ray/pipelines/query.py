@@ -781,6 +781,8 @@ class IndexSearcher:
             return self._search_dirichlet(qterms, k)
         if method == "cosine":
             return self._search_cosine(qterms, k)
+        if method == "rescore":
+            return self._search_rescore(qterms, k)
         return self._search_vectorized(qterms, k)
 
     def _decoded(self, term: str
@@ -1137,6 +1139,57 @@ class IndexSearcher:
         top = top_k_indices(cand_scores, self._dl_ids[live], k,
                             tie=self._tie_at(live))
         return [(int(self._dl_ids[live[i]]), float(cand_scores[i])) for i in top]
+
+    RESCORE_WINDOW = 30
+
+    def _search_rescore(self, qterms: list[tuple[str, int]], k: int,
+                        window: int | None = None
+                        ) -> list[tuple[int, float]]:
+        """Window rescoring (the Elasticsearch ``rescore`` block,
+        query_weight = rescore_query_weight = 1, combine = total):
+        BM25 retrieves the top ``window`` candidates, then ONLY that
+        window is rescored by the tf-idf cosine model and re-ranked on
+        ``bm25_bp + cosine_bp``. The expensive second model touches a
+        CONSTANT number of docs per query regardless of corpus size —
+        the standard serving shape for costly rerankers. Both scores
+        come from the same term-partitioned decode caches; the cosine
+        side gathers just the window docs' postings via searchsorted
+        (the ``_full_scores`` shape), no second scatter over the
+        candidate space. The combine runs on basis-point INTEGERS so
+        the final order replays exactly in SQL."""
+        window = self.RESCORE_WINDOW if window is None else window
+        base = self._search_vectorized(qterms, window)
+        if not base:
+            return []
+        docs = np.array([d for d, _ in base], dtype=np.int64)
+        bm_bp = np.floor(np.array([s for _, s in base], dtype=np.float64)
+                         * 10000.0 + 0.5)
+        pos_w = self._doc_pos(docs)
+        dot = np.zeros(len(docs), dtype=np.float64)
+        ssq = np.zeros(len(docs), dtype=np.float64)
+        qnorm_sq = 0.0
+        for term, qtf in qterms:               # ascending term order: canonical
+            got = self._cosine_decoded(term)
+            if got is None:
+                continue
+            qnorm_sq += float(qtf) * float(qtf)
+            pos, w = got
+            needles = pos_w if pos_w.dtype == pos.dtype \
+                else pos_w.astype(pos.dtype)
+            idx = np.searchsorted(pos, needles)
+            idx_c = np.minimum(idx, len(pos) - 1)
+            valid = pos[idx_c] == needles
+            wv = w[idx_c[valid]]
+            dot[valid] += wv if qtf == 1 else qtf * wv
+            ssq[valid] += wv * wv
+        cos_bp = np.zeros(len(docs), dtype=np.float64)
+        hit = ssq > 0.0
+        cos_bp[hit] = np.floor(dot[hit] / (np.sqrt(ssq[hit])
+                                           * np.sqrt(qnorm_sq))
+                               * 10000.0 + 0.5)
+        combined = bm_bp + cos_bp
+        top = top_k_indices(combined, docs, k, tie=self._tie_at(pos_w))
+        return [(int(docs[i]), float(combined[i])) for i in top]
 
     def _impact_ordered(self, term: str):
         """Impact-ordered view of a term's postings: (positions, contribs)

@@ -69,7 +69,7 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "dedup_incremental", "minhash_incremental", "table_profile",
                "index_delete_dictionary", "tfidf_cosine_topk",
                "value_quantiles_sketch", "value_quantiles_sketch_cells",
-               "value_quantiles_sketch_violations"]
+               "value_quantiles_sketch_violations", "rescore_search"]
 
 
 @pytest.fixture(scope="module")
@@ -1229,6 +1229,28 @@ def test_bigram_logprob_matches_sql_and_is_a_transition_model(ray_session, duck)
     ranks_b = merged.avg_logprob_bp.rank()
     ranks_u = merged.avg_logprob_bp_u.rank()
     assert (ranks_b != ranks_u).any()                # not the same ordering
+
+
+def test_rescore_stays_in_window_and_reorders(ray_session):
+    """Window-rescore semantics: every returned doc comes from the
+    BM25 top-RESCORE_WINDOW of its query (phase 2 never resurrects a
+    doc phase 1 cut), and the cosine combine actually changes at least
+    one query's ordering relative to plain BM25."""
+    from searchengine_ray.pipelines import docsearch as dsx
+    from searchengine_ray.pipelines.query import search_queries
+
+    res = _to_pandas(dsx.rescore_search(SF_DIR))
+    paths = dsx.ensure_doc_index(SF_DIR)
+    win = search_queries(paths, dsx.DOC_QUERIES,
+                         k=dsx.RESCORE_WINDOW, config=dsx.doc_index_config(),
+                         concurrency=(1, 2)).to_pandas()
+    allowed = set(zip(win.query_id, win.doc_id))
+    assert all((q, d) in allowed
+               for q, d in zip(res.query_id, res.doc_id))
+    bm = _to_pandas(dsx.bm25_topk(SF_DIR))
+    same = (res.sort_values(["query_id", "rank"]).doc_id.to_numpy()
+            == bm.sort_values(["query_id", "rank"]).doc_id.to_numpy())
+    assert not same.all()
 
 
 def test_value_quantiles_sketch_one_sided_and_tight(ray_session, duck):
