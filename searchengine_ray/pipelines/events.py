@@ -1671,3 +1671,198 @@ SELECT CAST(NULL AS BIGINT) AS q_bp, CAST(NULL AS BIGINT) AS est_cents,
        CAST(NULL AS BIGINT) AS exact_cents
 WHERE FALSE
 """
+
+
+# ---- KMV (k-minimum-values) distinct sketch + set intersection ------
+#
+# Fifth mergeable sketch, motivated by what HLL can NOT do: SET
+# OPERATIONS. A KMV sketch (Bar-Yossef et al. 2002 "Counting distinct
+# elements in a data stream"; Beyer et al. 2007 SIGMOD for the
+# unbiased estimator and set-op algebra) keeps the k smallest hash
+# values of a set. Closure property: the k smallest of (A u B) are
+# computable from the two sketches alone — so union, intersection and
+# Jaccard estimates come from sketch-local math, while HLL registers
+# only union. Everything here is integer/hash arithmetic on exact
+# values, so BOTH faces (the registers and the pairwise overlap
+# estimates) are deterministic, partitioning-independent, and
+# hash-verified in SQL.
+
+_KMV_K = 64
+
+
+def _kmv_hash63(user_ids: np.ndarray) -> np.ndarray:
+    """md5 low-63 of the user id's decimal string (the window_user_hll
+    hashing convention, masked to 63 bits so the value is a
+    nonnegative BIGINT on both sides: DuckDB
+    ``md5_number_lower(CAST(user_id AS VARCHAR)) % 2^63``)."""
+    import hashlib
+
+    out = np.empty(len(user_ids), dtype=np.int64)
+    for i, u in enumerate(user_ids.tolist()):
+        h = hashlib.md5(str(u).encode("utf-8")).digest()
+        out[i] = int.from_bytes(h[8:16], "little") & ((1 << 63) - 1)
+    return out
+
+
+def _kmv_partial(batch: pa.Table) -> pa.Table:
+    """batch -> per-type k smallest DISTINCT user hashes: at most
+    n_types x k tiny rows leave each batch regardless of event count."""
+    et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+    uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    out_t, out_h = [], []
+    for t in np.unique(et):
+        hs = np.unique(_kmv_hash63(np.unique(uid[et == t])))
+        hs = hs[:_KMV_K]
+        out_t.append(np.full(len(hs), t, object))
+        out_h.append(hs)
+    if not out_t:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "h": pa.array([], pa.int64())})
+    return pa.table({"event_type": pa.array(np.concatenate(out_t), pa.string()),
+                     "h": int64_col(np.concatenate(out_h))})
+
+
+def _kmv_merge_group(df: pd.DataFrame) -> pd.DataFrame:
+    hs = np.unique(df["h"].to_numpy(np.int64))[:_KMV_K]
+    return pd.DataFrame({"event_type": df["event_type"].iloc[0],
+                         "rank": np.arange(1, len(hs) + 1, dtype=np.int64),
+                         "h": hs})
+
+
+def _kmv_sketches(sf_dir: str) -> pd.DataFrame:
+    """Merged per-type sketches — one bounded groupby over <= types x k
+    rows per batch; group state is sketch-scale, never user-scale."""
+    partial = read(sf_dir, "events", ["event_type", "user_id"]).map_batches(
+        _kmv_partial, batch_format="pyarrow", batch_size=65536)
+    return partial.groupby("event_type").map_groups(
+        _kmv_merge_group, batch_format="pandas").to_pandas()
+
+
+def user_kmv_registers(sf_dir: str):
+    """(event_type, rank, h) — each event type's KMV sketch: the k
+    smallest md5-low-63 hashes of its distinct user ids, rank-ordered.
+    The integer-exact face; merging partial sketches is set-union +
+    re-truncate, so the result is identical on any partitioning."""
+    df = _kmv_sketches(sf_dir).sort_values(["event_type", "rank"])
+    return pa.table({"event_type": pa.array(df["event_type"], pa.string()),
+                     "rank": int64_col(df["rank"].to_numpy(np.int64)),
+                     "h": int64_col(df["h"].to_numpy(np.int64))})
+
+
+def user_kmv_registers_sql() -> str:
+    return f"""
+WITH u AS (
+  SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type,
+         CAST(CAST(md5_number_lower(CAST(user_id AS VARCHAR)) AS UHUGEINT)
+              % 18446744073709551616::UHUGEINT % 9223372036854775808::UHUGEINT
+              AS BIGINT) AS h
+  FROM u),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rank
+  FROM (SELECT DISTINCT event_type, h FROM h))
+SELECT event_type, CAST(rank AS BIGINT) AS rank, h
+FROM r WHERE rank <= {_KMV_K}
+"""
+
+
+def user_overlap_kmv(sf_dir: str):
+    """(type_a, type_b, ku, m, jaccard_bp, union_est, inter_est) for
+    every unordered event-type pair — Jaccard / intersection estimates
+    from the sketches ALONE (the set algebra HLL lacks):
+
+    - union sketch = k smallest of (S_a u S_b)  (KMV closure);
+    - ``m``       = union-sketch hashes present in BOTH sketches;
+    - ``jaccard_bp``   = round-half-up of m/ku in basis points —
+      pure-integer ``(m*20000 + ku) // (2*ku)``;
+    - ``union_est``    = ku if ku < k (sketch is exhaustive -> exact),
+      else ``floor((k-1) * 2^63 / h_k)`` (the KMV cardinality
+      estimator, h_k = the union sketch's largest hash);
+    - ``inter_est``    = ``(m * union_est * 2 + ku) // (2 * ku)``.
+
+    Every quantity is a deterministic integer function of the merged
+    sketches, so the whole table hash-verifies against the SQL replay
+    (DuckDB runs the same md5 / sort / integer arithmetic)."""
+    sk = _kmv_sketches(sf_dir)
+    types = sorted(sk["event_type"].unique())
+    sets = {t: set(sk.loc[sk["event_type"] == t, "h"].tolist())
+            for t in types}
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            uni = sorted(sets[a] | sets[b])[:_KMV_K]
+            ku = len(uni)
+            m = sum(1 for h in uni if h in sets[a] and h in sets[b])
+            if ku < _KMV_K:
+                union_est = ku
+            else:
+                union_est = int((_KMV_K - 1) * float(1 << 63) // uni[-1])
+            jaccard_bp = (m * 20000 + ku) // (2 * ku)
+            inter_est = (m * union_est * 2 + ku) // (2 * ku)
+            rows.append((a, b, ku, m, jaccard_bp, union_est, inter_est))
+    cols = list(zip(*rows))
+    return pa.table({
+        "type_a": pa.array(cols[0], pa.string()),
+        "type_b": pa.array(cols[1], pa.string()),
+        "ku": int64_col(np.array(cols[2], np.int64)),
+        "m": int64_col(np.array(cols[3], np.int64)),
+        "jaccard_bp": int64_col(np.array(cols[4], np.int64)),
+        "union_est": int64_col(np.array(cols[5], np.int64)),
+        "inter_est": int64_col(np.array(cols[6], np.int64))})
+
+
+def user_overlap_kmv_sql() -> str:
+    return f"""
+WITH u AS (
+  SELECT DISTINCT event_type, user_id FROM events),
+hh AS (
+  SELECT event_type,
+         CAST(CAST(md5_number_lower(CAST(user_id AS VARCHAR)) AS UHUGEINT)
+              % 18446744073709551616::UHUGEINT % 9223372036854775808::UHUGEINT
+              AS BIGINT) AS h
+  FROM u),
+sk AS (
+  SELECT event_type, h
+  FROM (SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rank
+        FROM (SELECT DISTINCT event_type, h FROM hh))
+  WHERE rank <= {_KMV_K}),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM sk) a
+  JOIN (SELECT DISTINCT event_type FROM sk) b
+    ON a.event_type < b.event_type),
+uni AS (
+  SELECT p.type_a, p.type_b, s.h,
+         row_number() OVER (PARTITION BY p.type_a, p.type_b
+                            ORDER BY s.h) AS rank
+  FROM pairs p
+  JOIN (SELECT DISTINCT event_type, h FROM sk) s
+    ON s.event_type IN (p.type_a, p.type_b)
+  GROUP BY p.type_a, p.type_b, s.h),
+unik AS (
+  SELECT type_a, type_b, h, rank FROM uni WHERE rank <= {_KMV_K}),
+agg AS (
+  SELECT u.type_a, u.type_b,
+         CAST(count(*) AS BIGINT) AS ku,
+         CAST(max(u.h) AS BIGINT) AS hk,
+         CAST(sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS m
+  FROM unik u
+  LEFT JOIN sk sa ON sa.event_type = u.type_a AND sa.h = u.h
+  LEFT JOIN sk sb ON sb.event_type = u.type_b AND sb.h = u.h
+  GROUP BY u.type_a, u.type_b)
+SELECT type_a, type_b, ku, m,
+       CAST((m * 20000 + ku) // (2 * ku) AS BIGINT) AS jaccard_bp,
+       CAST(CASE WHEN ku < {_KMV_K} THEN ku
+                 ELSE CAST(floor(({_KMV_K} - 1) * 9223372036854775808.0 / hk)
+                           AS BIGINT) END AS BIGINT) AS union_est,
+       CAST((m * (CASE WHEN ku < {_KMV_K} THEN ku
+                       ELSE CAST(floor(({_KMV_K} - 1)
+                                       * 9223372036854775808.0 / hk)
+                                 AS BIGINT) END) * 2 + ku) // (2 * ku)
+            AS BIGINT) AS inter_est
+FROM agg
+"""

@@ -69,7 +69,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "dedup_incremental", "minhash_incremental", "table_profile",
                "index_delete_dictionary", "tfidf_cosine_topk",
                "value_quantiles_sketch", "value_quantiles_sketch_cells",
-               "value_quantiles_sketch_violations", "rescore_search"]
+               "value_quantiles_sketch_violations", "rescore_search",
+               "user_kmv_registers", "user_overlap_kmv"]
 
 
 @pytest.fixture(scope="module")
@@ -1251,6 +1252,37 @@ def test_rescore_stays_in_window_and_reorders(ray_session):
     same = (res.sort_values(["query_id", "rank"]).doc_id.to_numpy()
             == bm.sort_values(["query_id", "rank"]).doc_id.to_numpy())
     assert not same.all()
+
+
+def test_kmv_exact_below_k_and_estimator_sane(ray_session, duck):
+    """KMV semantics: when a type's distinct-user count is under k the
+    sketch is exhaustive (rank count == exact distinct) and the pair
+    union estimate is EXACT; the m/ku Jaccard matches the exact
+    Jaccard to within the sketch resolution."""
+    from searchengine_ray.pipelines import events as ev
+
+    regs = _to_pandas(ev.user_kmv_registers(SF_DIR))
+    exact = duck.sql("SELECT event_type, count(DISTINCT user_id) u"
+                     " FROM events GROUP BY 1").df().set_index("event_type")
+    for t, grp in regs.groupby("event_type"):
+        if exact.loc[t, "u"] < ev._KMV_K:
+            assert len(grp) == exact.loc[t, "u"]
+    ov = _to_pandas(ev.user_overlap_kmv(SF_DIR))
+    for _, r in ov.iterrows():
+        tru = duck.sql(
+            f"SELECT count(DISTINCT user_id) FROM events"
+            f" WHERE event_type IN ('{r.type_a}', '{r.type_b}')"
+        ).fetchone()[0]
+        inter = duck.sql(
+            f"SELECT count(*) FROM ("
+            f"SELECT user_id FROM events WHERE event_type = '{r.type_a}'"
+            f" INTERSECT "
+            f"SELECT user_id FROM events WHERE event_type = '{r.type_b}')"
+        ).fetchone()[0]
+        if r.ku < ev._KMV_K:
+            assert r.union_est == tru          # exhaustive -> exact
+        jac_true = inter / tru
+        assert abs(r.jaccard_bp / 10000.0 - jac_true) <= 0.25
 
 
 def test_value_quantiles_sketch_one_sided_and_tight(ray_session, duck):
