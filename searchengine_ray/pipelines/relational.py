@@ -199,6 +199,225 @@ ORDER BY r.revenue_c DESC, r.o_orderkey ASC LIMIT {k}
 """
 
 
+# ---- Bloom-filter semi-join (shuffle-avoidance join strategy) ----
+#
+# The classic big-data join accelerator (bloom-join; Spark's runtime
+# row-group pruning, Impala/Hive runtime filters): build a BOUNDED
+# Bloom filter over the small side's join keys, broadcast it, and
+# prune the FACT table's rows before they enter the exact-join
+# exchange. The filter admits false positives only, and the exact
+# co-group join removes them — so the result is EXACT (the plain-SQL
+# semi-join) while the shuffle carries ~selectivity x fact rows
+# instead of all of them. The filter is deliberately small (m = 1 KiB
+# of bits) so the false-positive path is actually exercised at gate
+# scale — the ``bloom_semi_join_stats`` face hash-verifies the
+# pass/match/false-positive accounting, proving both the pruning and
+# the exactness.
+
+_BSJ_M = 1024                     # bits
+_BSJ_K = 4                        # salted md5 hash rows
+_BSJ_SEGMENT = "AUTOMOBILE"
+
+
+def _bsj_bit(j: int, key: int) -> int:
+    """Bit of ``key`` in hash row ``j``: md5 low-64 of 'j:key' (==
+    DuckDB ``md5_number_lower(j || ':' || key)``) mod m."""
+    import hashlib
+
+    h = hashlib.md5(f"{j}:{key}".encode("utf-8")).digest()
+    return int.from_bytes(h[8:16], "little") % _BSJ_M
+
+
+def _bsj_build(sf_dir: str, segment: str) -> np.ndarray:
+    """Merged bloom over the segment's custkeys — per-batch partial
+    bit rows (m/8 bytes each) OR-folded on the driver, the
+    term_bloom_bits shape: the shuffle carries 128 B per batch, never
+    the keys."""
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch.column("c_mktsegment"), segment))
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        bits = np.zeros(_BSJ_M, dtype=bool)
+        for key in np.unique(ck).tolist():
+            for j in range(_BSJ_K):
+                bits[_bsj_bit(j, int(key))] = True
+        return pa.table({"bits": pa.array([np.packbits(bits).tobytes()],
+                                          pa.binary())})
+
+    ds = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536)
+    acc = np.zeros(_BSJ_M // 8, dtype=np.uint8)
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        for buf in b.column("bits").to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint8)
+    return np.unpackbits(acc).astype(bool)
+
+
+def _bsj_pass_mask(ck: np.ndarray, bits: np.ndarray) -> np.ndarray:
+    """Vector bloom-membership per row, hashed once per DISTINCT key."""
+    uniq, inv = np.unique(ck, return_inverse=True)
+    ok = np.fromiter(
+        (all(bits[_bsj_bit(j, int(k))] for j in range(_BSJ_K))
+         for k in uniq.tolist()),
+        dtype=bool, count=len(uniq))
+    return ok[inv]
+
+
+def _bsj_probe(sf_dir: str, segment: str, bits_ref):
+    """Bloom-pruned orders rows ∪ segment custkey rows, co-grouped on
+    ``custkey % _N_JPARTS`` for the exact verify."""
+    import ray
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        keep = _bsj_pass_mask(ck, bits)
+        ck = ck[keep]
+        prio = np.asarray(batch.column("o_orderpriority").to_pylist(),
+                          dtype=object)[keep]
+        pc_ = cents(batch.column("o_totalprice").to_numpy(
+            zero_copy_only=False))[keep]
+        return pa.table({"jpart": int64_col(ck % _N_JPARTS),
+                         "key": int64_col(ck),
+                         "prio": pa.array(prio, pa.string()),
+                         "price_c": int64_col(pc_),
+                         "side": int64_col(np.ones(len(ck), np.int64))})
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch.column("c_mktsegment"), segment))
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        z = np.zeros(len(ck), np.int64)
+        return pa.table({"jpart": int64_col(ck % _N_JPARTS),
+                         "key": int64_col(ck),
+                         "prio": pa.array([""] * len(ck), pa.string()),
+                         "price_c": int64_col(z), "side": int64_col(z)})
+
+    orders = read(sf_dir, "orders",
+                  ["o_custkey", "o_orderpriority", "o_totalprice"])         .map_batches(orders_side, batch_format="pyarrow", batch_size=65536)
+    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])         .map_batches(cust_side, batch_format="pyarrow", batch_size=65536)
+    return cust.union(orders).groupby("jpart")
+
+
+def bloom_semi_join(sf_dir: str, segment: str = _BSJ_SEGMENT):
+    """(o_orderpriority, n_orders, sum_price_c) over orders whose
+    customer is in ``segment`` — EXACT result (identical to the plain
+    SQL semi-join), computed with the bloom-prune-then-verify shape:
+    only orders passing the broadcast 1 KiB bloom enter the custkey
+    exchange; the co-group isin verify removes the false positives;
+    per-group partial (prio, count, sum) rows feed one tiny final
+    groupby."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    bits_ref = ray.put(_bsj_build(sf_dir, segment))
+
+    def verify_group(df: pd.DataFrame) -> pa.Table:
+        seen = set(df.loc[df["side"] == 0, "key"].to_numpy().tolist())
+        orders = df[df["side"] == 1]
+        hit = orders[orders["key"].isin(seen)]
+        g = hit.groupby("prio").agg(
+            n_p=("key", "size"), s_p=("price_c", "sum")).reset_index()
+        return pa.table({"prio": pa.array(g["prio"], pa.string()),
+                         "n_p": int64_col(g["n_p"].to_numpy(np.int64)),
+                         "s_p": int64_col(g["s_p"].to_numpy(np.int64))})
+
+    parts = _bsj_probe(sf_dir, segment, bits_ref).map_groups(
+        verify_group, batch_format="pandas")
+    out = parts.groupby("prio").aggregate(
+        Sum("n_p", alias_name="n_orders"),
+        Sum("s_p", alias_name="sum_price_c"))
+    return out.map_batches(lambda b: pa.table(
+        {"o_orderpriority": b.column("prio"),
+         "n_orders": b.column("n_orders"),
+         "sum_price_c": b.column("sum_price_c")}), batch_format="pyarrow")
+
+
+def bloom_semi_join_sql(segment: str = _BSJ_SEGMENT) -> str:
+    """The bloom is invisible to the exact result: plain semi-join."""
+    return f"""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_price_c
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = '{segment}'
+GROUP BY o.o_orderpriority
+"""
+
+
+def bloom_semi_join_stats(sf_dir: str, segment: str = _BSJ_SEGMENT):
+    """(n_orders, n_pass_bloom, n_match, n_false_pos) — the pruning
+    accounting, itself a deterministic integer function of the salted
+    md5 bloom, so it hash-verifies against a SQL replay of the SAME
+    bit math: how many order rows the filter admitted, how many the
+    exact verify kept, and the false positives the verify removed."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    bits = _bsj_build(sf_dir, segment)
+    bits_ref = ray.put(bits)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        b = ray.get(bits_ref)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        keep = _bsj_pass_mask(ck, b)
+        return pa.table({"n_p": int64_col(np.array([len(ck)], np.int64)),
+                         "p_p": int64_col(np.array([int(keep.sum())],
+                                                   np.int64))})
+
+    counts = read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        count_partial, batch_format="pyarrow", batch_size=65536)         .aggregate(Sum("n_p", alias_name="n"), Sum("p_p", alias_name="p"))
+    joined = bloom_semi_join(sf_dir, segment).to_pandas()
+    n_match = int(joined["n_orders"].sum())
+    n, p = int(counts["sum(n_p)"] if "sum(n_p)" in counts else counts["n"]),         int(counts["sum(p_p)"] if "sum(p_p)" in counts else counts["p"])
+    return pa.table({
+        "n_orders": int64_col(np.array([n], np.int64)),
+        "n_pass_bloom": int64_col(np.array([p], np.int64)),
+        "n_match": int64_col(np.array([n_match], np.int64)),
+        "n_false_pos": int64_col(np.array([p - n_match], np.int64))})
+
+
+def bloom_semi_join_stats_sql(segment: str = _BSJ_SEGMENT) -> str:
+    return f"""
+WITH seg AS (
+  SELECT DISTINCT c_custkey FROM customer
+  WHERE c_mktsegment = '{segment}'),
+bits AS (
+  SELECT DISTINCT
+         CAST(CAST(md5_number_lower(CAST(j.j AS VARCHAR) || ':' ||
+                                    CAST(c_custkey AS VARCHAR))
+                   AS UHUGEINT) % {_BSJ_M} AS BIGINT) AS bit
+  FROM seg CROSS JOIN range(0, {_BSJ_K}) j(j)),
+ck AS (SELECT DISTINCT o_custkey FROM orders),
+probe AS (
+  SELECT ck.o_custkey,
+         CAST(CAST(md5_number_lower(CAST(j.j AS VARCHAR) || ':' ||
+                                    CAST(ck.o_custkey AS VARCHAR))
+                   AS UHUGEINT) % {_BSJ_M} AS BIGINT) AS bit
+  FROM ck CROSS JOIN range(0, {_BSJ_K}) j(j)),
+pass AS (
+  SELECT p.o_custkey
+  FROM probe p JOIN bits b ON b.bit = p.bit
+  GROUP BY p.o_custkey HAVING count(*) = {_BSJ_K}),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CASE WHEN pass.o_custkey IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom,
+         CAST(sum(CASE WHEN seg.c_custkey IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+  FROM orders o
+  LEFT JOIN pass ON pass.o_custkey = o.o_custkey
+  LEFT JOIN seg ON seg.c_custkey = o.o_custkey)
+SELECT n_orders, n_pass_bloom, n_match,
+       CAST(n_pass_bloom - n_match AS BIGINT) AS n_false_pos
+FROM agg
+"""
+
+
 # ---- events: time-bucketed aggregate (streaming-shaped workload) ----
 
 

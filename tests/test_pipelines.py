@@ -70,7 +70,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "index_delete_dictionary", "tfidf_cosine_topk",
                "value_quantiles_sketch", "value_quantiles_sketch_cells",
                "value_quantiles_sketch_violations", "rescore_search",
-               "user_kmv_registers", "user_overlap_kmv"]
+               "user_kmv_registers", "user_overlap_kmv",
+               "bloom_semi_join", "bloom_semi_join_stats"]
 
 
 @pytest.fixture(scope="module")
@@ -1252,6 +1253,24 @@ def test_rescore_stays_in_window_and_reorders(ray_session):
     same = (res.sort_values(["query_id", "rank"]).doc_id.to_numpy()
             == bm.sort_values(["query_id", "rank"]).doc_id.to_numpy())
     assert not same.all()
+
+
+def test_bloom_semi_join_prunes_and_stays_exact(ray_session, duck):
+    """Bloom-join invariants: no false negatives (n_match equals the
+    exact semi-join count), pass count sandwiched between match and
+    total, and the deliberately-tiny filter still prunes (pass <
+    total) — the verify stage is what removes any false positives."""
+    from searchengine_ray.pipelines import relational as rel
+
+    st = _to_pandas(rel.bloom_semi_join_stats(SF_DIR)).iloc[0]
+    exact = duck.sql(
+        f"SELECT count(*) FROM orders o JOIN customer c"
+        f" ON c.c_custkey = o.o_custkey"
+        f" WHERE c.c_mktsegment = '{rel._BSJ_SEGMENT}'").fetchone()[0]
+    assert st.n_match == exact                  # exactness: no false negatives
+    assert st.n_match <= st.n_pass_bloom <= st.n_orders
+    assert st.n_pass_bloom < st.n_orders        # the filter actually prunes
+    assert st.n_false_pos == st.n_pass_bloom - st.n_match
 
 
 def test_kmv_exact_below_k_and_estimator_sane(ray_session, duck):
