@@ -202,3 +202,58 @@ def test_dedup_window_boundary():
     # 2: gap == win -> drop; 3: gap == win+1 -> keep; 4: tie with 3 -> drop
     assert list(out["event_id"]) == [1, 3]
     assert list(out["prev_gap_us"]) == [-1, win + 1]
+
+
+def _mk_sketch_batch(seed, n):
+    import pyarrow as pa
+
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "event_type": pa.array(
+            rng.choice(["click", "view", "error"], size=n).tolist(),
+            pa.string()),
+        "user_id": pa.array(rng.integers(0, 500, size=n).astype(np.int64)),
+        "value": pa.array(np.round(np.exp(rng.normal(3, 1, size=n)), 2)),
+    })
+
+
+def test_dyadic_quantile_sketch_merge_is_partition_invariant():
+    """The gate events table fits one batch, so the multi-partial fold
+    path needs direct coverage: summing the sketches of any split of
+    the rows equals the sketch of all rows (cells are exact sums)."""
+    import pyarrow as pa
+
+    from searchengine_ray.pipelines.events import (_DQS_D, _DQS_L, _DQS_W,
+                                                   _DyadicQuantilePartial)
+
+    whole = _mk_sketch_batch(3, 700)
+    stage = _DyadicQuantilePartial()
+
+    def cells_of(tbl):
+        out = stage(tbl)
+        return np.frombuffer(out.column("cells")[0].as_py(),
+                             dtype=np.int64).reshape(_DQS_L, _DQS_D, _DQS_W)
+
+    full = cells_of(whole)
+    for cut in (1, 137, 350, 699):
+        parts = cells_of(whole.slice(0, cut)) + cells_of(whole.slice(cut))
+        assert (parts == full).all()
+
+
+def test_kmv_merge_is_partition_invariant():
+    """Union + re-truncate of per-split KMV partials equals the sketch
+    of all rows, for any split point."""
+    from searchengine_ray.pipelines.events import _KMV_K, _kmv_partial
+
+    whole = _mk_sketch_batch(5, 700)
+
+    def sketches_of(tbl):
+        out = _kmv_partial(tbl).to_pandas()
+        return {t: g["h"].tolist() for t, g in out.groupby("event_type")}
+
+    full = sketches_of(whole)
+    for cut in (1, 200, 699):
+        a, b = sketches_of(whole.slice(0, cut)), sketches_of(whole.slice(cut))
+        for t in full:
+            merged = sorted(set(a.get(t, [])) | set(b.get(t, [])))[:_KMV_K]
+            assert merged == full[t]
