@@ -5545,3 +5545,99 @@ SELECT sa.doc_id, sa.n_bigrams,
          AS avg_logprob_bp
 FROM sa JOIN sb ON sb.doc_id = sa.doc_id
 """
+
+
+# ---- range partitioner (sorted-output layout plan) -------------------
+
+_RPP_NPARTS = 8
+_RPP_SAMPLE_MOD = 4
+
+
+def range_partition_plan(sf_dir: str, nparts: int = _RPP_NPARTS,
+                         sample_mod: int = _RPP_SAMPLE_MOD):
+    """(part, n_rows, min_key, max_key) — the SORTED complement of
+    ``shard_shuffle``'s hash layout: the Spark-RangePartitioner shape
+    that backs every distributed sort / sorted-parquet write. A
+    deterministic BOUNDED sample (docs whose salted md5 is 0 mod
+    ``sample_mod`` — scale the modulus with the corpus exactly like
+    ``ngram_contamination``'s anchor_mod) is sorted once; ``nparts-1``
+    boundary keys are cut at the pure-integer ranks ``i*len // nparts``;
+    every doc then gets ``part = #{boundaries <= key}`` via a broadcast
+    searchsorted — no corpus-scale sort anywhere, one metadata-only
+    aggregate over (part, key) int rows. The plan's invariant (proved
+    in tests and by the SQL replay): part ranges are contiguous and
+    non-overlapping — ``max_key[p] < min_key[p+1]`` OR they meet only
+    at a boundary value, because equal keys always land in the same
+    part. Key = ``n_chars`` (skewed doc length)."""
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    def sample_batch(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keys = b.column("n_chars").to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (int.from_bytes(hashlib.md5(f"rps:{d}".encode()).digest()[8:16],
+                            "little") % sample_mod == 0
+             for d in ids.tolist()), dtype=bool, count=len(ids))
+        return pa.table({"key": int64_col(keys[keep].astype(np.int64))})
+
+    sample = [b.column("key").to_numpy(zero_copy_only=False)
+              for b in read(sf_dir, "documents", ["doc_id", "n_chars"])
+              .map_batches(sample_batch, batch_format="pyarrow",
+                           batch_size=65536)
+              .iter_batches(batch_format="pyarrow") if b.num_rows]
+    s = np.sort(np.concatenate(sample)) if sample else np.array([], np.int64)
+    bounds = np.array([s[(i * len(s)) // nparts]
+                       for i in range(1, nparts)], dtype=np.int64)
+    bounds_ref = ray.put(bounds)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        bd = ray.get(bounds_ref)
+        k = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        part = np.searchsorted(bd, k, side="right").astype(np.int64)
+        uniq, inv = np.unique(part, return_inverse=True)
+        return pa.table({
+            "part": int64_col(uniq),
+            "n_p": int64_col(np.bincount(inv).astype(np.int64)),
+            "min_p": int64_col(np.array(
+                [k[part == p].min() for p in uniq.tolist()], np.int64)),
+            "max_p": int64_col(np.array(
+                [k[part == p].max() for p in uniq.tolist()], np.int64))})
+
+    agg = read(sf_dir, "documents", ["n_chars"]).map_batches(
+        assign, batch_format="pyarrow", batch_size=65536) \
+        .groupby("part").aggregate(Sum("n_p", alias_name="n_rows"),
+                                   Min("min_p", alias_name="min_key"),
+                                   Max("max_p", alias_name="max_key"))
+    return agg
+
+
+def range_partition_plan_sql(nparts: int = _RPP_NPARTS,
+                             sample_mod: int = _RPP_SAMPLE_MOD) -> str:
+    return f"""
+WITH samp AS (
+  SELECT n_chars AS key
+  FROM documents
+  WHERE CAST(md5_number_lower('rps:' || CAST(doc_id AS VARCHAR))
+             AS UHUGEINT) % {sample_mod} = 0),
+ordered AS (
+  SELECT key, row_number() OVER (ORDER BY key) AS rn,
+         count(*) OVER () AS cnt
+  FROM samp),
+bounds AS (
+  SELECT o.key
+  FROM range(1, {nparts}) i(i)
+  JOIN ordered o ON o.rn = (i.i * o.cnt) // {nparts} + 1),
+assigned AS (
+  SELECT d.n_chars AS key,
+         (SELECT count(*) FROM bounds b WHERE b.key <= d.n_chars) AS part
+  FROM documents d)
+SELECT CAST(part AS BIGINT) AS part,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(key) AS BIGINT) AS min_key,
+       CAST(max(key) AS BIGINT) AS max_key
+FROM assigned GROUP BY part
+"""

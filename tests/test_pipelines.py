@@ -71,7 +71,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "value_quantiles_sketch", "value_quantiles_sketch_cells",
                "value_quantiles_sketch_violations", "rescore_search",
                "user_kmv_registers", "user_overlap_kmv",
-               "bloom_semi_join", "bloom_semi_join_stats"]
+               "bloom_semi_join", "bloom_semi_join_stats",
+               "range_partition_plan"]
 
 
 @pytest.fixture(scope="module")
@@ -1253,6 +1254,23 @@ def test_rescore_stays_in_window_and_reorders(ray_session):
     same = (res.sort_values(["query_id", "rank"]).doc_id.to_numpy()
             == bm.sort_values(["query_id", "rank"]).doc_id.to_numpy())
     assert not same.all()
+
+
+def test_range_partition_plan_contiguous_and_complete(ray_session, duck):
+    """Range-partitioner invariants: every part range is contiguous and
+    non-overlapping (equal keys always co-locate, so consecutive parts
+    can only MEET, never interleave), row counts sum to the corpus,
+    and the sampled boundaries produce a usable balance (no part holds
+    more than half the corpus at nparts=8)."""
+    from searchengine_ray.pipelines import textstats as ts
+
+    plan = _to_pandas(ts.range_partition_plan(SF_DIR)).sort_values("part")
+    n = duck.sql("SELECT count(*) FROM documents").fetchone()[0]
+    assert plan.n_rows.sum() == n
+    mx = plan.max_key.to_numpy()
+    mn = plan.min_key.to_numpy()
+    assert (mx[:-1] <= mn[1:]).all()
+    assert plan.n_rows.max() <= n / 2
 
 
 def test_bloom_semi_join_prunes_and_stays_exact(ray_session, duck):
