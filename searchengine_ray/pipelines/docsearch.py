@@ -2448,7 +2448,13 @@ FROM ranked WHERE rnk <= {K}
 
 # ---- window rescoring (two-phase ranking over one index) ----
 
-RESCORE_WINDOW = 30
+# ONE source of truth for the window: the engine's phase-1 cut
+# (query.py IndexSearcher.RESCORE_WINDOW) and the oracle's
+# ``rnk <= window`` cut must agree or rescore_search silently diverges
+# from its SQL replay.
+from searchengine_ray.pipelines.query import IndexSearcher as _IS  # noqa: E402
+
+RESCORE_WINDOW = _IS.RESCORE_WINDOW
 
 
 def rescore_search(sf_dir: str):

@@ -1802,6 +1802,14 @@ def user_overlap_kmv(sf_dir: str):
             jaccard_bp = (m * 20000 + ku) // (2 * ku)
             inter_est = (m * union_est * 2 + ku) // (2 * ku)
             rows.append((a, b, ku, m, jaccard_bp, union_est, inter_est))
+    if not rows:                     # <2 event types: no pairs, like the SQL
+        return pa.table({
+            "type_a": pa.array([], pa.string()),
+            "type_b": pa.array([], pa.string()),
+            "ku": pa.array([], pa.int64()), "m": pa.array([], pa.int64()),
+            "jaccard_bp": pa.array([], pa.int64()),
+            "union_est": pa.array([], pa.int64()),
+            "inter_est": pa.array([], pa.int64())})
     cols = list(zip(*rows))
     return pa.table({
         "type_a": pa.array(cols[0], pa.string()),

@@ -301,18 +301,21 @@ def _bsj_probe(sf_dir: str, segment: str, bits_ref):
     return cust.union(orders).groupby("jpart")
 
 
-def bloom_semi_join(sf_dir: str, segment: str = _BSJ_SEGMENT):
+def bloom_semi_join(sf_dir: str, segment: str = _BSJ_SEGMENT,
+                    bits_ref=None):
     """(o_orderpriority, n_orders, sum_price_c) over orders whose
     customer is in ``segment`` — EXACT result (identical to the plain
     SQL semi-join), computed with the bloom-prune-then-verify shape:
     only orders passing the broadcast 1 KiB bloom enter the custkey
     exchange; the co-group isin verify removes the false positives;
     per-group partial (prio, count, sum) rows feed one tiny final
-    groupby."""
+    groupby. ``bits_ref`` lets a caller that already built the filter
+    (the stats face) pass it in instead of re-scanning customer."""
     import ray
     from ray.data.aggregate import Sum
 
-    bits_ref = ray.put(_bsj_build(sf_dir, segment))
+    if bits_ref is None:
+        bits_ref = ray.put(_bsj_build(sf_dir, segment))
 
     def verify_group(df: pd.DataFrame) -> pa.Table:
         seen = set(df.loc[df["side"] == 0, "key"].to_numpy().tolist())
@@ -371,7 +374,8 @@ def bloom_semi_join_stats(sf_dir: str, segment: str = _BSJ_SEGMENT):
 
     counts = read(sf_dir, "orders", ["o_custkey"]).map_batches(
         count_partial, batch_format="pyarrow", batch_size=65536)         .aggregate(Sum("n_p", alias_name="n"), Sum("p_p", alias_name="p"))
-    joined = bloom_semi_join(sf_dir, segment).to_pandas()
+    joined = bloom_semi_join(sf_dir, segment,
+                             bits_ref=bits_ref).to_pandas()
     n_match = int(joined["n_orders"].sum())
     n, p = int(counts["sum(n_p)"] if "sum(n_p)" in counts else counts["n"]),         int(counts["sum(p_p)"] if "sum(p_p)" in counts else counts["p"])
     return pa.table({

@@ -5589,8 +5589,11 @@ def range_partition_plan(sf_dir: str, nparts: int = _RPP_NPARTS,
                            batch_size=65536)
               .iter_batches(batch_format="pyarrow") if b.num_rows]
     s = np.sort(np.concatenate(sample)) if sample else np.array([], np.int64)
-    bounds = np.array([s[(i * len(s)) // nparts]
-                       for i in range(1, nparts)], dtype=np.int64)
+    # empty sample (possible at tiny corpora with a large modulus):
+    # no boundaries -> every row lands in part 0, matching the SQL side
+    bounds = (np.array([s[(i * len(s)) // nparts]
+                        for i in range(1, nparts)], dtype=np.int64)
+              if len(s) else np.array([], dtype=np.int64))
     bounds_ref = ray.put(bounds)
 
     def assign(batch: pa.Table) -> pa.Table:

@@ -1222,10 +1222,10 @@ def test_bigram_logprob_matches_sql_and_is_a_transition_model(ray_session, duck)
     unigram models disagree on relative quality (context matters)."""
     from searchengine_ray.pipelines import textstats as ts
 
-    got = _canon(_to_pandas(ts.bigram_logprob(SF_DIR)))
+    out = _to_pandas(ts.bigram_logprob(SF_DIR))
+    got = _canon(out)
     want = _canon(duck.sql(ts.bigram_logprob_sql()).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
-    out = _to_pandas(ts.bigram_logprob(SF_DIR))
     assert (out.logprob_bp <= out.n_bigrams).all()   # rounding slack only
     uni = _to_pandas(ts.unigram_logprob(SF_DIR)).set_index("doc_id")
     merged = out.set_index("doc_id").join(uni, rsuffix="_u")

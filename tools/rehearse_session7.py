@@ -97,7 +97,7 @@ def main() -> None:
         n_rows = res.num_rows if hasattr(res, "num_rows") else res.count()
         sec = round(time.time() - t0, 2)
         results[name] = {"sec": sec, "rows": int(n_rows),
-                        "items_per_sec": int(scale / sec)}
+                         "items_per_sec": int(scale / max(sec, 0.01))}
         print(f"{name}: {sec}s rows={n_rows}", file=sys.stderr)
 
     e, d = str(ev_dir), str(doc_dir)
