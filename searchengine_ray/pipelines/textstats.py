@@ -5644,3 +5644,135 @@ SELECT CAST(part AS BIGINT) AS part,
        CAST(max(key) AS BIGINT) AS max_key
 FROM assigned GROUP BY part
 """
+
+
+# ---- weighted bottom-k sample (PPS sampling + subset-sum estimate) ---
+#
+# Weighted sampling is the mixture-building staple (sample documents
+# proportional to length/quality for a training mix). This is the
+# bottom-k sketch with weighted ranks (Cohen & Kaplan 2007, "Summarizing
+# data using bottom-k sketches"): rank r_i = h_i // w_i over a 63-bit
+# md5 draw — small rank <=> large weight, so the k smallest ranks form
+# a probability-proportional-to-size-ish sample WITHOUT replacement,
+# mergeable exactly like KMV (union + re-truncate; the fold is the same
+# bounded per-batch top-(k+1) shape). The companion estimator face uses
+# the (k+1)-th rank tau as the inclusion threshold: inclusion prob
+# p_i = min(1, tau * w_i / 2^63), so the Horvitz-Thompson contribution
+# w_i / p_i = max(w_i, 2^63/tau) — integerized as
+# ``max(w_i * 10^6, (2^63 * 10^6) // tau)`` so the total-weight estimate
+# is an ORDER-FREE exact-integer sum that replays bit-for-bit in SQL.
+
+_WBK_K = 64
+
+
+def _wbk_rows(sf_dir: str, k: int) -> pd.DataFrame:
+    """Global (r, doc_id, w) bottom-(k+1) — per-batch bounded partials,
+    driver fold (the KMV merge shape; k+1 rows per batch max)."""
+    import hashlib
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.maximum(b.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.int64), 1)
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(f"ws:{d}".encode()).digest()[8:16],
+                            "little") & ((1 << 63) - 1)
+             for d in ids.tolist()), dtype=np.int64, count=len(ids))
+        r = h // w
+        order = np.lexsort((ids, r))[:k + 1]
+        return pa.table({"r": int64_col(r[order]),
+                         "doc_id": int64_col(ids[order]),
+                         "w": int64_col(w[order])})
+
+    parts = read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    return parts.sort_values(["r", "doc_id"]).head(k + 1).reset_index(drop=True)
+
+
+def weighted_sample(sf_dir: str, k: int = _WBK_K):
+    """(rank, doc_id, weight, r) — the k documents with the smallest
+    weighted ranks (ties by doc_id): a deterministic weighted sample
+    whose inclusion probability rises with ``n_chars``. Hash-verified
+    against the SQL replay of the same md5 // weight order."""
+    rows = _wbk_rows(sf_dir, k).head(k)
+    return pa.table({
+        "rank": int64_col(np.arange(1, len(rows) + 1, dtype=np.int64)),
+        "doc_id": int64_col(rows["doc_id"].to_numpy(np.int64)),
+        "weight": int64_col(rows["w"].to_numpy(np.int64)),
+        "r": int64_col(rows["r"].to_numpy(np.int64))})
+
+
+def weighted_sample_sql(k: int = _WBK_K) -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id, GREATEST(n_chars, 1) AS w,
+         CAST(CAST(md5_number_lower('ws:' || CAST(doc_id AS VARCHAR))
+                   AS UHUGEINT) % 9223372036854775808::UHUGEINT
+              AS BIGINT) AS hv
+  FROM documents),
+r AS (SELECT doc_id, w, hv // w AS r FROM h),
+ordered AS (
+  SELECT doc_id, w, r,
+         row_number() OVER (ORDER BY r, doc_id) AS rank
+  FROM r)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(w AS BIGINT) AS weight, CAST(r AS BIGINT) AS r
+FROM ordered WHERE rank <= {k}
+"""
+
+
+def weighted_sample_est(sf_dir: str, k: int = _WBK_K):
+    """(k_used, tau, est_total_w_micro) — the subset-sum estimator over
+    the bottom-k sample: Horvitz-Thompson with threshold tau = the
+    (k+1)-th rank, contribution ``max(w*10^6, (2^63*10^6) // tau)`` per
+    sampled doc (exact integers, order-free sum). When the corpus has
+    <= k docs the sample is exhaustive and the estimate is the EXACT
+    total weight. Deterministic -> hash-verified; accuracy (~1/sqrt(k))
+    is asserted against the exact total in tests."""
+    rows = _wbk_rows(sf_dir, k)
+    if len(rows) <= k:                       # exhaustive: exact total
+        est = int(rows["w"].sum()) * 10**6
+        return pa.table({"k_used": int64_col(np.array([len(rows)], np.int64)),
+                         "tau": int64_col(np.array([0], np.int64)),
+                         "est_total_w_micro": int64_col(
+                             np.array([est], np.int64))})
+    tau = int(rows["r"].iloc[k])
+    samp = rows.head(k)
+    base = ((1 << 63) * 10**6) // tau
+    est = int(sum(max(int(w) * 10**6, base) for w in samp["w"]))
+    return pa.table({"k_used": int64_col(np.array([k], np.int64)),
+                     "tau": int64_col(np.array([tau], np.int64)),
+                     "est_total_w_micro": int64_col(
+                         np.array([est], np.int64))})
+
+
+def weighted_sample_est_sql(k: int = _WBK_K) -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id, GREATEST(n_chars, 1) AS w,
+         CAST(CAST(md5_number_lower('ws:' || CAST(doc_id AS VARCHAR))
+                   AS UHUGEINT) % 9223372036854775808::UHUGEINT
+              AS BIGINT) AS hv
+  FROM documents),
+r AS (SELECT doc_id, w, hv // w AS r FROM h),
+ordered AS (
+  SELECT doc_id, w, r,
+         row_number() OVER (ORDER BY r, doc_id) AS rank
+  FROM r),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+tau AS (SELECT r AS tau FROM ordered WHERE rank = {k} + 1),
+exhaustive AS (
+  SELECT CAST(n.n AS BIGINT) AS k_used, CAST(0 AS BIGINT) AS tau,
+         CAST((SELECT sum(w) FROM r) * 1000000 AS BIGINT)
+           AS est_total_w_micro
+  FROM n WHERE n.n <= {k}),
+estimated AS (
+  SELECT CAST({k} AS BIGINT) AS k_used, CAST(t.tau AS BIGINT) AS tau,
+         CAST((SELECT sum(GREATEST(
+                   CAST(o.w AS HUGEINT) * 1000000,
+                   CAST(9223372036854775808 AS HUGEINT) * 1000000 // t.tau))
+               FROM ordered o WHERE o.rank <= {k}) AS BIGINT)
+           AS est_total_w_micro
+  FROM tau t, n WHERE n.n > {k})
+SELECT * FROM exhaustive UNION ALL SELECT * FROM estimated
+"""

@@ -72,7 +72,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "value_quantiles_sketch_violations", "rescore_search",
                "user_kmv_registers", "user_overlap_kmv",
                "bloom_semi_join", "bloom_semi_join_stats",
-               "range_partition_plan"]
+               "range_partition_plan", "weighted_sample",
+               "weighted_sample_est"]
 
 
 @pytest.fixture(scope="module")
@@ -1254,6 +1255,22 @@ def test_rescore_stays_in_window_and_reorders(ray_session):
     same = (res.sort_values(["query_id", "rank"]).doc_id.to_numpy()
             == bm.sort_values(["query_id", "rank"]).doc_id.to_numpy())
     assert not same.all()
+
+
+def test_weighted_sample_is_weighted_and_estimator_tight(ray_session, duck):
+    """Bottom-k weighted sampling semantics: the sampled docs' mean
+    weight exceeds the corpus mean (inclusion prob rises with weight),
+    and the subset-sum estimate lands within the ~1/sqrt(k) band of
+    the exact total weight."""
+    from searchengine_ray.pipelines import textstats as ts
+
+    samp = _to_pandas(ts.weighted_sample(SF_DIR))
+    stats = duck.sql("SELECT avg(GREATEST(n_chars,1)),"
+                     " sum(GREATEST(n_chars,1)) FROM documents").fetchone()
+    assert samp.weight.mean() > stats[0]
+    est = _to_pandas(ts.weighted_sample_est(SF_DIR))
+    rel_err = abs(est.est_total_w_micro[0] / 1e6 - stats[1]) / stats[1]
+    assert rel_err < 0.4                     # k=64 -> ~12.5% expected
 
 
 def test_range_partition_plan_contiguous_and_complete(ray_session, duck):
