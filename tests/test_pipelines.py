@@ -73,7 +73,9 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "user_kmv_registers", "user_overlap_kmv",
                "bloom_semi_join", "bloom_semi_join_stats",
                "range_partition_plan", "weighted_sample",
-               "weighted_sample_est"]
+               "weighted_sample_est", "trigram_df",
+               "trigram_substring_search", "trigram_prune_stats",
+               "trigram_regex_search"]
 
 
 @pytest.fixture(scope="module")
