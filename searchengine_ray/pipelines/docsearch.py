@@ -3521,3 +3521,103 @@ WITH toks AS (
 SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
 FROM toks WHERE term <> '' GROUP BY term
 """
+
+
+# ---- champion lists (impact-ordered posting heads) ----
+
+CHAMPION_C = 3
+
+
+class _ChampionPartial:
+    """map_batches over the POSTINGS parquet: decode each slice and
+    emit only its top-C (tf desc, doc_id asc) postings per term — the
+    per-slice partial of the champion list (any global top-C member is
+    top-C within its slice, so the partial prune is lossless). The
+    decode plumbing is `_PostingsExport`'s; the output is C rows per
+    (term, slice) instead of the whole list."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from searchengine_ray.codec import PostingBlocks, decode_blocks
+
+        out_t, out_d, out_tf = [], [], []
+        for i in range(batch.num_rows):
+            counts = np.asarray(batch.column("counts")[i].as_py(), np.int32)
+            dsz = np.asarray(batch.column("doc_sizes")[i].as_py(), np.int64)
+            tsz = np.asarray(batch.column("tf_sizes")[i].as_py(), np.int64)
+            doc_offsets = np.zeros(len(dsz) + 1, np.int64)
+            tf_offsets = np.zeros(len(tsz) + 1, np.int64)
+            np.cumsum(dsz, out=doc_offsets[1:])
+            np.cumsum(tsz, out=tf_offsets[1:])
+            pb = PostingBlocks(
+                batch.column("doc_bytes")[i].as_py(),
+                batch.column("tf_bytes")[i].as_py(),
+                counts,
+                np.asarray(batch.column("last_docs")[i].as_py(), np.int64),
+                np.asarray(batch.column("max_tfs")[i].as_py(), np.int32),
+                doc_offsets, tf_offsets)
+            ids, tfs = decode_blocks(pb)
+            top = np.lexsort((ids, -tfs.astype(np.int64)))[:CHAMPION_C]
+            out_t.extend([batch.column("term")[i].as_py()] * len(top))
+            out_d.append(ids[top])
+            out_tf.append(tfs[top].astype(np.int64))
+        if not out_t:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "tf": pa.array([], pa.int64())})
+        return pa.table({"term": pa.array(out_t, pa.string()),
+                         "doc_id": int64_col(np.concatenate(out_d)),
+                         "tf": int64_col(np.concatenate(out_tf))})
+
+
+def champion_lists(sf_dir: str):
+    """(term, doc_id, tf, rnk) — the top-C highest-tf docs of every
+    term's posting list, rank-ordered (tf desc, doc_id asc): Lucene/
+    WAND-era CHAMPION LISTS (a.k.a. impact-ordered posting heads),
+    the static pruning structure that serves approximate top-k from a
+    fraction of each list. Reference analog: the ranker's
+    tf-weighted scoring (search_engine.py:62-71) — this face
+    precomputes who could ever win it per term.
+
+    Shape: one decode pass over the postings parquet emits per-slice
+    top-C partials (lossless prune, C x slices rows per term); one
+    term-key groupby merges slices. Postings stay term-partitioned,
+    so the groupby moves only champion-head rows — never a full list."""
+    import ray
+    from pathlib import Path
+
+    paths = ensure_doc_index(sf_dir)
+    files = [str(p) for p in sorted(Path(paths.postings).glob("*.parquet"))]
+
+    def final_top(g: "pd.DataFrame") -> pa.Table:
+        g = g.sort_values(["tf", "doc_id"], ascending=[False, True],
+                          kind="mergesort").head(CHAMPION_C)
+        return pa.table({
+            "term": pa.array(g["term"].tolist(), pa.string()),
+            "doc_id": int64_col(g["doc_id"].to_numpy(np.int64)),
+            "tf": int64_col(g["tf"].to_numpy(np.int64)),
+            "rnk": int64_col(np.arange(1, len(g) + 1)),
+        })
+
+    return ray.data.read_parquet(
+        files, columns=["term", "counts", "last_docs", "max_tfs",
+                        "doc_sizes", "tf_sizes", "doc_bytes", "tf_bytes"],
+    ).map_batches(_ChampionPartial, batch_format="pyarrow",
+                  concurrency=(1, 4)) \
+        .groupby("term").map_groups(final_top, batch_format="pandas")
+
+
+def champion_lists_sql(c: int = CHAMPION_C) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents),
+tf AS (SELECT term, doc_id, count(*) AS tf
+       FROM toks WHERE term <> '' GROUP BY term, doc_id),
+ranked AS (
+  SELECT term, doc_id, CAST(tf AS BIGINT) AS tf,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY tf DESC, doc_id ASC) AS rnk
+  FROM tf)
+SELECT term, doc_id, tf, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {c}
+"""
