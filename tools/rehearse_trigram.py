@@ -1,0 +1,90 @@
+"""100x rehearsal for the trigram (codesearch) layer + champion lists:
+builds the trigram posting index over a 500k-doc corpus and serves the
+substring / regex query sets through it, then decodes champion lists
+off the full-text index. Catches what the 500-doc gate can't: posting
+shuffle volume, part-file sizes, candidate-set scale on common
+needles, and the verify stage's referenced-text read pattern against a
+multi-file corpus.
+
+Usage: python tools/rehearse_trigram.py [n_docs] [out_json]
+Corpus lands under /tmp/graft_rehearsal/; prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.rehearse_newops import synth  # noqa: E402
+
+
+def main() -> None:
+    import ray
+
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    out_json = sys.argv[2] if len(sys.argv) > 2 else "BENCH/r4_trigram_500k.json"
+
+    base = Path("/tmp/graft_rehearsal") / f"docs_{n_docs}"
+    if not (base / "documents.parquet").exists():
+        synth(n_docs, base)
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from searchengine_ray.pipelines import docsearch, trigram
+
+    res: dict = {"n_docs": n_docs}
+
+    # fresh trigram build (drop any cached layout for this corpus)
+    import hashlib
+
+    tag = hashlib.blake2b(str(base).encode(), digest_size=6).hexdigest()
+    shutil.rmtree(f"/tmp/graft_trigram_index/{tag}", ignore_errors=True)
+    t0 = time.perf_counter()
+    root = trigram.ensure_trigram_index(str(base))
+    res["trigram_build_sec"] = round(time.perf_counter() - t0, 2)
+    res["trigram_docs_per_sec"] = round(n_docs / res["trigram_build_sec"])
+    res["index_bytes"] = sum(p.stat().st_size
+                             for p in Path(root).glob("part_*.parquet"))
+
+    t0 = time.perf_counter()
+    n = trigram.trigram_substring_search(str(base)).count()
+    res["substring_search_sec"] = round(time.perf_counter() - t0, 2)
+    res["substring_hits"] = int(n)
+
+    t0 = time.perf_counter()
+    stats = trigram.trigram_prune_stats(str(base)).to_pandas()
+    res["prune_stats_sec"] = round(time.perf_counter() - t0, 2)
+    res["prune_stats"] = {
+        int(r.query_id): {"cand": int(r.n_candidates), "match": int(r.n_matches)}
+        for r in stats.itertuples()}
+
+    t0 = time.perf_counter()
+    n = trigram.trigram_regex_search(str(base)).count()
+    res["regex_search_sec"] = round(time.perf_counter() - t0, 2)
+    res["regex_hits"] = int(n)
+
+    t0 = time.perf_counter()
+    n = docsearch.champion_lists(str(base)).count()
+    res["champion_sec_incl_index_build"] = round(time.perf_counter() - t0, 2)
+    res["champion_rows"] = int(n)
+
+    line = json.dumps(res)
+    print(line)
+    with open(out_json, "w") as f:
+        f.write(line + "\n")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
