@@ -5776,3 +5776,102 @@ estimated AS (
   FROM tau t, n WHERE n.n > {k})
 SELECT * FROM exhaustive UNION ALL SELECT * FROM estimated
 """
+
+
+# ---- Kneser-Ney continuation counts (n-gram LM smoothing primitive) --
+
+
+class _KNPairTypesPartial:
+    """Per-batch DISTINCT adjacent-token pairs ('prev cur' strings) —
+    the bigram TYPE partial behind Kneser-Ney continuation counts.
+    Tokenization and the integer pair-code kernel are `_BigramPartial`'s
+    (doc-boundary sentinel, factorize + np.unique); emitting types
+    instead of counts makes every downstream group at most
+    n_batches rows, hot pairs included."""
+
+    def __init__(self):
+        import re
+
+        self.tok = re.compile(r"[a-z0-9_]+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for text in batch.column("text").to_pylist():
+            toks.extend(self.tok.findall(text.lower()))
+            toks.append("\n")
+        if len(toks) < 2:
+            return pa.table({"bigram": pa.array([], pa.string())})
+        codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
+        sent = np.flatnonzero(uniq == "\n")[0]
+        a, b = codes[:-1], codes[1:]
+        mask = (a != sent) & (b != sent)
+        v = len(uniq)
+        pair_codes = np.unique(a[mask].astype(np.int64) * v + b[mask])
+        bigrams = [f"{uniq[p // v]} {uniq[p % v]}" for p in pair_codes.tolist()]
+        return pa.table({"bigram": pa.array(bigrams, pa.string())})
+
+
+def kneser_ney_counts(sf_dir: str):
+    """(term, n_left_types, n_right_types) — Kneser-Ney continuation
+    counts over the corpus bigram graph: for each term, how many
+    DISTINCT left neighbors (N1+(·w), the numerator of the KN unigram
+    continuation probability — Kneser & Ney 1995; Chen & Goodman 1999)
+    and distinct right neighbors (N1+(w·), the discount normalizer).
+    Completes the n-gram LM family beside `unigram_logprob` /
+    `bigram_logprob`, which use raw counts where smoothing wants types.
+
+    Shape: per-batch distinct-pair partials -> one pair-key groupby
+    (global type dedup; groups bounded by n_batches) -> each pair row
+    re-tagged as one left-type and one right-type contribution -> one
+    term-key groupby summing both tags. Only bigram-type strings ride
+    the shuffles, never text."""
+    from ray.data.aggregate import Count, Sum
+
+    pairs = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _KNPairTypesPartial, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, 4))
+    uniq = pairs.groupby("bigram").aggregate(Count(alias_name="_n"))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        bi = batch.column("bigram").to_pylist()
+        prev = [s.split(" ", 1)[0] for s in bi]
+        cur = [s.split(" ", 1)[1] for s in bi]
+        n = len(bi)
+        return pa.table({
+            "term": pa.array(cur + prev, pa.string()),
+            "l_p": int64_col(np.r_[np.ones(n, np.int64), np.zeros(n, np.int64)]),
+            "r_p": int64_col(np.r_[np.zeros(n, np.int64), np.ones(n, np.int64)]),
+        })
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "term": batch.column("term"),
+            "n_left_types": batch.column("sum(l_p)").cast(pa.int64()),
+            "n_right_types": batch.column("sum(r_p)").cast(pa.int64()),
+        })
+
+    return uniq.map_batches(tag, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("l_p"), Sum("r_p")) \
+        .map_batches(rename, batch_format="pyarrow")
+
+
+def kneser_ney_counts_sql() -> str:
+    return """
+WITH s AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+b AS (
+  SELECT DISTINCT unnest([t[i] || ' ' || t[i + 1]
+                          for i in generate_series(1, len(t) - 1)]) AS bigram
+  FROM s),
+u AS (SELECT split_part(bigram, ' ', 1) AS prev,
+             split_part(bigram, ' ', 2) AS cur
+      FROM (SELECT DISTINCT bigram FROM b)),
+l AS (SELECT cur AS term, count(*) AS n FROM u GROUP BY cur),
+r AS (SELECT prev AS term, count(*) AS n FROM u GROUP BY prev)
+SELECT coalesce(l.term, r.term) AS term,
+       CAST(coalesce(l.n, 0) AS BIGINT) AS n_left_types,
+       CAST(coalesce(r.n, 0) AS BIGINT) AS n_right_types
+FROM l FULL JOIN r ON l.term = r.term
+"""

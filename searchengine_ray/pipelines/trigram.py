@@ -85,6 +85,27 @@ class _TrigramExtract:
                          "part": int64_col(grams % _TRI_PARTS)})
 
 
+def _build_parts(rows, root: str, suffix: str = "") -> list[tuple[int, int]]:
+    """One hash-partitioned groupby over (gram, doc_id, part) rows
+    writing gram-sorted ``part_<p><suffix>.parquet`` segments. Returns
+    bounded (part, n_rows) stats."""
+
+    def write_part(g: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        p = int(g.column("part")[0].as_py())
+        g = g.sort_by([("gram", "ascending"), ("doc_id", "ascending")])
+        g = g.drop_columns(["part"])
+        pq.write_table(g, os.path.join(root, f"part_{p}{suffix}.parquet"),
+                       row_group_size=_ROW_GROUP)
+        return pa.table({"part": int64_col([p]),
+                         "n_rows": int64_col([g.num_rows])})
+
+    stats = rows.groupby("part").map_groups(
+        write_part, batch_format="pyarrow").take_all()   # bounded: P rows
+    return sorted((int(r["part"]), int(r["n_rows"])) for r in stats)
+
+
 def ensure_trigram_index(sf_dir: str) -> str:
     """Build (once per sf_dir, cached under /tmp) the partitioned
     trigram posting index: ``part_<p>.parquet`` holding (gram, doc_id)
@@ -98,26 +119,12 @@ def ensure_trigram_index(sf_dir: str) -> str:
     if os.path.exists(marker):
         return root
     os.makedirs(root, exist_ok=True)
-
-    def write_part(g: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-
-        p = int(g.column("part")[0].as_py())
-        g = g.sort_by([("gram", "ascending"), ("doc_id", "ascending")])
-        g = g.drop_columns(["part"])
-        pq.write_table(g, os.path.join(root, f"part_{p}.parquet"),
-                       row_group_size=_ROW_GROUP)
-        return pa.table({"part": int64_col([p]),
-                         "n_rows": int64_col([g.num_rows])})
-
     rows = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         _TrigramExtract, batch_format="pyarrow", batch_size=512,
         concurrency=(1, 4))
-    stats = rows.groupby("part").map_groups(
-        write_part, batch_format="pyarrow").take_all()   # bounded: P rows
+    stats = _build_parts(rows, root)
     with open(marker, "w") as f:
-        json.dump({"parts": sorted((int(r["part"]), int(r["n_rows"]))
-                                   for r in stats)}, f)
+        json.dump({"parts": stats}, f)
     return root
 
 
@@ -208,9 +215,15 @@ def _candidate_pairs(root: str, queries: list[tuple[int, str]]):
         raise ValueError("substring queries must be >= 3 chars")
     needed = np.unique(np.concatenate(list(qgrams.values())))
     nreq = {qid: len(g) for qid, g in qgrams.items()}
+    import glob as _glob
+
     parts = sorted({int(p) for p in np.unique(needed % _TRI_PARTS)})
-    files = [os.path.join(root, f"part_{p}.parquet") for p in parts]
-    files = [f for f in files if os.path.exists(f)]
+    files = []
+    for p in parts:           # base segment + any incremental generations
+        files.extend(sorted(_glob.glob(
+            os.path.join(root, f"part_{p}.parquet"))))
+        files.extend(sorted(_glob.glob(
+            os.path.join(root, f"part_{p}_g*.parquet"))))
     if not files:
         return ray.data.from_arrow(pa.table({
             "query_id": pa.array([], pa.int64()),
@@ -579,3 +592,75 @@ SELECT CAST(p.query_id AS BIGINT) AS query_id, d.doc_id,
 FROM documents d CROSS JOIN pats p
 WHERE len(regexp_extract_all(d.text, p.pat)) > 0
 """
+
+
+# ---- incremental (append-only) index growth ----
+
+_INC_MOD = 2
+
+
+class _ModFilter:
+    """Keep rows with doc_id % mod == rem — the deterministic corpus
+    split the incremental lifecycle tests use (dedup.py's _INC_MOD
+    discipline); one vectorized modulo, no join."""
+
+    def __init__(self, rem: int):
+        self.rem = rem
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % _INC_MOD == self.rem))
+
+
+def ensure_trigram_incremental(sf_dir: str) -> str:
+    """Two-generation trigram index: base build over doc_id % 2 == 0,
+    then an APPEND-ONLY increment over doc_id % 2 == 1 writing
+    ``part_<p>_g2.parquet`` beside the base segments — no base file is
+    rewritten (the Lucene segment model; queries read base + all
+    generations and never notice). Cached once per sf_dir."""
+    tag = hashlib.blake2b((sf_dir + "#incr").encode(),
+                          digest_size=6).hexdigest()
+    root = f"/tmp/graft_trigram_index/{tag}"
+    marker = os.path.join(root, "_DONE")
+    if os.path.exists(marker):
+        return root
+    os.makedirs(root, exist_ok=True)
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    base = docs.map_batches(_ModFilter, fn_constructor_args=(0,),
+                            batch_format="pyarrow", concurrency=(1, 2)) \
+        .map_batches(_TrigramExtract, batch_format="pyarrow",
+                     batch_size=512, concurrency=(1, 4))
+    s1 = _build_parts(base, root)
+    incr = docs.map_batches(_ModFilter, fn_constructor_args=(1,),
+                            batch_format="pyarrow", concurrency=(1, 2)) \
+        .map_batches(_TrigramExtract, batch_format="pyarrow",
+                     batch_size=512, concurrency=(1, 4))
+    s2 = _build_parts(incr, root, suffix="_g2")
+    with open(marker, "w") as f:
+        json.dump({"base": s1, "g2": s2}, f)
+    return root
+
+
+def trigram_incremental(sf_dir: str):
+    """(query_id, doc_id, n_matches, first_pos) — the substring query
+    set served from the TWO-GENERATION index (base + append segment):
+    must be hash-identical to the one-shot build's answers, proving
+    segment-granular growth loses and invents nothing. Same oracle SQL
+    as `trigram_substring_search` — the oracle is blind to how many
+    segments served it."""
+    root = ensure_trigram_incremental(sf_dir)
+    cand = _candidate_pairs(root, SUBSTRING_QUERIES)
+
+    def add_vpart(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.append_column("vpart", int64_col(d % _N_VERIFY_PARTS))
+
+    return cand.map_batches(add_vpart, batch_format="pyarrow") \
+        .groupby("vpart").map_groups(
+            _SubstrVerifyGroup(table_path(sf_dir, "documents"),
+                               SUBSTRING_QUERIES),
+            batch_format="pyarrow").filter(expr="n_matches > 0")
+
+
+def trigram_incremental_sql() -> str:
+    return trigram_substring_search_sql()

@@ -75,7 +75,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "range_partition_plan", "weighted_sample",
                "weighted_sample_est", "trigram_df",
                "trigram_substring_search", "trigram_prune_stats",
-               "trigram_regex_search", "champion_lists"]
+               "trigram_regex_search", "champion_lists",
+               "trigram_incremental", "kneser_ney_counts"]
 
 
 @pytest.fixture(scope="module")
