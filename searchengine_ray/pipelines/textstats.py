@@ -5875,3 +5875,102 @@ SELECT coalesce(l.term, r.term) AS term,
        CAST(coalesce(r.n, 0) AS BIGINT) AS n_right_types
 FROM l FULL JOIN r ON l.term = r.term
 """
+
+
+# ---- global total-order rank (the sort-materialization primitive) ----
+
+
+def global_rank(sf_dir: str, nparts: int = _RPP_NPARTS,
+                sample_mod: int = _RPP_SAMPLE_MOD):
+    """(doc_id, rnk) — the GLOBAL total-order rank of every document
+    under (n_chars asc, doc_id asc): `range_partition_plan` carried to
+    completion, i.e. the distributed sort-materialization primitive
+    behind sorted-parquet writes and rank features. Same
+    sampled-boundary machinery (salted-md5 bounded sample, pure-integer
+    boundary ranks, broadcast searchsorted — equal keys always land in
+    one part so cross-part order is total); then
+
+    1. one metadata-only pass counts rows per part (bounded P-row
+       aggregate -> driver cumsum -> broadcast offsets);
+    2. one part-key groupby sorts each contiguous range locally and
+       emits rank = offset[part] + local rank.
+
+    No corpus-scale sort, no driver materialization beyond P integers;
+    the oracle is a plain `row_number()` window."""
+    import hashlib as _hl
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def sample_batch(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keys = b.column("n_chars").to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (int.from_bytes(_hl.md5(f"rps:{d}".encode()).digest()[8:16],
+                            "little") % sample_mod == 0
+             for d in ids.tolist()), dtype=bool, count=len(ids))
+        return pa.table({"key": int64_col(keys[keep].astype(np.int64))})
+
+    docs = read(sf_dir, "documents", ["doc_id", "n_chars"])
+    sample = [b.column("key").to_numpy(zero_copy_only=False)
+              for b in docs.map_batches(sample_batch, batch_format="pyarrow",
+                                        batch_size=65536)
+              .iter_batches(batch_format="pyarrow") if b.num_rows]
+    s = np.sort(np.concatenate(sample)) if sample else np.array([], np.int64)
+    bounds = (np.array([s[(i * len(s)) // nparts]
+                        for i in range(1, nparts)], dtype=np.int64)
+              if len(s) else np.array([], dtype=np.int64))
+    bounds_ref = ray.put(bounds)
+
+    def count_parts(batch: pa.Table) -> pa.Table:
+        bd = ray.get(bounds_ref)
+        k = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        part = np.searchsorted(bd, k, side="right").astype(np.int64)
+        uniq, cnt = np.unique(part, return_counts=True)
+        return pa.table({"part": int64_col(uniq),
+                         "n_p": int64_col(cnt.astype(np.int64))})
+
+    counts = docs.map_batches(count_parts, batch_format="pyarrow",
+                              batch_size=65536) \
+        .groupby("part").aggregate(Sum("n_p", alias_name="n_rows")) \
+        .take_all()                                  # bounded: P rows
+    sizes = {int(r["part"]): int(r["n_rows"]) for r in counts}
+    offsets = {}
+    acc = 0
+    for p in sorted(sizes):
+        offsets[p] = acc
+        acc += sizes[p]
+    off_ref = ray.put(offsets)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        bd = ray.get(bounds_ref)
+        k = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "key": int64_col(k),
+            "part": int64_col(np.searchsorted(bd, k, side="right"))})
+
+    def rank_part(g: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        p = int(g.column("part")[0].as_py())
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        k = g.column("key").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, k))
+        return pa.table({
+            "doc_id": int64_col(ids[order].astype(np.int64)),
+            "rnk": int64_col(off[p] + 1 + np.arange(len(ids), dtype=np.int64)),
+        })
+
+    return docs.map_batches(assign, batch_format="pyarrow",
+                            batch_size=65536) \
+        .groupby("part").map_groups(rank_part, batch_format="pyarrow")
+
+
+def global_rank_sql() -> str:
+    return """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rnk
+FROM documents
+"""
