@@ -165,6 +165,9 @@ def run_bench() -> dict:
         timed("pricing_summary", rel.pricing_summary)
         timed("events_daily", rel.events_daily)
         timed("bm25_docs_table", docsearch.bm25_topk)
+        from searchengine_ray.pipelines import trigram as tg
+
+        timed("trigram_substring", tg.trigram_substring_search)
 
     total = sum(timings.values())
     return {

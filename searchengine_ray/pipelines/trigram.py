@@ -10,17 +10,27 @@ posting lists yields a candidate set, and only candidates' texts are
 read for exact verification. A regex query is accelerated the same way
 through a conservatively-extracted REQUIRED LITERAL.
 
-Shapes (all 100-TB-safe):
-- index build: one map_batches pass extracts per-doc distinct trigram
-  codes (vectorized utf-32 -> packed int64), ONE hash-partitioned
-  groupby writes gram-sorted posting partitions (`part_<p>.parquet`,
-  64 Ki row groups) — the same exchange shape as the term index;
-- query: file-level partition pruning (only parts holding the query's
-  grams are opened) + an `np.isin` gram filter per batch; candidate
-  counting is a pre-aggregated (query, doc) partial -> one small
-  groupby; verification routes candidates to hash partitions whose
-  tasks read ONLY the texts they reference (the JaccardVerifyGroup
-  discipline, dedup.py:233-268);
+Shapes (all 100-TB-safe). The index is DOC-SHARDED, exactly like
+Zoekt: every shard file holds the COMPLETE gram set of its document
+range, gram-sorted. Two earlier layouts were built and measured out
+at the 500k rehearsal: a gram-partitioned global posting exchange
+(build 108s — the all-to-all dominates) and the same layout
+segment-flushed (build 9s, but substring candidates then need a
+cross-part (query, doc) groupby to intersect — 41s of sort-aggregate
+over the hot-gram posting mass). Doc-sharding removes both: a doc's
+grams never leave their shard, so intersection is SHARD-LOCAL
+vectorized numpy and the whole query plan has zero shuffle.
+- build: one map_batches pass extracts per-doc distinct trigram codes
+  (vectorized utf-32 -> packed int64) and flushes one gram-sorted
+  shard file per batch; `compact_trigram_index` folds shard groups
+  into fewer files, Lucene-merge style (doc-range completeness is
+  preserved by construction);
+- query: one task per shard file opens it with a scanner predicate on
+  the needed grams (gram-sorted row groups -> statistics pruning),
+  intersects locally (docs holding ALL needle grams), and emits only
+  candidate (query, doc) pairs; verification routes candidates to
+  hash partitions whose tasks read ONLY the texts they reference (the
+  JaccardVerifyGroup discipline, dedup.py:233-268);
 - nothing text-scale ever broadcasts or lands on the driver.
 
 Trigram semantics are UNICODE CODE POINTS (3 consecutive characters),
@@ -41,7 +51,6 @@ import pyarrow as pa
 
 from searchengine_ray.pipelines.common import int64_col, read, table_path
 
-_TRI_PARTS = 8
 _MASK21 = (1 << 21) - 1
 _N_VERIFY_PARTS = 8
 _ROW_GROUP = 1 << 16
@@ -67,65 +76,113 @@ def _sql_quote(s: str) -> str:
     return s.replace("'", "''")
 
 
-class _TrigramExtract:
-    """(gram, doc_id, part) rows — per-doc distinct trigrams."""
+class _ShardFlush:
+    """Extract + sort + WRITE in one shuffle-free pass: each batch of
+    documents flushes ONE gram-sorted shard file
+    (``shard_<gen>_<first doc id>.parquet``) holding the COMPLETE gram
+    set of every doc in the batch, and returns only a tiny
+    (shard, n_rows) stats row. Doc-sharding is the Zoekt layout: a
+    doc's grams never leave their shard, so substring intersection is
+    shard-local (see `_ShardCandidates`) and no stage of the build or
+    the query plan shuffles. ``batch_size`` is the shard-size knob; at
+    10^12 files each corpus partition flushes its own shard set."""
+
+    def __init__(self, root: str, gen: str):
+        self.root = root
+        self.gen = gen
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        per_doc = [_gram_codes(t) for t in texts]
-        if per_doc:
-            grams = np.concatenate(per_doc)
-            docs = np.repeat(ids, [len(g) for g in per_doc])
-        else:
-            grams = np.empty(0, np.int64)
-            docs = np.empty(0, np.int64)
-        return pa.table({"gram": int64_col(grams),
-                         "doc_id": int64_col(docs),
-                         "part": int64_col(grams % _TRI_PARTS)})
-
-
-def _build_parts(rows, root: str, suffix: str = "") -> list[tuple[int, int]]:
-    """One hash-partitioned groupby over (gram, doc_id, part) rows
-    writing gram-sorted ``part_<p><suffix>.parquet`` segments. Returns
-    bounded (part, n_rows) stats."""
-
-    def write_part(g: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
-        p = int(g.column("part")[0].as_py())
-        g = g.sort_by([("gram", "ascending"), ("doc_id", "ascending")])
-        g = g.drop_columns(["part"])
-        pq.write_table(g, os.path.join(root, f"part_{p}{suffix}.parquet"),
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        per_doc = [_gram_codes(t) for t in texts]
+        empty = pa.table({"shard": pa.array([], pa.string()),
+                          "n_rows": pa.array([], pa.int64())})
+        if not per_doc:
+            return empty
+        grams = np.concatenate(per_doc)
+        if len(grams) == 0:
+            return empty
+        docs = np.repeat(ids, [len(g) for g in per_doc])
+        order = np.lexsort((docs, grams))
+        name = f"shard_{self.gen}_{int(ids[0])}.parquet"
+        tbl = pa.table({"gram": int64_col(grams[order]),
+                        "doc_id": int64_col(docs[order])})
+        pq.write_table(tbl, os.path.join(self.root, name),
                        row_group_size=_ROW_GROUP)
-        return pa.table({"part": int64_col([p]),
-                         "n_rows": int64_col([g.num_rows])})
+        return pa.table({"shard": pa.array([name], pa.string()),
+                         "n_rows": int64_col([len(grams)])})
 
-    stats = rows.groupby("part").map_groups(
-        write_part, batch_format="pyarrow").take_all()   # bounded: P rows
-    return sorted((int(r["part"]), int(r["n_rows"])) for r in stats)
+
+def _flush_shards(docs_ds, root: str, gen: str) -> list[tuple[str, int]]:
+    stats = docs_ds.map_batches(
+        _ShardFlush, fn_constructor_args=(root, gen),
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 8)).take_all()        # bounded: one row per shard
+    return sorted((r["shard"], int(r["n_rows"])) for r in stats)
+
+
+def _shard_files(root: str) -> list[str]:
+    import glob as _glob
+
+    return sorted(_glob.glob(os.path.join(root, "shard_*.parquet")))
 
 
 def ensure_trigram_index(sf_dir: str) -> str:
-    """Build (once per sf_dir, cached under /tmp) the partitioned
-    trigram posting index: ``part_<p>.parquet`` holding (gram, doc_id)
-    sorted by (gram, doc_id) with small row groups, so query-time reads
-    prune at file level (gram % P) and at row-group level (gram-sorted
-    statistics). One extraction pass + one groupby — the identical
-    exchange shape as the main term index (build.py:304-396)."""
+    """Build (once per sf_dir, cached under /tmp) the doc-sharded
+    trigram index: gram-sorted shard files flushed with zero shuffle
+    (`_ShardFlush`), then compacted into at most `_COMPACT_FILES`
+    larger shards so query-time row-group statistics prune effectively
+    (a big sorted file's row groups each cover a narrow gram range; a
+    small shard's row groups span the whole gram space and defeat
+    pushdown)."""
     tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
     root = f"/tmp/graft_trigram_index/{tag}"
     marker = os.path.join(root, "_DONE")
     if os.path.exists(marker):
         return root
     os.makedirs(root, exist_ok=True)
-    rows = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        _TrigramExtract, batch_format="pyarrow", batch_size=512,
-        concurrency=(1, 4))
-    stats = _build_parts(rows, root)
+    stats = _flush_shards(
+        read(sf_dir, "documents", ["doc_id", "text"]), root, "1")
+    compact_trigram_index(root)
     with open(marker, "w") as f:
-        json.dump({"parts": stats}, f)
+        json.dump({"shards": stats}, f)
     return root
+
+
+_COMPACT_FILES = 8
+
+
+def compact_trigram_index(root: str, k: int = _COMPACT_FILES) -> None:
+    """Fold the shard files into at most ``k`` larger shards — the
+    Lucene merge. Each merge task concatenates a GROUP of whole shards
+    and re-sorts by gram, so the merged file still holds the complete
+    gram set of every doc inside it (the invariant `_ShardCandidates`
+    relies on). One Ray task per group."""
+    import ray
+
+    files = _shard_files(root)
+    if len(files) <= k:
+        return
+
+    @ray.remote
+    def _compact(idx: int, group: list[str]) -> str:
+        import pyarrow.parquet as pq
+
+        tbl = pa.concat_tables([pq.read_table(f) for f in group])
+        tbl = tbl.sort_by([("gram", "ascending"), ("doc_id", "ascending")])
+        dest = os.path.join(root, f"shard_c{idx}.parquet")
+        tmp = dest + ".tmp"
+        pq.write_table(tbl, tmp, row_group_size=_ROW_GROUP)
+        for f in group:
+            os.remove(f)
+        os.rename(tmp, dest)
+        return dest
+
+    groups = [files[i::k] for i in range(k)]
+    ray.get([_compact.remote(i, g) for i, g in enumerate(groups) if g])
 
 
 # ---- index face: trigram document frequency ----
@@ -198,72 +255,65 @@ def _needle_grams(needle: str) -> np.ndarray:
     return _gram_codes(needle)
 
 
+class _ShardCandidates:
+    """One task per SHARD FILE: open it with a scanner predicate on the
+    union of needed grams (gram-sorted row groups -> statistics skip
+    most of the file), then per query count each doc's distinct needle
+    grams and keep docs holding ALL of them. Because a doc's complete
+    gram set lives in this one shard, the intersection is final here —
+    no cross-shard aggregation exists in the plan (the r4 rehearsal
+    measured the gram-partitioned alternative spending 41s in exactly
+    that (query, doc) sort-aggregate)."""
+
+    def __init__(self, queries: list[tuple[int, str]]):
+        self.qgrams = {qid: _needle_grams(n) for qid, n in queries}
+        self.needed = np.unique(np.concatenate(list(self.qgrams.values())))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        out_q, out_d = [], []
+        for path in batch.column("path").to_pylist():
+            t = pq.read_table(path, columns=["gram", "doc_id"],
+                              filters=pc.field("gram").isin(
+                                  pa.array(self.needed)))
+            grams = t.column("gram").to_numpy(zero_copy_only=False)
+            docs = t.column("doc_id").to_numpy(zero_copy_only=False)
+            for qid, g in self.qgrams.items():
+                m = np.isin(grams, g)
+                if not m.any():
+                    continue
+                ud, cnt = np.unique(docs[m], return_counts=True)
+                hit = ud[cnt == len(g)]
+                out_q.append(np.full(len(hit), qid, np.int64))
+                out_d.append(hit.astype(np.int64))
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        return pa.table({"query_id": int64_col(np.concatenate(out_q)),
+                         "doc_id": int64_col(np.concatenate(out_d))})
+
+
 def _candidate_pairs(root: str, queries: list[tuple[int, str]]):
     """Dataset of (query_id, doc_id) candidates: docs containing ALL
-    trigrams of each query's needle.
-
-    Only index parts holding a needed gram are opened (file-level
-    pruning via gram % P — the J2 partition-pruning discipline); each
-    batch filters to needed grams with one `np.isin`, emits per-(query,
-    doc) partial counts, and a small groupby-sum compares against the
-    per-query gram count. Queries shorter than 3 chars are rejected
-    (no trigram evidence -> would need the full-scan path)."""
+    trigrams of each query's needle — shard-local intersection, zero
+    shuffle (`_ShardCandidates`). Queries shorter than 3 chars are
+    rejected (no trigram evidence -> would need the full-scan path)."""
     import ray
 
-    qgrams = {qid: _needle_grams(n) for qid, n in queries}
-    if any(len(g) == 0 for g in qgrams.values()):
+    if any(len(_needle_grams(n)) == 0 for _, n in queries):
         raise ValueError("substring queries must be >= 3 chars")
-    needed = np.unique(np.concatenate(list(qgrams.values())))
-    nreq = {qid: len(g) for qid, g in qgrams.items()}
-    import glob as _glob
-
-    parts = sorted({int(p) for p in np.unique(needed % _TRI_PARTS)})
-    files = []
-    for p in parts:           # base segment + any incremental generations
-        files.extend(sorted(_glob.glob(
-            os.path.join(root, f"part_{p}.parquet"))))
-        files.extend(sorted(_glob.glob(
-            os.path.join(root, f"part_{p}_g*.parquet"))))
+    files = _shard_files(root)
     if not files:
         return ray.data.from_arrow(pa.table({
             "query_id": pa.array([], pa.int64()),
-            "doc_id": pa.array([], pa.int64()), "n_p": pa.array([], pa.int64())}))
-
-    def partial(batch: pa.Table) -> pa.Table:
-        grams = batch.column("gram").to_numpy(zero_copy_only=False)
-        docs = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        keep = np.isin(grams, needed)
-        grams, docs = grams[keep], docs[keep]
-        out_q, out_d, out_n = [], [], []
-        for qid, g in qgrams.items():
-            m = np.isin(grams, g)
-            if not m.any():
-                continue
-            ud, cnt = np.unique(docs[m], return_counts=True)
-            out_q.append(np.full(len(ud), qid, np.int64))
-            out_d.append(ud.astype(np.int64))
-            out_n.append(cnt.astype(np.int64))
-        if not out_q:
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             "doc_id": pa.array([], pa.int64()),
-                             "n_p": pa.array([], pa.int64())})
-        return pa.table({"query_id": int64_col(np.concatenate(out_q)),
-                         "doc_id": int64_col(np.concatenate(out_d)),
-                         "n_p": int64_col(np.concatenate(out_n))})
-
-    def keep_full(batch: pa.Table) -> pa.Table:
-        q = batch.column("query_id").to_numpy(zero_copy_only=False)
-        n = batch.column("sum(n_p)").to_numpy(zero_copy_only=False)
-        want = np.array([nreq[int(x)] for x in q.tolist()], np.int64)
-        m = n == want
-        return pa.table({"query_id": int64_col(q[m].astype(np.int64)),
-                         "doc_id": batch.column("doc_id").cast(pa.int64())
-                         .filter(pa.array(m))})
-
-    return ray.data.read_parquet(files, columns=["gram", "doc_id"]) \
-        .map_batches(partial, batch_format="pyarrow") \
-        .groupby(["query_id", "doc_id"]).sum("n_p") \
-        .map_batches(keep_full, batch_format="pyarrow")
+            "doc_id": pa.array([], pa.int64())}))
+    return ray.data.from_arrow(
+        pa.table({"path": pa.array(files, pa.string())})) \
+        .map_batches(_ShardCandidates, fn_constructor_args=(queries,),
+                     batch_format="pyarrow", batch_size=1,
+                     concurrency=(1, 8))
 
 
 class _SubstrVerifyGroup:
@@ -614,10 +664,10 @@ class _ModFilter:
 
 def ensure_trigram_incremental(sf_dir: str) -> str:
     """Two-generation trigram index: base build over doc_id % 2 == 0,
-    then an APPEND-ONLY increment over doc_id % 2 == 1 writing
-    ``part_<p>_g2.parquet`` beside the base segments — no base file is
-    rewritten (the Lucene segment model; queries read base + all
-    generations and never notice). Cached once per sf_dir."""
+    then an APPEND-ONLY increment over doc_id % 2 == 1 flushing
+    generation-2 shards (`shard_2_*.parquet`) beside the base —
+    no base file is rewritten (the Lucene segment model; queries read
+    every segment and never notice). Cached once per sf_dir."""
     tag = hashlib.blake2b((sf_dir + "#incr").encode(),
                           digest_size=6).hexdigest()
     root = f"/tmp/graft_trigram_index/{tag}"
@@ -626,16 +676,14 @@ def ensure_trigram_incremental(sf_dir: str) -> str:
         return root
     os.makedirs(root, exist_ok=True)
     docs = read(sf_dir, "documents", ["doc_id", "text"])
-    base = docs.map_batches(_ModFilter, fn_constructor_args=(0,),
-                            batch_format="pyarrow", concurrency=(1, 2)) \
-        .map_batches(_TrigramExtract, batch_format="pyarrow",
-                     batch_size=512, concurrency=(1, 4))
-    s1 = _build_parts(base, root)
-    incr = docs.map_batches(_ModFilter, fn_constructor_args=(1,),
-                            batch_format="pyarrow", concurrency=(1, 2)) \
-        .map_batches(_TrigramExtract, batch_format="pyarrow",
-                     batch_size=512, concurrency=(1, 4))
-    s2 = _build_parts(incr, root, suffix="_g2")
+    s1 = _flush_shards(
+        docs.map_batches(_ModFilter, fn_constructor_args=(0,),
+                         batch_format="pyarrow", concurrency=(1, 2)),
+        root, "1")
+    s2 = _flush_shards(
+        docs.map_batches(_ModFilter, fn_constructor_args=(1,),
+                         batch_format="pyarrow", concurrency=(1, 2)),
+        root, "2")
     with open(marker, "w") as f:
         json.dump({"base": s1, "g2": s2}, f)
     return root
@@ -664,3 +712,289 @@ def trigram_incremental(sf_dir: str):
 
 def trigram_incremental_sql() -> str:
     return trigram_substring_search_sql()
+
+
+# ---- filtered retrieval: substring filter /\ BM25 ranking ----
+
+FILTERED_QUERIES: list[tuple[int, str, str]] = [
+    # (query_id, substring filter, BM25 ranking text)
+    (1, "merge batch", "hash join table"),
+    (2, "table part", "window agg group"),
+    (3, "customer", "slow query scan"),
+    (4, "zzznope", "value row"),        # empty filter -> no results
+    (5, "agg", "big small data value table row"),
+]
+_FS_K = 10
+_FS_JPARTS = 8
+
+
+class _TermDecode:
+    """Postings-parquet decode keeping ONLY the broadcast query terms:
+    emits (term, doc_id, tf) for every posting of a matching term
+    (`_ExplainDecode`'s plumbing, docsearch.py, without the result-doc
+    filter — filtered search needs every candidate's tf)."""
+
+    def __init__(self, terms_ref):
+        import ray
+
+        self.terms = ray.get(terms_ref)              # set[str]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from searchengine_ray.codec import PostingBlocks, decode_blocks
+
+        out_t: list[str] = []
+        out_d: list[np.ndarray] = []
+        out_tf: list[np.ndarray] = []
+        for i in range(batch.num_rows):
+            term = batch.column("term")[i].as_py()
+            if term not in self.terms:
+                continue
+            counts = np.asarray(batch.column("counts")[i].as_py(), np.int32)
+            dsz = np.asarray(batch.column("doc_sizes")[i].as_py(), np.int64)
+            tsz = np.asarray(batch.column("tf_sizes")[i].as_py(), np.int64)
+            doc_offsets = np.zeros(len(dsz) + 1, np.int64)
+            tf_offsets = np.zeros(len(tsz) + 1, np.int64)
+            np.cumsum(dsz, out=doc_offsets[1:])
+            np.cumsum(tsz, out=tf_offsets[1:])
+            pb = PostingBlocks(
+                batch.column("doc_bytes")[i].as_py(),
+                batch.column("tf_bytes")[i].as_py(),
+                counts,
+                np.asarray(batch.column("last_docs")[i].as_py(), np.int64),
+                np.asarray(batch.column("max_tfs")[i].as_py(), np.int32),
+                doc_offsets, tf_offsets)
+            ids, tfs = decode_blocks(pb)
+            out_t.extend([term] * len(ids))
+            out_d.append(ids)
+            out_tf.append(tfs.astype(np.int64))
+        if not out_t:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "tf": pa.array([], pa.int64())})
+        return pa.table({"term": pa.array(out_t, pa.string()),
+                         "doc_id": int64_col(np.concatenate(out_d)),
+                         "tf": int64_col(np.concatenate(out_tf))})
+
+
+def filtered_search(sf_dir: str):
+    """(query_id, rank, doc_id, score_bp) — FILTERED retrieval, the
+    Lucene FilteredQuery class composing BOTH index structures: the
+    trigram index supplies the exact substring-match docset, the
+    full-text index ranks it with BM25 (global df/avgdl — a filter
+    narrows candidates, never the statistics, matching Lucene/ES
+    filter-context semantics). Per-term contributions are bp-quantized
+    then integer-summed (the `search_explain` discipline), so scores
+    are order-free and SQL-replayable exactly.
+
+    Shape: substring candidates come from posting intersection +
+    verification (text read only for candidates); ranking decodes ONLY
+    the query terms' posting slices (`_TermDecode`); candidates, tf
+    rows and doc lengths meet in ONE doc-hash co-group (`jpart`) that
+    joins and scores locally; a final query-key groupby cuts top-k.
+    Nothing corpus-scale touches the driver; df for the handful of
+    query terms is a bounded filtered dictionary read."""
+    import math
+    from collections import Counter as _Counter
+    from pathlib import Path
+
+    import pyarrow.dataset as pads
+    import ray
+
+    from searchengine_ray.pipelines.docsearch import (
+        doc_index_config,
+        ensure_doc_index,
+    )
+    from searchengine_ray.tokenizer import Analyzer
+
+    paths = ensure_doc_index(sf_dir)
+    cfg = doc_index_config()
+    analyzer = Analyzer(cfg)
+    qterms = {qid: dict(_Counter(analyzer.terms(text)))
+              for qid, _, text in FILTERED_QUERIES}
+    terms = sorted({t for c in qterms.values() for t in c})
+
+    # bounded: |terms| rows off the dictionary partitions
+    dict_files = sorted(str(f) for f in Path(paths.dictionary).glob("*.parquet"))
+    dtbl = pads.dataset(dict_files).to_table(
+        columns=["term", "df"],
+        filter=pads.field("term").isin(terms))
+    df_map: dict[str, int] = {}
+    for t, d in zip(dtbl.column("term").to_pylist(),
+                    dtbl.column("df").to_pylist()):
+        df_map[t] = df_map.get(t, 0) + int(d)      # fold block splits
+
+    meta = paths.meta()
+    n_docs, avgdl = meta["N"], meta["total_len"] / meta["N"]
+    k1, b = cfg.k1, cfg.b
+    idf = {t: math.log((n_docs - df_map[t] + 0.5) / (df_map[t] + 0.5) + 1.0)
+           for t in terms if t in df_map}
+    term_qids = {t: [qid for qid, c in qterms.items() if t in c]
+                 for t in terms}
+
+    # --- candidate docsets from the trigram index ---
+    cand = _verified(sf_dir, [(qid, needle)
+                              for qid, needle, _ in FILTERED_QUERIES]) \
+        .filter(expr="n_matches > 0")
+
+    def cand_rows(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(d)
+        return pa.table({
+            "jpart": int64_col(d % _FS_JPARTS),
+            "src": int64_col(np.zeros(n, np.int64)),
+            "query_id": batch.column("query_id").cast(pa.int64()),
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "term": pa.array([""] * n, pa.string()),
+            "tf": int64_col(np.zeros(n, np.int64))})
+
+    # --- tf rows from the postings layout (query terms only) ---
+    posting_files = [str(p)
+                     for p in sorted(Path(paths.postings).glob("*.parquet"))]
+    terms_ref = ray.put(set(idf))
+    tf_rows = ray.data.read_parquet(
+        posting_files,
+        columns=["term", "counts", "last_docs", "max_tfs",
+                 "doc_sizes", "tf_sizes", "doc_bytes", "tf_bytes"],
+    ).map_batches(_TermDecode, fn_constructor_args=(terms_ref,),
+                  batch_format="pyarrow", concurrency=(1, 2))
+
+    def tag_tf(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(d)
+        return pa.table({
+            "jpart": int64_col(d % _FS_JPARTS),
+            "src": int64_col(np.ones(n, np.int64)),
+            "query_id": int64_col(np.zeros(n, np.int64)),
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "term": batch.column("term"),
+            "tf": batch.column("tf").cast(pa.int64())})
+
+    # --- doc lengths ---
+    meta_files = [str(p)
+                  for p in sorted(Path(paths.doc_meta).glob("*.parquet"))]
+
+    def tag_dl(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(d)
+        return pa.table({
+            "jpart": int64_col(d % _FS_JPARTS),
+            "src": int64_col(np.full(n, 2, np.int64)),
+            "query_id": int64_col(np.zeros(n, np.int64)),
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "term": pa.array([""] * n, pa.string()),
+            "tf": batch.column("doc_len").cast(pa.int64())})
+
+    dl_rows = ray.data.read_parquet(
+        meta_files, columns=["doc_id", "doc_len"]).map_batches(
+        tag_dl, batch_format="pyarrow")
+
+    def score_group(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.to_pandas()
+        dl = dict(zip(df.loc[df["src"] == 2, "doc_id"],
+                      df.loc[df["src"] == 2, "tf"]))
+        csets: dict[int, set] = {}
+        for qid, doc in df.loc[df["src"] == 0,
+                               ["query_id", "doc_id"]].itertuples(index=False):
+            csets.setdefault(int(qid), set()).add(int(doc))
+        acc: dict[tuple[int, int], int] = {}
+        tfr = df[df["src"] == 1]
+        for term, doc, tf in tfr[["term", "doc_id", "tf"]].itertuples(
+                index=False):
+            doc, tf = int(doc), int(tf)
+            d_len = dl.get(doc)
+            if d_len is None:
+                continue
+            denom = tf + k1 * (1.0 - b + b * d_len / avgdl)
+            for qid in term_qids[term]:
+                if doc not in csets.get(qid, ()):
+                    continue
+                contrib = (qterms[qid][term] * idf[term] * tf * (k1 + 1.0)
+                           / denom)
+                key = (qid, doc)
+                acc[key] = acc.get(key, 0) + int(
+                    math.floor(contrib * 10000 + 0.5))
+        if not acc:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "score_bp": pa.array([], pa.int64())})
+        ks = sorted(acc)
+        return pa.table({
+            "query_id": int64_col([k[0] for k in ks]),
+            "doc_id": int64_col([k[1] for k in ks]),
+            "score_bp": int64_col([acc[k] for k in ks])})
+
+    scored = cand.map_batches(cand_rows, batch_format="pyarrow") \
+        .union(tf_rows.map_batches(tag_tf, batch_format="pyarrow"),
+               dl_rows) \
+        .groupby("jpart").map_groups(score_group, batch_format="pyarrow")
+
+    def topk(g: "pd.DataFrame") -> pa.Table:
+        g = g.sort_values(["score_bp", "doc_id"],
+                          ascending=[False, True]).head(_FS_K)
+        return pa.table({
+            "query_id": int64_col(g["query_id"].to_numpy(np.int64)),
+            "rank": int64_col(np.arange(1, len(g) + 1)),
+            "doc_id": int64_col(g["doc_id"].to_numpy(np.int64)),
+            "score_bp": int64_col(g["score_bp"].to_numpy(np.int64))})
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="pandas") \
+        .select_columns(["query_id", "rank", "doc_id", "score_bp"])
+
+
+def filtered_search_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    from collections import Counter as _Counter
+
+    from searchengine_ray.pipelines.docsearch import doc_index_config
+    from searchengine_ray.tokenizer import Analyzer
+
+    analyzer = Analyzer(doc_index_config())
+    qvalues = ",\n        ".join(
+        f"({qid}, '{_sql_quote(needle)}')"
+        for qid, needle, _ in FILTERED_QUERIES)
+    tvalues = []
+    for qid, _, text in FILTERED_QUERIES:
+        for term, qtf in sorted(_Counter(analyzer.terms(text)).items()):
+            tvalues.append(f"({qid}, '{term}', {qtf})")
+    tvalues_sql = ",\n        ".join(tvalues)
+    return f"""
+WITH q(query_id, needle) AS (VALUES
+        {qvalues}),
+queries(query_id, qterm, qtf) AS (VALUES
+        {tvalues_sql}),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks WHERE term <> '' GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+matches AS (
+  SELECT q.query_id, d.doc_id
+  FROM documents d JOIN q ON position(q.needle IN d.text) > 0),
+contrib AS (
+  SELECT m.query_id, m.doc_id,
+         CAST(floor(qq.qtf * ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                    * tf.tf * ({k1} + 1.0)
+                    / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl))
+                    * 10000 + 0.5) AS BIGINT) AS c
+  FROM matches m
+  JOIN queries qq ON qq.query_id = m.query_id
+  JOIN tf ON tf.doc_id = m.doc_id AND tf.term = qq.qterm
+  JOIN df ON df.term = qq.qterm
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s),
+scores AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_bp
+           FROM contrib GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score_bp,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_bp DESC, doc_id ASC) AS rnk
+  FROM scores)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       doc_id, score_bp
+FROM ranked WHERE rnk <= {_FS_K}
+"""

@@ -76,7 +76,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "weighted_sample_est", "trigram_df",
                "trigram_substring_search", "trigram_prune_stats",
                "trigram_regex_search", "champion_lists",
-               "trigram_incremental", "kneser_ney_counts", "global_rank"]
+               "trigram_incremental", "kneser_ney_counts", "global_rank",
+               "filtered_search"]
 
 
 @pytest.fixture(scope="module")

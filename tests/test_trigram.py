@@ -91,26 +91,78 @@ def _example_match(pat: str, rng) -> str:
     raise AssertionError(pat)
 
 
-def test_trigram_index_parts_prune(ray_session, tmp_path):
-    """The index layout supports file-level pruning: every gram lands
-    in part gram % P, so a needle's parts are exactly the files a
-    query must open."""
-    import pyarrow.parquet as pq
-
-    from searchengine_ray.pipelines.trigram import (
-        _TRI_PARTS,
-        ensure_trigram_index,
-    )
-
-    root = ensure_trigram_index("/root/testdata/sf0.001")
+def test_trigram_shard_invariants(ray_session, tmp_path):
+    """The doc-sharded layout's two invariants: every document's grams
+    live in exactly ONE shard file (what makes intersection
+    shard-local and final), and each shard is gram-sorted (what makes
+    scanner row-group statistics prune)."""
     import glob
     import os
 
-    files = sorted(glob.glob(os.path.join(root, "part_*.parquet")))
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.trigram import ensure_trigram_index
+
+    root = ensure_trigram_index("/root/testdata/sf0.001")
+    files = sorted(glob.glob(os.path.join(root, "shard_*.parquet")))
     assert files
+    seen: dict[int, str] = {}
     for f in files:
-        p = int(os.path.basename(f)[len("part_"):-len(".parquet")])
-        t = pq.read_table(f, columns=["gram"])
+        t = pq.read_table(f, columns=["gram", "doc_id"])
         g = t.column("gram").to_numpy()
-        assert (g % _TRI_PARTS == p).all()
         assert (np.diff(g) >= 0).all()        # gram-sorted for row-group stats
+        for d in np.unique(t.column("doc_id").to_numpy()).tolist():
+            assert d not in seen, (d, f, seen[d])
+            seen[d] = f
+    assert len(seen) > 0
+
+
+def test_trigram_compaction_equivalence(ray_session, tmp_path):
+    """Lucene-merge compaction: folding the two-generation shard set
+    into ONE file must not change any query answer, and removes the
+    raw shards (proving generation folds preserve doc completeness)."""
+    import glob
+    import os
+    import shutil
+
+    from searchengine_ray.pipelines.trigram import (
+        compact_trigram_index,
+        ensure_trigram_incremental,
+        trigram_incremental,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    before = trigram_incremental(sf).to_pandas().sort_values(
+        ["query_id", "doc_id"]).reset_index(drop=True)
+    # compact a COPY of the cached two-generation index so other tests
+    # still see its per-generation shards
+    root = ensure_trigram_incremental(sf)
+    work = str(tmp_path / "tri")
+    shutil.copytree(root, work)
+    assert len(glob.glob(os.path.join(work, "shard_*.parquet"))) >= 2
+    compact_trigram_index(work, k=1)      # force the fold at tiny scale
+    files = glob.glob(os.path.join(work, "shard_*.parquet"))
+    assert files == [os.path.join(work, "shard_c0.parquet")]
+    # drive the query path against the compacted layout
+    from searchengine_ray.pipelines import trigram as tg
+
+    cand = tg._candidate_pairs(work, tg.SUBSTRING_QUERIES)
+
+    def add_vpart(batch):
+        import pyarrow as pa
+
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        from searchengine_ray.pipelines.common import int64_col
+
+        return batch.append_column(
+            "vpart", int64_col(d % tg._N_VERIFY_PARTS))
+
+    from searchengine_ray.pipelines.common import table_path
+
+    after = cand.map_batches(add_vpart, batch_format="pyarrow") \
+        .groupby("vpart").map_groups(
+            tg._SubstrVerifyGroup(table_path(sf, "documents"),
+                                  tg.SUBSTRING_QUERIES),
+            batch_format="pyarrow").filter(expr="n_matches > 0") \
+        .to_pandas().sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    assert before.equals(after)

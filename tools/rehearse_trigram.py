@@ -55,7 +55,7 @@ def main() -> None:
     res["trigram_build_sec"] = round(time.perf_counter() - t0, 2)
     res["trigram_docs_per_sec"] = round(n_docs / res["trigram_build_sec"])
     res["index_bytes"] = sum(p.stat().st_size
-                             for p in Path(root).glob("part_*.parquet"))
+                             for p in Path(root).glob("shard_*.parquet"))
 
     t0 = time.perf_counter()
     n = trigram.trigram_substring_search(str(base)).count()
