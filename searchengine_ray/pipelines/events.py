@@ -1874,3 +1874,74 @@ SELECT type_a, type_b, ku, m,
             AS BIGINT) AS inter_est
 FROM agg
 """
+
+
+# ---- exponential time-decay engagement score ----
+
+_DECAY_HALF_LIFE_DAYS = 14.0
+# exp(-(t_ref - ts_us) * _DECAY_C) == 2^(-age_days / half_life)
+_DECAY_C = float(np.log(2.0) / (_DECAY_HALF_LIFE_DAYS * 86_400_000_000.0))
+
+
+def user_decay_score(sf_dir: str):
+    """(user_id, n_events, decay_score_ppm) — exponentially
+    time-decayed engagement per user (14-day half-life against the
+    stream's max timestamp): the recency-weighted activity score
+    behind churn features and decayed leaderboards. Each event's
+    weight is quantized to integer PPM BEFORE summing (the
+    `tfidf_cosine` bp discipline), so the per-user sum is order-free
+    and the SQL oracle — which inlines the identical double constant
+    via repr round-trip — replays it exactly.
+
+    Shape: one metadata-only pass folds per-batch max timestamps (one
+    int per batch to the driver); one map pass emits per-batch
+    per-user integer partials; one user-key groupby sums. No event-
+    scale state anywhere."""
+    from ray.data.aggregate import Sum
+
+    def batch_max(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        m = ts.to_numpy(zero_copy_only=False)
+        return pa.table({"m": int64_col([m.max() if len(m) else -2**62])})
+
+    maxes = read(sf_dir, "events", ["ts"]).map_batches(
+        batch_max, batch_format="pyarrow",
+        batch_size=65536).take_all()          # bounded: one int per batch
+    t_ref = max(int(r["m"]) for r in maxes)
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ppm = np.floor(np.exp(-(t_ref - ts) * _DECAY_C) * 1_000_000
+                       + 0.5).astype(np.int64)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        return pa.table({
+            "user_id": int64_col(uniq),
+            "n_p": int64_col(np.bincount(inv).astype(np.int64)),
+            "s_p": int64_col(np.bincount(inv, weights=ppm).astype(np.int64))})
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id").cast(pa.int64()),
+            "n_events": b.column("sum(n_p)").cast(pa.int64()),
+            "decay_score_ppm": b.column("sum(s_p)").cast(pa.int64())})
+
+    return read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536) \
+        .groupby("user_id").aggregate(Sum("n_p"), Sum("s_p")) \
+        .map_batches(rename, batch_format="pyarrow")
+
+
+def user_decay_score_sql() -> str:
+    return f"""
+WITH t AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+w AS (
+  SELECT e.user_id,
+         CAST(floor(exp(-(t.tmax - epoch_us(e.ts)) * {_DECAY_C!r})
+                    * 1000000 + 0.5) AS BIGINT) AS ppm
+  FROM events e CROSS JOIN t)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(ppm) AS BIGINT) AS decay_score_ppm
+FROM w GROUP BY user_id
+"""
