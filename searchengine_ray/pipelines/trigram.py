@@ -144,12 +144,22 @@ def ensure_trigram_index(sf_dir: str) -> str:
     if os.path.exists(marker):
         return root
     os.makedirs(root, exist_ok=True)
+    _wipe_shards(root)   # a crashed build's orphans would duplicate docs
     stats = _flush_shards(
         read(sf_dir, "documents", ["doc_id", "text"]), root, "1")
     compact_trigram_index(root)
     with open(marker, "w") as f:
         json.dump({"shards": stats}, f)
     return root
+
+
+def _wipe_shards(root: str) -> None:
+    """Remove any shard files left by a crashed (marker-less) build:
+    Ray batch boundaries differ between runs, so a rerun's shard names
+    need not overwrite a partial run's — stale shards would hold
+    duplicate doc gram sets and break the one-shard-per-doc invariant."""
+    for f in _shard_files(root):
+        os.remove(f)
 
 
 _COMPACT_FILES = 8
@@ -675,6 +685,7 @@ def ensure_trigram_incremental(sf_dir: str) -> str:
     if os.path.exists(marker):
         return root
     os.makedirs(root, exist_ok=True)
+    _wipe_shards(root)
     docs = read(sf_dir, "documents", ["doc_id", "text"])
     s1 = _flush_shards(
         docs.map_batches(_ModFilter, fn_constructor_args=(0,),
