@@ -900,8 +900,6 @@ def filtered_search(sf_dir: str):
         tag_dl, batch_format="pyarrow")
 
     def score_group(g: pa.Table) -> pa.Table:
-        import pandas as pd
-
         df = g.to_pandas()
         dl = dict(zip(df.loc[df["src"] == 2, "doc_id"],
                       df.loc[df["src"] == 2, "tf"]))

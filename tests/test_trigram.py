@@ -149,8 +149,6 @@ def test_trigram_compaction_equivalence(ray_session, tmp_path):
     cand = tg._candidate_pairs(work, tg.SUBSTRING_QUERIES)
 
     def add_vpart(batch):
-        import pyarrow as pa
-
         d = batch.column("doc_id").to_numpy(zero_copy_only=False)
         from searchengine_ray.pipelines.common import int64_col
 
