@@ -74,3 +74,59 @@ def test_analyzer_terms_invariants(text):
 def test_canonicalize_number_idempotent(tok):
     once = canonicalize_number(tok)
     assert canonicalize_number(once) == once
+
+
+# ---- trigram (codesearch) layer invariants ----
+
+from searchengine_ray.pipelines.trigram import (  # noqa: E402
+    _code_to_str,
+    _gram_codes,
+    required_literal,
+)
+
+_texts = st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF),
+                 min_size=0, max_size=80)
+
+
+@given(_texts)
+def test_gram_codes_roundtrip_any_unicode(t):
+    codes = _gram_codes(t)
+    want = {t[i:i + 3] for i in range(max(0, len(t) - 2))}
+    assert {_code_to_str(int(c)) for c in codes} == want
+
+
+@given(_texts, _texts)
+def test_trigram_prefilter_is_sound(hay, needle):
+    """The candidate algebra: needle in hay  =>  every trigram of the
+    needle is a trigram of hay — the losslessness of trigram pruning
+    for any unicode text, not just the fixed query sets."""
+    if len(needle) < 3 or needle not in hay:
+        return
+    hg = set(_gram_codes(hay).tolist())
+    for c in _gram_codes(needle).tolist():
+        assert c in hg
+
+
+_pat_atoms = st.sampled_from(
+    ["abc", "de", " ", "xyz9", "[a-z]", "[0-9]", ".", "q+", "r*", "s?",
+     "t{1,3}", "data", "merge batch"])
+
+
+@given(st.lists(_pat_atoms, min_size=1, max_size=6))
+def test_required_literal_sound_on_generated_patterns(atoms):
+    """For generated patterns built from literal runs, classes and
+    quantifiers: any string matching the pattern must contain the
+    extracted literal (soundness of the conservative extractor)."""
+    import re as _re
+
+    pat = "".join(atoms)
+    lit = required_literal(pat)
+    if lit is None:
+        return
+    # build candidate matching strings by replacing metachar atoms
+    subs = {"[a-z]": "m", "[0-9]": "7", ".": "z", "q+": "qq", "r*": "",
+            "s?": "", "t{1,3}": "tt"}
+    probe = "".join(subs.get(a, a) for a in atoms)
+    m = _re.search(pat, probe)
+    if m is not None:
+        assert lit in probe, (pat, lit, probe)
