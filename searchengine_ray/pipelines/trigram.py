@@ -859,8 +859,15 @@ def filtered_search(sf_dir: str):
             "tf": int64_col(np.zeros(n, np.int64))})
 
     # --- tf rows from the postings layout (query terms only) ---
-    posting_files = [str(p)
-                     for p in sorted(Path(paths.postings).glob("*.parquet"))]
+    # J2 part pruning: a term's slices live in posting part
+    # term_hash64(t) % num_term_parts, so only those files are opened
+    from searchengine_ray.stages.postings import term_hash64
+
+    ntp = meta["num_term_parts"]
+    need_parts = sorted({term_hash64(t) % ntp for t in idf})
+    posting_files = [
+        str(p) for p in sorted(Path(paths.postings).glob("*.parquet"))
+        if int(p.stem.split("-")[1]) in need_parts]
     terms_ref = ray.put(set(idf))
     tf_rows = ray.data.read_parquet(
         posting_files,
