@@ -1902,7 +1902,15 @@ def search_explain(sf_dir: str):
 
     from pathlib import Path
 
-    posting_files = [str(p) for p in sorted(Path(paths.postings).glob("*.parquet"))]
+    from searchengine_ray.stages.postings import term_hash64
+
+    # J2 part pruning: open only the posting parts that can hold a
+    # query term (term_hash64 % num_term_parts is direct addressing)
+    ntp = paths.meta()["num_term_parts"]
+    need_parts = {term_hash64(t) % ntp for t in terms}
+    posting_files = [
+        str(p) for p in sorted(Path(paths.postings).glob("*.parquet"))
+        if int(p.stem.split("-")[1]) in need_parts]
     decoded = ray.data.read_parquet(
         posting_files,
         columns=["term", "df", "counts", "last_docs", "max_tfs",
