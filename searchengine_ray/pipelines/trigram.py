@@ -410,14 +410,26 @@ def trigram_prune_stats(sf_dir: str):
     many actually match. Hash-verified against SQL that recomputes the
     SAME candidate algebra (docs containing every gram) from raw text —
     i.e. the oracle proves the posting lists are exact, not just the
-    final answers. Queries with zero candidates still emit a row."""
+    final answers. Queries with zero candidates still emit a row. The
+    counting is a distributed per-query aggregate — only |q| summary
+    rows reach the driver, so hot needles with corpus-scale candidate
+    sets stay off it."""
+    from ray.data.aggregate import Sum
+
+    def tag(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_matches").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "query_id": batch.column("query_id").cast(pa.int64()),
+            "c_p": int64_col(np.ones(len(n), np.int64)),
+            "m_p": int64_col((n > 0).astype(np.int64))})
+
     agg: dict[int, list[int]] = {qid: [0, 0] for qid, _ in SUBSTRING_QUERIES}
-    for row in _verified(sf_dir, SUBSTRING_QUERIES).take_all():  # bounded:
-        # candidate pairs are result-scale for selective needles (the
-        # only kind an index serves); the aggregate itself is |q| rows
-        a = agg[int(row["query_id"])]
-        a[0] += 1
-        a[1] += int(row["n_matches"] > 0)
+    rows = _verified(sf_dir, SUBSTRING_QUERIES) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("query_id").aggregate(Sum("c_p"), Sum("m_p")) \
+        .take_all()                                # bounded: |q| rows
+    for r in rows:
+        agg[int(r["query_id"])] = [int(r["sum(c_p)"]), int(r["sum(m_p)"])]
     qids = sorted(agg)
     return pa.table({
         "query_id": int64_col(qids),
