@@ -1026,3 +1026,55 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
        doc_id, score_bp
 FROM ranked WHERE rnk <= {_FS_K}
 """
+
+
+def trigram_snapshot_search(sf_dir: str):
+    """(query_id, doc_id, n_matches, first_pos) — the substring query
+    set answered AT A COMMIT POINT: only generation-1 shards of the
+    two-generation index are opened (the Lucene commit-point / snapshot
+    read — an append-only index can serve any past state by choosing
+    which segment set to open; nothing else changes). The oracle
+    restricts the corpus to the base generation's documents, so a hash
+    match proves the snapshot sees exactly the pre-append state."""
+    import ray
+
+    root = ensure_trigram_incremental(sf_dir)
+    gen1 = [f for f in _shard_files(root)
+            if os.path.basename(f).startswith("shard_1_")]
+    if not gen1:
+        return ray.data.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "n_matches": pa.array([], pa.int64()),
+            "first_pos": pa.array([], pa.int64())}))
+    cand = ray.data.from_arrow(
+        pa.table({"path": pa.array(gen1, pa.string())})) \
+        .map_batches(_ShardCandidates,
+                     fn_constructor_args=(SUBSTRING_QUERIES,),
+                     batch_format="pyarrow", batch_size=1,
+                     concurrency=(1, 8))
+
+    def add_vpart(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.append_column("vpart", int64_col(d % _N_VERIFY_PARTS))
+
+    return cand.map_batches(add_vpart, batch_format="pyarrow") \
+        .groupby("vpart").map_groups(
+            _SubstrVerifyGroup(table_path(sf_dir, "documents"),
+                               SUBSTRING_QUERIES),
+            batch_format="pyarrow").filter(expr="n_matches > 0")
+
+
+def trigram_snapshot_search_sql() -> str:
+    values = ",\n        ".join(f"({qid}, '{_sql_quote(s)}')"
+                                for qid, s in SUBSTRING_QUERIES)
+    return f"""
+WITH q(query_id, needle) AS (VALUES
+        {values})
+SELECT CAST(q.query_id AS BIGINT) AS query_id, d.doc_id,
+       CAST((length(d.text) - length(replace(d.text, q.needle, '')))
+            // length(q.needle) AS BIGINT) AS n_matches,
+       CAST(position(q.needle IN d.text) AS BIGINT) AS first_pos
+FROM documents d JOIN q ON position(q.needle IN d.text) > 0
+WHERE d.doc_id % {_INC_MOD} = 0
+"""

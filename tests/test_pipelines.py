@@ -77,7 +77,8 @@ SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "trigram_substring_search", "trigram_prune_stats",
                "trigram_regex_search", "champion_lists",
                "trigram_incremental", "kneser_ney_counts", "global_rank",
-               "filtered_search", "user_decay_score"]
+               "filtered_search", "user_decay_score",
+               "trigram_snapshot_search"]
 
 
 @pytest.fixture(scope="module")
