@@ -1889,6 +1889,7 @@ def search_explain(sf_dir: str):
     rows end to end."""
     import math
 
+    import pandas as pd
     import ray
 
     paths = ensure_doc_index(sf_dir)
@@ -1902,21 +1903,33 @@ def search_explain(sf_dir: str):
 
     from pathlib import Path
 
-    from searchengine_ray.stages.postings import term_hash64
+    from searchengine_ray.stages.postings import part_id_of, term_hash64
 
     # J2 part pruning: open only the posting parts that can hold a
     # query term (term_hash64 % num_term_parts is direct addressing)
     ntp = paths.meta()["num_term_parts"]
     need_parts = {term_hash64(t) % ntp for t in terms}
-    posting_files = [
-        str(p) for p in sorted(Path(paths.postings).glob("*.parquet"))
-        if int(p.stem.split("-")[1]) in need_parts]
-    decoded = ray.data.read_parquet(
-        posting_files,
-        columns=["term", "df", "counts", "last_docs", "max_tfs",
-                 "doc_sizes", "tf_sizes", "doc_bytes", "tf_bytes"],
-    ).map_batches(_ExplainDecode, fn_constructor_args=(terms_ref, docs_ref),
-                  batch_format="pyarrow", concurrency=(1, 2)).to_pandas()
+    posting_files = []
+    for p in sorted(Path(paths.postings).glob("part-*.parquet")):
+        try:
+            if part_id_of(p) in need_parts:
+                posting_files.append(str(p))
+        except ValueError:
+            continue
+    if not posting_files:
+        # every needed part was an empty-manifest partition with no
+        # parquet file: no postings → no explanations (read_parquet([])
+        # would raise)
+        decoded = pd.DataFrame(columns=["term", "doc_id", "tf"])
+    else:
+        decoded = ray.data.read_parquet(
+            posting_files,
+            columns=["term", "df", "counts", "last_docs", "max_tfs",
+                     "doc_sizes", "tf_sizes", "doc_bytes", "tf_bytes"],
+        ).map_batches(_ExplainDecode,
+                      fn_constructor_args=(terms_ref, docs_ref),
+                      batch_format="pyarrow",
+                      concurrency=(1, 2)).to_pandas()
 
     def _pick_docs(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)

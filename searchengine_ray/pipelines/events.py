@@ -1910,11 +1910,21 @@ def user_decay_score(sf_dir: str):
     t_ref = max(int(r["m"]) for r in maxes)
 
     def partial(b: pa.Table) -> pa.Table:
+        import math
+
         uid = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
         ts = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
-        ppm = np.floor(np.exp(-(t_ref - ts) * _DECAY_C) * 1_000_000
-                       + 0.5).astype(np.int64)
+        # libm math.exp per element, not np.exp: transcendentals are
+        # not IEEE-754-specified, and DuckDB's std::exp is libm-backed
+        # — np.exp's SIMD polynomial can diverge by 1 ulp and flip the
+        # floor(x*1e6+0.5) boundary (same discipline as the ln oracles).
+        # Ages repeat across users, so exponentiate only unique ages.
+        age = (t_ref - ts).astype(np.int64)
+        uniq_age, age_inv = np.unique(age, return_inverse=True)
+        w = np.fromiter((math.exp(-float(a) * _DECAY_C) for a in uniq_age),
+                        dtype=np.float64, count=len(uniq_age))
+        ppm = np.floor(w[age_inv] * 1_000_000 + 0.5).astype(np.int64)
         uniq, inv = np.unique(uid, return_inverse=True)
         return pa.table({
             "user_id": int64_col(uniq),

@@ -138,19 +138,45 @@ def ensure_trigram_index(sf_dir: str) -> str:
     (a big sorted file's row groups each cover a narrow gram range; a
     small shard's row groups span the whole gram space and defeat
     pushdown)."""
-    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    # Cache tag folds a corpus fingerprint (size+mtime of every
+    # documents parquet) alongside the path, so regenerating different
+    # content at the same sf_dir invalidates the cache instead of
+    # serving a stale index (the build_index source_tag discipline).
+    fp = _corpus_fingerprint(sf_dir)
+    tag = hashlib.blake2b(f"{sf_dir}|{fp}".encode(),
+                          digest_size=6).hexdigest()
     root = f"/tmp/graft_trigram_index/{tag}"
     marker = os.path.join(root, "_DONE")
     if os.path.exists(marker):
-        return root
+        with open(marker) as f:
+            meta = json.load(f)
+        if meta.get("fingerprint") == fp:
+            return root
+        os.remove(marker)   # same tag, different content: rebuild
     os.makedirs(root, exist_ok=True)
     _wipe_shards(root)   # a crashed build's orphans would duplicate docs
     stats = _flush_shards(
         read(sf_dir, "documents", ["doc_id", "text"]), root, "1")
     compact_trigram_index(root)
     with open(marker, "w") as f:
-        json.dump({"shards": stats}, f)
+        json.dump({"shards": stats, "fingerprint": fp}, f)
     return root
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """size+mtime_ns of the documents table file(s) — cheap, no read."""
+    import glob as _glob
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    files = sorted(_glob.glob(os.path.join(path, "**", "*.parquet"),
+                              recursive=True)) if os.path.isdir(path) \
+        else ([path] if os.path.exists(path) else [])
+    parts = []
+    for f in files:
+        st = os.stat(f)
+        parts.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.blake2b("|".join(parts).encode(),
+                           digest_size=8).hexdigest()
 
 
 def _wipe_shards(root: str) -> None:
@@ -509,6 +535,14 @@ def required_literal(pat: str) -> str | None:
         c = pat[i]
         if c == "\\":
             flush()
+            # Multi-char escapes (\xHH, \uXXXX, \UXXXXXXXX, \N{...},
+            # octal/backref digits) would leave their hex digits / name
+            # tail in the literal run if we only skipped 2 chars —
+            # required_literal(r'\x4141abc') must NOT yield '4141abc'
+            # (the actual match is 'A41abc').  Soundness over power:
+            # fall back to full scan for these forms.
+            if i + 1 < len(pat) and (pat[i + 1] in "xuUN" or pat[i + 1].isdigit()):
+                return None
             i += 2
             continue
         if c == "[":
@@ -690,12 +724,17 @@ def ensure_trigram_incremental(sf_dir: str) -> str:
     generation-2 shards (`shard_2_*.parquet`) beside the base —
     no base file is rewritten (the Lucene segment model; queries read
     every segment and never notice). Cached once per sf_dir."""
-    tag = hashlib.blake2b((sf_dir + "#incr").encode(),
+    fp = _corpus_fingerprint(sf_dir)
+    tag = hashlib.blake2b(f"{sf_dir}#incr|{fp}".encode(),
                           digest_size=6).hexdigest()
     root = f"/tmp/graft_trigram_index/{tag}"
     marker = os.path.join(root, "_DONE")
     if os.path.exists(marker):
-        return root
+        with open(marker) as f:
+            meta = json.load(f)
+        if meta.get("fingerprint") == fp:
+            return root
+        os.remove(marker)
     os.makedirs(root, exist_ok=True)
     _wipe_shards(root)
     docs = read(sf_dir, "documents", ["doc_id", "text"])
@@ -708,7 +747,7 @@ def ensure_trigram_incremental(sf_dir: str) -> str:
                          batch_format="pyarrow", concurrency=(1, 2)),
         root, "2")
     with open(marker, "w") as f:
-        json.dump({"base": s1, "g2": s2}, f)
+        json.dump({"base": s1, "g2": s2, "fingerprint": fp}, f)
     return root
 
 
@@ -748,30 +787,54 @@ FILTERED_QUERIES: list[tuple[int, str, str]] = [
     (5, "agg", "big small data value table row"),
 ]
 _FS_K = 10
-_FS_JPARTS = 8
 
 
-class _TermDecode:
-    """Postings-parquet decode keeping ONLY the broadcast query terms:
-    emits (term, doc_id, tf) for every posting of a matching term
-    (`_ExplainDecode`'s plumbing, docsearch.py, without the result-doc
-    filter — filtered search needs every candidate's tf)."""
+_FS_CONTRIB_SCHEMA = pa.schema([
+    ("query_id", pa.int64()), ("doc_id", pa.int64()), ("c", pa.int64())])
 
-    def __init__(self, terms_ref):
+
+class _FilteredScoreDecode:
+    """Postings-parquet decode → per-(query, candidate) BM25
+    contribution rows, the candidate-set SEMI-JOIN done INSIDE the
+    decode stage (the `_full_scores` gather shape of query.py): each
+    decoded posting list is immediately restricted to the broadcast
+    verified candidate ids via searchsorted, doc lengths come from the
+    broadcast candidate-aligned array (read once, candidate-scale),
+    and contributions are factorized numpy — so the rows this stage
+    emits (and everything shuffled after it) scale with CANDIDATE
+    count, never corpus size, even for stop-word-scale query terms.
+
+    Float discipline: the contribution is evaluated in the oracle's
+    exact association order ((((qtf*idf)*tf)*(k1+1))/denom)*1e4, with
+    denom = tf + k1*((1-b)+((b*dl)/avgdl)) — IEEE +,*,/ are exactly
+    specified, so numpy float64 replays DuckDB bitwise and the bp
+    quantization is order-free."""
+
+    def __init__(self, state_ref):
         import ray
 
-        self.terms = ray.get(terms_ref)              # set[str]
+        st = ray.get(state_ref)
+        self.term_info = st["term_info"]   # term -> (idf, [(qid, qtf)...])
+        self.all_cand = st["all_cand"]     # sorted int64 candidate ids
+        self.dl = st["dl"]                 # float64 doc_len aligned w/ all_cand
+        self.cand_by_qid = st["cand_by_qid"]  # qid -> sorted int64 ids
+        self.k1 = st["k1"]
+        self.b = st["b"]
+        self.avgdl = st["avgdl"]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from searchengine_ray.codec import PostingBlocks, decode_blocks
 
-        out_t: list[str] = []
+        out_q: list[np.ndarray] = []
         out_d: list[np.ndarray] = []
-        out_tf: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        nc = len(self.all_cand)
         for i in range(batch.num_rows):
             term = batch.column("term")[i].as_py()
-            if term not in self.terms:
+            info = self.term_info.get(term)
+            if info is None or nc == 0:
                 continue
+            idf, quse = info
             counts = np.asarray(batch.column("counts")[i].as_py(), np.int32)
             dsz = np.asarray(batch.column("doc_sizes")[i].as_py(), np.int64)
             tsz = np.asarray(batch.column("tf_sizes")[i].as_py(), np.int64)
@@ -787,16 +850,36 @@ class _TermDecode:
                 np.asarray(batch.column("max_tfs")[i].as_py(), np.int32),
                 doc_offsets, tf_offsets)
             ids, tfs = decode_blocks(pb)
-            out_t.extend([term] * len(ids))
-            out_d.append(ids)
-            out_tf.append(tfs.astype(np.int64))
-        if not out_t:
-            return pa.table({"term": pa.array([], pa.string()),
-                             "doc_id": pa.array([], pa.int64()),
-                             "tf": pa.array([], pa.int64())})
-        return pa.table({"term": pa.array(out_t, pa.string()),
+            # semi-join to the verified candidate union (sorted gather)
+            pos = np.searchsorted(self.all_cand, ids)
+            posc = np.minimum(pos, nc - 1)
+            keep = self.all_cand[posc] == ids
+            if not keep.any():
+                continue
+            ids_c = ids[keep]
+            tf_c = tfs[keep].astype(np.float64)
+            dl_c = self.dl[posc[keep]]
+            denom = tf_c + self.k1 * (1.0 - self.b
+                                      + self.b * dl_c / self.avgdl)
+            for qid, qtf in quse:
+                cs = self.cand_by_qid.get(qid)
+                if cs is None or len(cs) == 0:
+                    continue
+                p2 = np.minimum(np.searchsorted(cs, ids_c), len(cs) - 1)
+                m2 = cs[p2] == ids_c
+                if not m2.any():
+                    continue
+                contrib = np.floor(
+                    float(qtf) * idf * tf_c[m2] * (self.k1 + 1.0)
+                    / denom[m2] * 10000 + 0.5).astype(np.int64)
+                out_q.append(np.full(int(m2.sum()), qid, np.int64))
+                out_d.append(ids_c[m2])
+                out_c.append(contrib)
+        if not out_q:
+            return _FS_CONTRIB_SCHEMA.empty_table()
+        return pa.table({"query_id": int64_col(np.concatenate(out_q)),
                          "doc_id": int64_col(np.concatenate(out_d)),
-                         "tf": int64_col(np.concatenate(out_tf))})
+                         "c": int64_col(np.concatenate(out_c))})
 
 
 def filtered_search(sf_dir: str):
@@ -809,23 +892,37 @@ def filtered_search(sf_dir: str):
     then integer-summed (the `search_explain` discipline), so scores
     are order-free and SQL-replayable exactly.
 
-    Shape: substring candidates come from posting intersection +
-    verification (text read only for candidates); ranking decodes ONLY
-    the query terms' posting slices (`_TermDecode`); candidates, tf
-    rows and doc lengths meet in ONE doc-hash co-group (`jpart`) that
-    joins and scores locally; a final query-key groupby cuts top-k.
-    Nothing corpus-scale touches the driver; df for the handful of
-    query terms is a bounded filtered dictionary read."""
+    Shape (r5, candidate-scale end to end): substring candidates come
+    from trigram posting intersection + verification (text read only
+    for candidates) and are collected to the driver — BOUNDED: the
+    verified docset of a selective filter, the quantity a filtered
+    query is about (a filter matching a corpus-scale docset is a scan,
+    not a filtered search). Doc lengths are fetched for candidate ids
+    only via doc-part direct addressing (`doc_id % num_doc_parts` —
+    the `fetch_docs` convention). Both are broadcast ONCE via
+    `ray.put`; `_FilteredScoreDecode` then decodes ONLY the query
+    terms' posting slices (J2-pruned part files), semi-joins each list
+    to the candidates with searchsorted and emits factorized-numpy bp
+    contributions. The only shuffle after the trigram verify is the
+    final query-key groupby over candidate-scale contribution rows —
+    nothing corpus-scale moves, for any term df."""
     import math
     from collections import Counter as _Counter
     from pathlib import Path
 
+    import pyarrow.compute as pc
     import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
     import ray
 
     from searchengine_ray.pipelines.docsearch import (
         doc_index_config,
         ensure_doc_index,
+    )
+    from searchengine_ray.stages.postings import (
+        part_file_name,
+        part_id_of,
+        term_hash64,
     )
     from searchengine_ray.tokenizer import Analyzer
 
@@ -851,124 +948,102 @@ def filtered_search(sf_dir: str):
     k1, b = cfg.k1, cfg.b
     idf = {t: math.log((n_docs - df_map[t] + 0.5) / (df_map[t] + 0.5) + 1.0)
            for t in terms if t in df_map}
-    term_qids = {t: [qid for qid, c in qterms.items() if t in c]
-                 for t in terms}
 
-    # --- candidate docsets from the trigram index ---
-    cand = _verified(sf_dir, [(qid, needle)
-                              for qid, needle, _ in FILTERED_QUERIES]) \
-        .filter(expr="n_matches > 0")
+    def _empty_result():
+        return ray.data.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "score_bp": pa.array([], pa.int64())}))
 
-    def cand_rows(batch: pa.Table) -> pa.Table:
-        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        n = len(d)
-        return pa.table({
-            "jpart": int64_col(d % _FS_JPARTS),
-            "src": int64_col(np.zeros(n, np.int64)),
-            "query_id": batch.column("query_id").cast(pa.int64()),
-            "doc_id": batch.column("doc_id").cast(pa.int64()),
-            "term": pa.array([""] * n, pa.string()),
-            "tf": int64_col(np.zeros(n, np.int64))})
+    # --- candidate docsets from the trigram index (bounded driver
+    # materialization: the verified matches of the substring filter) ---
+    cand_rows = _verified(sf_dir, [(qid, needle)
+                                   for qid, needle, _ in FILTERED_QUERIES]) \
+        .filter(expr="n_matches > 0") \
+        .select_columns(["query_id", "doc_id"]).take_all()
+    if not cand_rows or not idf:
+        return _empty_result()
+    cand_by_qid: dict[int, np.ndarray] = {}
+    _tmp: dict[int, list[int]] = {}
+    for r in cand_rows:
+        _tmp.setdefault(int(r["query_id"]), []).append(int(r["doc_id"]))
+    for qid, ids in _tmp.items():
+        cand_by_qid[qid] = np.unique(np.asarray(ids, np.int64))
+    all_cand = np.unique(np.concatenate(list(cand_by_qid.values())))
 
-    # --- tf rows from the postings layout (query terms only) ---
-    # J2 part pruning: a term's slices live in posting part
-    # term_hash64(t) % num_term_parts, so only those files are opened
-    from searchengine_ray.stages.postings import term_hash64
+    # --- doc lengths for CANDIDATE ids only, via doc-part direct
+    # addressing (doc_meta part = num_term_parts + doc_id % P) with a
+    # row-group-pruned fallback for nonstandard layouts ---
+    dm_dir = Path(paths.doc_meta)
+    ntp = int(meta["num_term_parts"])
+    P = int(meta.get("num_doc_parts", 0))
+    meta_files: list[str] = []
+    if P and int(meta.get("doc_parts_used", P)) == P:
+        need_dm = sorted({ntp + int(d) % P for d in all_cand.tolist()})
+        meta_files = [str(dm_dir / part_file_name(pt)) for pt in need_dm]
+        if not all(Path(f).is_file() for f in meta_files):
+            meta_files = []
+    if not meta_files:
+        meta_files = sorted(str(f) for f in dm_dir.glob("part-*.parquet"))
+    dl_tbl = pq.read_table(
+        meta_files, columns=["doc_id", "doc_len"],
+        filters=pc.field("doc_id").isin(pa.array(all_cand, pa.int64())))
+    dl_ids = dl_tbl.column("doc_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    dl_vals = dl_tbl.column("doc_len").to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    dl = np.zeros(len(all_cand), np.float64)
+    posm = np.searchsorted(all_cand, dl_ids)
+    dl[posm] = dl_vals                      # all_cand ⊆ indexed docs
 
-    ntp = meta["num_term_parts"]
+    term_info = {t: (idf[t],
+                     [(qid, c[t]) for qid, c in sorted(qterms.items())
+                      if t in c])
+                 for t in idf}
+    state_ref = ray.put({
+        "term_info": term_info, "all_cand": all_cand, "dl": dl,
+        "cand_by_qid": cand_by_qid, "k1": k1, "b": b, "avgdl": avgdl})
+
+    # --- contribution rows from the postings layout (query terms only,
+    # J2 part pruning: only the terms' hash parts are opened) ---
     need_parts = sorted({term_hash64(t) % ntp for t in idf})
-    posting_files = [
-        str(p) for p in sorted(Path(paths.postings).glob("*.parquet"))
-        if int(p.stem.split("-")[1]) in need_parts]
-    terms_ref = ray.put(set(idf))
-    tf_rows = ray.data.read_parquet(
+    posting_files = []
+    for f in sorted(Path(paths.postings).glob("part-*.parquet")):
+        try:
+            if part_id_of(f) in need_parts:
+                posting_files.append(str(f))
+        except ValueError:
+            continue
+    if not posting_files:
+        # every needed part was an empty-manifest partition: no
+        # postings → no scores (read_parquet([]) would raise)
+        return _empty_result()
+    contrib = ray.data.read_parquet(
         posting_files,
         columns=["term", "counts", "last_docs", "max_tfs",
                  "doc_sizes", "tf_sizes", "doc_bytes", "tf_bytes"],
-    ).map_batches(_TermDecode, fn_constructor_args=(terms_ref,),
+    ).map_batches(_FilteredScoreDecode, fn_constructor_args=(state_ref,),
                   batch_format="pyarrow", concurrency=(1, 2))
 
-    def tag_tf(batch: pa.Table) -> pa.Table:
-        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        n = len(d)
-        return pa.table({
-            "jpart": int64_col(d % _FS_JPARTS),
-            "src": int64_col(np.ones(n, np.int64)),
-            "query_id": int64_col(np.zeros(n, np.int64)),
-            "doc_id": batch.column("doc_id").cast(pa.int64()),
-            "term": batch.column("term"),
-            "tf": batch.column("tf").cast(pa.int64())})
-
-    # --- doc lengths ---
-    meta_files = [str(p)
-                  for p in sorted(Path(paths.doc_meta).glob("*.parquet"))]
-
-    def tag_dl(batch: pa.Table) -> pa.Table:
-        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        n = len(d)
-        return pa.table({
-            "jpart": int64_col(d % _FS_JPARTS),
-            "src": int64_col(np.full(n, 2, np.int64)),
-            "query_id": int64_col(np.zeros(n, np.int64)),
-            "doc_id": batch.column("doc_id").cast(pa.int64()),
-            "term": pa.array([""] * n, pa.string()),
-            "tf": batch.column("doc_len").cast(pa.int64())})
-
-    dl_rows = ray.data.read_parquet(
-        meta_files, columns=["doc_id", "doc_len"]).map_batches(
-        tag_dl, batch_format="pyarrow")
-
-    def score_group(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
-        dl = dict(zip(df.loc[df["src"] == 2, "doc_id"],
-                      df.loc[df["src"] == 2, "tf"]))
-        csets: dict[int, set] = {}
-        for qid, doc in df.loc[df["src"] == 0,
-                               ["query_id", "doc_id"]].itertuples(index=False):
-            csets.setdefault(int(qid), set()).add(int(doc))
-        acc: dict[tuple[int, int], int] = {}
-        tfr = df[df["src"] == 1]
-        for term, doc, tf in tfr[["term", "doc_id", "tf"]].itertuples(
-                index=False):
-            doc, tf = int(doc), int(tf)
-            d_len = dl.get(doc)
-            if d_len is None:
-                continue
-            denom = tf + k1 * (1.0 - b + b * d_len / avgdl)
-            for qid in term_qids[term]:
-                if doc not in csets.get(qid, ()):
-                    continue
-                contrib = (qterms[qid][term] * idf[term] * tf * (k1 + 1.0)
-                           / denom)
-                key = (qid, doc)
-                acc[key] = acc.get(key, 0) + int(
-                    math.floor(contrib * 10000 + 0.5))
-        if not acc:
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             "doc_id": pa.array([], pa.int64()),
-                             "score_bp": pa.array([], pa.int64())})
-        ks = sorted(acc)
-        return pa.table({
-            "query_id": int64_col([k[0] for k in ks]),
-            "doc_id": int64_col([k[1] for k in ks]),
-            "score_bp": int64_col([acc[k] for k in ks])})
-
-    scored = cand.map_batches(cand_rows, batch_format="pyarrow") \
-        .union(tf_rows.map_batches(tag_tf, batch_format="pyarrow"),
-               dl_rows) \
-        .groupby("jpart").map_groups(score_group, batch_format="pyarrow")
-
     def topk(g: "pd.DataFrame") -> pa.Table:
-        g = g.sort_values(["score_bp", "doc_id"],
-                          ascending=[False, True]).head(_FS_K)
+        # candidate-scale group: integer-sum per doc, then cut top-k
+        docs = g["doc_id"].to_numpy(np.int64)
+        cs = g["c"].to_numpy(np.int64)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        score = np.bincount(inv, weights=cs).astype(np.int64)
+        order = np.lexsort((uniq, -score))[:_FS_K]
+        qid = np.full(len(order), int(g["query_id"].iloc[0]), np.int64)
         return pa.table({
-            "query_id": int64_col(g["query_id"].to_numpy(np.int64)),
-            "rank": int64_col(np.arange(1, len(g) + 1)),
-            "doc_id": int64_col(g["doc_id"].to_numpy(np.int64)),
-            "score_bp": int64_col(g["score_bp"].to_numpy(np.int64))})
+            "query_id": int64_col(qid),
+            "rank": int64_col(np.arange(1, len(order) + 1)),
+            "doc_id": int64_col(uniq[order]),
+            "score_bp": int64_col(score[order])})
 
-    return scored.groupby("query_id").map_groups(topk, batch_format="pandas") \
+    return contrib.groupby("query_id") \
+        .map_groups(topk, batch_format="pandas") \
         .select_columns(["query_id", "rank", "doc_id", "score_bp"])
+
 
 
 def filtered_search_sql(k1: float = 1.2, b: float = 0.75) -> str:

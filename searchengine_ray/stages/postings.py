@@ -55,6 +55,24 @@ def term_part(term: str, num_parts: int) -> int:
     return term_hash64(term) % num_parts
 
 
+def part_file_name(part: int) -> str:
+    """Canonical partition file name — the single definition every
+    writer AND reader uses, so direct part addressing (J2 pruning)
+    can never drift from the on-disk naming."""
+    return f"part-{part:05d}.parquet"
+
+
+def part_id_of(path) -> int:
+    """Inverse of ``part_file_name`` for a path-like; raises ValueError
+    on files that do not follow the convention (callers should skip
+    or fall back to an unpruned read, never guess)."""
+    stem = Path(path).stem
+    prefix, sep, num = stem.partition("-")
+    if prefix != "part" or not sep or not num.isdigit():
+        raise ValueError(f"not a part file: {path}")
+    return int(num)
+
+
 def _large_binary_from(stream: np.ndarray, offsets: np.ndarray) -> pa.LargeBinaryArray:
     """Zero-copy large_binary column from a byte stream + row offsets."""
     return pa.Array.from_buffers(
@@ -314,7 +332,7 @@ class MergePostingsPartWriter:
         })
         t_w = time.time()
         write_partition_atomic(
-            out, Path(self.doc_meta_dir) / f"part-{part:05d}.parquet",
+            out, Path(self.doc_meta_dir) / part_file_name(part),
             kind="doc_meta", partition=part, fingerprint=self.fingerprint,
             extra={"total_len": int(doc_len.sum())})
         return pa.table({"partition": pa.array([part], pa.int64()),
@@ -413,14 +431,14 @@ class MergePostingsPartWriter:
                   "pos_sizes"):
             comp[f"{c}.list.element"] = "snappy"
         manifest = write_partition_atomic(
-            out, Path(self.postings_dir) / f"part-{part:05d}.parquet",
+            out, Path(self.postings_dir) / part_file_name(part),
             kind="postings", partition=part, fingerprint=self.fingerprint,
             extra={"n_postings": n_postings, "n_terms": n_terms},
             compression=comp)
         dictionary = out.select(["term", "bucket", "df"]).append_column(
             "part", pa.array(np.full(out.num_rows, part), pa.int64()))
         write_partition_atomic(
-            dictionary, Path(self.dictionary_dir) / f"part-{part:05d}.parquet",
+            dictionary, Path(self.dictionary_dir) / part_file_name(part),
             kind="dictionary", partition=part, fingerprint=self.fingerprint)
         return pa.table({"partition": pa.array([part], pa.int64()),
                          "rows": pa.array([out.num_rows], pa.int64()),

@@ -109,7 +109,10 @@ def test_trigram_prefilter_is_sound(hay, needle):
 
 _pat_atoms = st.sampled_from(
     ["abc", "de", " ", "xyz9", "[a-z]", "[0-9]", ".", "q+", "r*", "s?",
-     "t{1,3}", "data", "merge batch"])
+     "t{1,3}", "data", "merge batch",
+     # escape forms, incl. the multi-char ones that must trigger the
+     # full-scan bailout rather than poisoning the literal run (r5 fix)
+     "\\d", "\\x41", "\\u0042", "\\n"])
 
 
 @given(st.lists(_pat_atoms, min_size=1, max_size=6))
@@ -125,7 +128,8 @@ def test_required_literal_sound_on_generated_patterns(atoms):
         return
     # build candidate matching strings by replacing metachar atoms
     subs = {"[a-z]": "m", "[0-9]": "7", ".": "z", "q+": "qq", "r*": "",
-            "s?": "", "t{1,3}": "tt"}
+            "s?": "", "t{1,3}": "tt",
+            "\\d": "5", "\\x41": "A", "\\u0042": "B", "\\n": "\n"}
     probe = "".join(subs.get(a, a) for a in atoms)
     m = _re.search(pat, probe)
     if m is not None:

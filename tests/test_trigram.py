@@ -7,6 +7,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from searchengine_ray.pipelines.trigram import (
@@ -45,6 +46,16 @@ def test_gram_codes_short_and_unicode():
     ("exact literal", "exact literal"),
     ("x{2,3}yzw", "yzw"),
     ("[abc]+", None),                         # nothing literal at all
+    # multi-char escapes: \xHH/\uXXXX/\UXXXXXXXX/\N{..}/backref digits
+    # would poison the literal run with their hex digits / name tail —
+    # the extractor must fall back to full scan (r5 soundness fix).
+    ("\\x4141abc", None),
+    ("abc\\u0041def", None),
+    ("pre\\N{LATIN SMALL LETTER A}post", None),
+    ("dup(\\w+)\\1", None),                   # group already bails
+    ("oct\\101tal", None),
+    ("ab\\ncd", None),                        # single-char escape still breaks runs
+    ("left\\nmerge batch", "merge batch"),    # ...but later runs survive
 ])
 def test_required_literal(pat, want):
     assert required_literal(pat) == want
@@ -115,6 +126,36 @@ def test_trigram_shard_invariants(ray_session, tmp_path):
             assert d not in seen, (d, f, seen[d])
             seen[d] = f
     assert len(seen) > 0
+
+
+def test_trigram_cache_invalidation(ray_session, tmp_path):
+    """Regenerating DIFFERENT corpus content at the same sf_dir must
+    not serve a stale cached index: the cache tag folds in a corpus
+    fingerprint (size+mtime), so changed content lands in a new root
+    and an unchanged corpus re-serves the same root (r5 ADVICE fix)."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.trigram import ensure_trigram_index
+
+    d = tmp_path / "sfx"
+    d.mkdir()
+    t1 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                   "text": pa.array(["alpha beta", "gamma delta"])})
+    pq.write_table(t1, str(d / "documents.parquet"))
+    root1 = ensure_trigram_index(str(d))
+    root1b = ensure_trigram_index(str(d))
+    assert root1 == root1b                       # unchanged corpus: cache hit
+
+    time.sleep(0.01)                             # ensure mtime_ns moves
+    t2 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                   "text": pa.array(["epsilon zeta", "ETA theta!!"])})
+    pq.write_table(t2, str(d / "documents.parquet"))
+    root2 = ensure_trigram_index(str(d))
+    assert root2 != root1                        # changed content: new root
+    assert os.path.exists(os.path.join(root2, "_DONE"))
 
 
 def test_trigram_compaction_equivalence(ray_session, tmp_path):

@@ -45,10 +45,13 @@ def main() -> None:
 
     res: dict = {"n_docs": n_docs}
 
-    # fresh trigram build (drop any cached layout for this corpus)
+    # fresh trigram build (drop any cached layout for this corpus) —
+    # the cache tag now folds in the corpus fingerprint, so compute it
+    # the same way ensure_trigram_index does
     import hashlib
 
-    tag = hashlib.blake2b(str(base).encode(), digest_size=6).hexdigest()
+    fp = trigram._corpus_fingerprint(str(base))
+    tag = hashlib.blake2b(f"{base}|{fp}".encode(), digest_size=6).hexdigest()
     shutil.rmtree(f"/tmp/graft_trigram_index/{tag}", ignore_errors=True)
     t0 = time.perf_counter()
     root = trigram.ensure_trigram_index(str(base))
