@@ -882,7 +882,7 @@ class _FilteredScoreDecode:
                          "c": int64_col(np.concatenate(out_c))})
 
 
-def filtered_search(sf_dir: str):
+def filtered_search(sf_dir: str, _stats: dict | None = None):
     """(query_id, rank, doc_id, score_bp) — FILTERED retrieval, the
     Lucene FilteredQuery class composing BOTH index structures: the
     trigram index supplies the exact substring-match docset, the
@@ -1025,6 +1025,18 @@ def filtered_search(sf_dir: str):
                  "doc_sizes", "tf_sizes", "doc_bytes", "tf_bytes"],
     ).map_batches(_FilteredScoreDecode, fn_constructor_args=(state_ref,),
                   batch_format="pyarrow", concurrency=(1, 2))
+
+    if _stats is not None:
+        # rehearsal instrumentation: everything shuffled after the
+        # decode is exactly these contribution rows — record them so
+        # 100x runs can prove candidate-scale (not corpus-scale) volume
+        contrib = contrib.materialize()
+        _stats["n_candidates_union"] = int(len(all_cand))
+        _stats["n_candidates_by_qid"] = {int(q): int(len(v))
+                                         for q, v in cand_by_qid.items()}
+        _stats["contrib_rows_shuffled"] = int(contrib.count())
+        _stats["doc_len_rows_read"] = int(len(dl_ids))
+        _stats["posting_parts_opened"] = len(posting_files)
 
     def topk(g: "pd.DataFrame") -> pa.Table:
         # candidate-scale group: integer-sum per doc, then cut top-k

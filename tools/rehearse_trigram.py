@@ -82,6 +82,22 @@ def main() -> None:
     res["champion_sec_incl_index_build"] = round(time.perf_counter() - t0, 2)
     res["champion_rows"] = int(n)
 
+    # filtered retrieval: the r5 candidate-scale claim — rows shuffled
+    # into the ranking stage must track candidate count, not corpus
+    # size (pre-r5 this decoded full posting lists + the entire
+    # doc_meta table per call)
+    fstats: dict = {}
+    t0 = time.perf_counter()
+    n = trigram.filtered_search(str(base), _stats=fstats).count()
+    res["filtered_search_sec"] = round(time.perf_counter() - t0, 2)
+    res["filtered_search_rows"] = int(n)
+    res["filtered_search_stats"] = fstats
+    res["filtered_contrib_per_candidate"] = round(
+        fstats["contrib_rows_shuffled"]
+        / max(1, fstats["n_candidates_union"]), 2)
+    res["filtered_contrib_vs_corpus"] = round(
+        fstats["contrib_rows_shuffled"] / n_docs, 4)
+
     line = json.dumps(res)
     print(line)
     with open(out_json, "w") as f:
