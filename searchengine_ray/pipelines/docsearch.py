@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 from collections import Counter
+from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
@@ -207,22 +208,221 @@ PREFIX_QUERIES: list[tuple[int, str]] = [
 PREFIX_MAX_EXPANSIONS = 4
 
 
-def _expand_prefixes(paths: IndexPaths, prefix_queries, cap: int,
-                     mode: str = "prefix"):
-    """Expand each prefix (or suffix, ``mode="suffix"``) to its
-    top-``cap`` matching index terms as ``[(query_id, "t1 t2 ...")]``,
-    via a DISTRIBUTED dictionary scan.
+# ---- sorted dictionary projections: the 100-TB wildcard path ----
+#
+# The dictionary is hash-partitioned for point lookups (J1), so a
+# prefix/suffix expansion over it is a full vocabulary scan. The scale
+# path (Lucene's reversed-term field) is a key-SORTED projection of
+# (term, df) persisted beside the dictionary, built once per index
+# generation: sorted by term for prefixes, by reversed term for
+# suffixes. Row groups then carry tight min/max key statistics, so an
+# expansion reads only the row groups overlapping [key, upper(key)) —
+# dictionary I/O scales with the matched vocabulary bucket, not the
+# vocabulary.
 
-    The dictionary is hash-partitioned (point lookups), so a prefix
-    scan must touch every partition — but only the vocabulary-scale
-    (term, df) columns, pruned at the read; all prefixes match in ONE
-    pass. Matched rows (not the vocabulary) flow through two tiny
-    shuffles: df re-sum for block-split terms, then a per-query top-cap
-    selection — the take_all is bounded at cap x n_queries rows. At
-    100 TB the scale path is a term-SORTED dictionary projection for
-    range pruning; the scan here is corpus-size-independent either way.
-    """
-    from pathlib import Path
+_SORTED_DICT_VERSION = 1
+_SORTED_DICT_ROW_GROUP = 16384
+
+
+def _projection_fingerprint(meta: dict) -> str:
+    return (f'{meta.get("fingerprint")}|gen{meta.get("generation")}'
+            f'|v{_SORTED_DICT_VERSION}')
+
+
+class _SortedDictFlush:
+    """Write one sorted block of the projection as one parquet file
+    (small row groups -> fine-grained min/max pruning). File name keys
+    on the block's first sort key, so reruns overwrite deterministically
+    for identical block boundaries and `_DONE` gates visibility anyway."""
+
+    def __init__(self, out_dir: str, reverse: bool):
+        self.__name__ = "_SortedDictFlush"
+        self.out_dir = out_dir
+        self.reverse = reverse
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        if batch.num_rows == 0:
+            return pa.table({"file": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        keys = batch.column("key").to_pylist()
+        terms = [k[::-1] for k in keys] if self.reverse else keys
+        dfs = batch.column("sum(df)").cast(pa.int64())
+        tbl = pa.table({"key": pa.array(keys, pa.string()),
+                        "term": pa.array(terms, pa.string()),
+                        "df": dfs})
+        tag = hashlib.blake2b(keys[0].encode(), digest_size=8).hexdigest()
+        name = f"sorted_{tag}.parquet"
+        pq.write_table(tbl, str(Path(self.out_dir) / name),
+                       row_group_size=_SORTED_DICT_ROW_GROUP)
+        return pa.table({"file": pa.array([name], pa.string()),
+                         "rows": pa.array([batch.num_rows], pa.int64())})
+
+
+def ensure_sorted_dictionary(paths: IndexPaths, reverse: bool):
+    """Build (once per index generation, persisted in the index root)
+    the key-sorted dictionary projection. Returns its directory, or
+    None when the dictionary has no parts. Build shape: one
+    vocabulary-scale groupby (folds block-split df, exactly the fold
+    every expansion would otherwise redo) + one sort — both on the
+    (term, df) columns only; the corpus is never touched."""
+    import json as _json
+    import shutil
+
+    import ray.data
+
+    name = "rev_dictionary" if reverse else "sorted_dictionary"
+    out = Path(paths.root) / name
+    marker = out / "_DONE"
+    meta = paths.meta()
+    fp = _projection_fingerprint(meta)
+    if marker.exists():
+        try:
+            if _json.loads(marker.read_text()).get("fingerprint") == fp:
+                return out
+        except (OSError, ValueError):
+            pass
+    files = sorted(str(f) for f in Path(paths.dictionary).glob("*.parquet"))
+    if not files:
+        return None
+    shutil.rmtree(out, ignore_errors=True)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def add_key(b: pa.Table) -> pa.Table:
+        terms = b.column("term").to_pylist()
+        keys = [t[::-1] for t in terms] if reverse else terms
+        return pa.table({"key": pa.array(keys, pa.string()),
+                         "df": b.column("df").cast(pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    stats = (ray.data.read_parquet(files, columns=["term", "df"])
+             .map_batches(add_key, batch_format="pyarrow")
+             .groupby("key").aggregate(Sum("df"))
+             .sort("key")
+             .map_batches(_SortedDictFlush(str(out), reverse),
+                          batch_format="pyarrow", batch_size=None)
+             .take_all())                    # bounded: one row per file
+    with open(marker, "w") as f:
+        _json.dump({"fingerprint": fp,
+                    "files": sorted(r["file"] for r in stats)}, f)
+    return out
+
+
+def _key_upper_bound(key: str) -> str | None:
+    """Smallest string greater than every string with prefix ``key``
+    (increment last code point with carry); None when no finite bound
+    exists (key is all U+10FFFF — never for analyzer tokens)."""
+    k = list(key)
+    while k:
+        c = ord(k[-1])
+        if c < 0x10FFFF:
+            k[-1] = chr(c + 1)
+            return "".join(k)
+        k.pop()
+    return None
+
+
+def _expand_sorted(paths: IndexPaths, queries, cap: int, mode: str,
+                   _stats: dict | None = None):
+    """Prefix/suffix expansion served from the sorted projection:
+    driver touches row-group METADATA only; matched row groups are read
+    by Ray tasks that return per-query partial top-caps (cap rows per
+    query per task — merging partial top-caps is exact because each
+    key occurs once globally). Returns the `_expand_prefixes` contract,
+    or None when the projection is unavailable."""
+    import pyarrow.parquet as pq
+    import ray
+
+    proj = ensure_sorted_dictionary(paths, reverse=(mode == "suffix"))
+    if proj is None:
+        return None
+    ranges = []
+    for qid, pat in queries:
+        lo = pat[::-1] if mode == "suffix" else pat
+        ranges.append((int(qid), lo, _key_upper_bound(lo)))
+    files = sorted(str(f) for f in Path(proj).glob("sorted_*.parquet"))
+    sel: dict[str, list[int]] = {}
+    total_rgs = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        key_idx = md.schema.names.index("key")
+        picked = []
+        for rg in range(md.num_row_groups):
+            total_rgs += 1
+            st = md.row_group(rg).column(key_idx).statistics
+            if st is None or not st.has_min_max:
+                picked.append(rg)                 # no stats: must read
+                continue
+            for _, lo, hi in ranges:
+                if st.max >= lo and (hi is None or st.min < hi):
+                    picked.append(rg)
+                    break
+        if picked:
+            sel[f] = picked
+    if _stats is not None:
+        _stats["proj_row_groups_total"] = total_rgs
+        _stats["proj_row_groups_read"] = sum(len(v) for v in sel.values())
+        _stats["proj_files_total"] = len(files)
+        _stats["proj_files_read"] = len(sel)
+
+    @ray.remote
+    def _scan(f: str, rgs: list[int], rng, cap: int):
+        import pyarrow.parquet as _pq
+
+        t = _pq.ParquetFile(f).read_row_groups(
+            rgs, columns=["key", "term", "df"])
+        keys = np.asarray(t.column("key").to_pylist(), dtype=str)
+        terms = np.asarray(t.column("term").to_pylist(), dtype=str)
+        dfs = t.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        out = []
+        for qid, lo, _hi in rng:
+            m = np.char.startswith(keys, lo)
+            if not m.any():
+                continue
+            ts, ds = terms[m], dfs[m]
+            order = np.lexsort((ts, -ds))[:cap]   # df desc, term asc
+            out.extend((qid, str(ts[i]), int(ds[i])) for i in order)
+        return out
+
+    parts = ray.get([_scan.remote(f, rgs, ranges, cap)
+                     for f, rgs in sorted(sel.items())])
+    per_qid: dict[int, list[tuple[int, str]]] = {}
+    for chunk in parts:
+        for qid, term, df in chunk:
+            per_qid.setdefault(qid, []).append((df, term))
+    expanded = []
+    for qid in sorted(per_qid):
+        rows = sorted(per_qid[qid], key=lambda r: (-r[0], r[1]))[:cap]
+        expanded.append((qid, " ".join(sorted(t for _, t in rows))))
+    return expanded
+
+
+def _expand_prefixes(paths: IndexPaths, prefix_queries, cap: int,
+                     mode: str = "prefix", _stats: dict | None = None):
+    """Expand each prefix (or suffix, ``mode="suffix"``; or regex,
+    ``mode="regex"``) to its top-``cap`` matching index terms as
+    ``[(query_id, "t1 t2 ...")]``.
+
+    Prefix and suffix modes serve from the persisted key-sorted
+    dictionary projection (``ensure_sorted_dictionary``): row-group
+    statistics prune the read to the matched key range, so expansion
+    I/O scales with the matched vocabulary bucket, not the vocabulary
+    — with the distributed full scan below as fallback when the
+    projection can't be built (read-only index root). Regex patterns
+    have no key range and always take the scan: one pass over the
+    vocabulary-scale (term, df) columns answers ALL patterns; matched
+    rows (not the vocabulary) flow through two tiny shuffles (df
+    re-sum for block-split terms, per-query top-cap) and the take_all
+    is bounded at cap x n_queries rows."""
+    if mode in ("prefix", "suffix"):
+        try:
+            res = _expand_sorted(paths, prefix_queries, cap, mode, _stats)
+            if res is not None:
+                return res
+        except OSError:
+            pass    # unwritable/corrupt projection dir -> scan fallback
 
     import ray.data
 
@@ -2113,22 +2313,23 @@ SUFFIX_QUERIES: list[tuple[int, str]] = [
 ]
 
 
-def suffix_search(sf_dir: str):
+def suffix_search(sf_dir: str, _stats: dict | None = None):
     """(query_id, doc_id, n_terms) — suffix (`*term`) wildcard
-    retrieval: the reverse-wildcard query class (Lucene serves it from
-    a reversed-term field; here the same distributed dictionary scan
-    that powers `prefix_search` runs an endswith kernel — the
-    vocabulary-scale columns are touched once for ALL suffixes, and at
-    100 TB the scale path is a REVERSED-term-sorted dictionary
-    projection, the documented analog of the prefix path's sorted
-    projection). Expansion is capped + deterministically ordered
-    (df desc, term asc) exactly like prefixes, then OR retrieval
-    through the same executors."""
+    retrieval: the reverse-wildcard query class, served from the
+    REVERSED-term-sorted dictionary projection (Lucene's reversed-term
+    field, `ensure_sorted_dictionary(reverse=True)`): each suffix
+    becomes a reversed-prefix key range, row-group statistics prune
+    the dictionary read to the matched bucket, and the distributed
+    endswith scan remains only as the fallback for read-only index
+    roots. Expansion is capped + deterministically ordered (df desc,
+    term asc) exactly like prefixes, then OR retrieval through the
+    same executors."""
     from searchengine_ray.pipelines.query import terms_union_queries
 
     paths = ensure_doc_index(sf_dir)
     expanded = _expand_prefixes(paths, SUFFIX_QUERIES,
-                                PREFIX_MAX_EXPANSIONS, mode="suffix")
+                                PREFIX_MAX_EXPANSIONS, mode="suffix",
+                                _stats=_stats)
     return terms_union_queries(paths, expanded, config=doc_index_config(),
                                concurrency=(1, 2))
 

@@ -358,10 +358,15 @@ def _hot_cache_read(cache_file: Path, key: str) -> tuple | None:
         md = t.schema.metadata or {}
         if md.get(b"hot_cache_key", b"").decode() != key:
             return None
+        if t.num_rows == 0:
+            # an empty hot image (tiny index / budget 0) is a valid
+            # cache hit — without this, every serve of such an index
+            # recomputes and rewrites forever
+            return _hot_slabs_from_dict({})
         hashes = t.column("hash").to_numpy(zero_copy_only=False)
         slabs, offs = [], np.zeros(1, dtype=np.int64)
         for c in ("pos", "contrib", "ipos", "icontrib"):
-            arr = t.column(c).chunk(0)
+            arr = t.column(c).combine_chunks()
             offs = arr.offsets.to_numpy(zero_copy_only=False).astype(
                 np.int64, copy=False)
             slabs.append(arr.values.to_numpy(zero_copy_only=False))
@@ -403,30 +408,49 @@ def _hot_cache_write(cache_file: Path, key: str, slabs: tuple) -> None:
                 pass
 
 
-def _hot_slabs_for_part(part_file: Path, pd_: PartData, dl_ids, dl,
-                        meta: dict, N: int, avgdl: float, k1: float,
-                        b: float, budget: int, use_cache: bool = True
-                        ) -> tuple:
-    """Hot-image slabs for one part: persisted-cache hit, else compute
-    + save.
+def _hot_cache_file(part_file: Path) -> Path:
+    return part_file.parent.parent / "hot_cache" / (part_file.stem + ".arrow")
+
+
+def _hot_slabs_for_part_deferred(part_file: Path, pd_: PartData, dl_ids, dl,
+                                 meta: dict, N: int, avgdl: float, k1: float,
+                                 b: float, budget: int,
+                                 use_cache: bool = True
+                                 ) -> tuple[tuple, str | None]:
+    """Hot-image slabs for one part WITHOUT the persist step: returns
+    (slabs, pending_key). pending_key is non-None exactly when the
+    slabs were computed fresh and still need `_hot_cache_write` — the
+    caller decides whether to write inline (serial path) or hand it to
+    a write-behind task off the first-serve critical path.
 
     The precompute is DRAM-bound (decode + gather + argsort: measured
     47 core-s single-threaded but 184 core-s at 32-way parallelism on
     the bench index — memory bandwidth, not ALU), so re-serves replace
     it with a sequential ~24 B/posting read keyed on the part manifest."""
     if budget <= 0:
-        return _hot_slabs_from_dict({})
+        return _hot_slabs_from_dict({}), None
     key = _hot_cache_key(part_file, N, avgdl, k1, b, budget) if use_cache else None
-    cache_file = part_file.parent.parent / "hot_cache" / (part_file.stem + ".arrow")
     if key is not None:
-        slabs = _hot_cache_read(cache_file, key)
+        slabs = _hot_cache_read(_hot_cache_file(part_file), key)
         if slabs is not None:
-            return slabs
+            return slabs, None
     slabs = _hot_slabs_from_dict(_precompute_hot_terms(
         pd_, dl_ids, dl, N, avgdl, k1, b, budget,
         doc_pos=_DocPos(dl_ids, meta)))
+    return slabs, key
+
+
+def _hot_slabs_for_part(part_file: Path, pd_: PartData, dl_ids, dl,
+                        meta: dict, N: int, avgdl: float, k1: float,
+                        b: float, budget: int, use_cache: bool = True
+                        ) -> tuple:
+    """Hot-image slabs for one part: persisted-cache hit, else compute
+    + save inline (the serial / non-Ray path)."""
+    slabs, key = _hot_slabs_for_part_deferred(
+        part_file, pd_, dl_ids, dl, meta, N, avgdl, k1, b, budget,
+        use_cache=use_cache)
     if key is not None:
-        _hot_cache_write(cache_file, key, slabs)
+        _hot_cache_write(_hot_cache_file(part_file), key, slabs)
     return slabs
 
 
@@ -486,15 +510,38 @@ def load_index_shared(paths: IndexPaths | str, *, precompute_hot: bool = True,
 
     @ray.remote
     def _load(f, _dl_ids, _dl):
+        from searchengine_ray.stages.postings import part_id_of
+
         pd_ = PartData(pq.read_table(f))
-        slabs = _hot_slabs_for_part(Path(f), pd_, _dl_ids, _dl, meta, N,
-                                    avgdl, k1, b, per_part_budget,
-                                    use_cache=hot_cache)
-        return int(Path(f).stem.split("-")[1]), pd_, slabs
+        slabs, pending_key = _hot_slabs_for_part_deferred(
+            Path(f), pd_, _dl_ids, _dl, meta, N, avgdl, k1, b,
+            per_part_budget, use_cache=hot_cache)
+        return part_id_of(f), pd_, slabs, pending_key
+
+    part_refs = [_load.remote(str(f), dl_ids_ref, dl_ref)
+                 for f in part_files]
+
+    # WRITE-BEHIND persist: first serve returns as soon as the hot
+    # image is computed; saving it for the next serve's mmap fast-path
+    # happens in num_cpus=0 tasks (pure disk I/O on a plasma borrow of
+    # the already-loaded tuple) that overlap actor attach + warm-up +
+    # serving instead of sitting on the spin-up critical path (r4:
+    # first-serve 38.9 s of which ~half was this persist). Atomic
+    # tmp+rename keeps a killed writer from ever corrupting the cache.
+    @ray.remote(num_cpus=0)
+    def _persist(f, loaded):
+        _part, _pd, slabs, pending_key = loaded
+        if pending_key is None:
+            return False
+        _hot_cache_write(_hot_cache_file(Path(f)), pending_key, slabs)
+        return True
+
+    persist_refs = ([_persist.remote(str(f), r)
+                     for f, r in zip(part_files, part_refs)]
+                    if hot_cache else [])
 
     return {"meta": meta, "dl_ids_ref": dl_ids_ref, "dl_ref": dl_ref,
-            "part_refs": [_load.remote(str(f), dl_ids_ref, dl_ref)
-                          for f in part_files]}
+            "part_refs": part_refs, "persist_refs": persist_refs}
 
 
 def assemble_index_data(shared: dict) -> dict:
@@ -505,7 +552,7 @@ def assemble_index_data(shared: dict) -> dict:
 
     parts: dict[int, PartData] = {}
     hot: dict = {}
-    for p, pd_, slabs in ray.get(shared["part_refs"]):
+    for p, pd_, slabs, _pending in ray.get(shared["part_refs"]):
         parts[p] = pd_
         hot.update(_hot_dict_from_slabs(slabs))
     return {"meta": shared["meta"], "dl_ids": ray.get(shared["dl_ids_ref"]),
@@ -535,6 +582,8 @@ def load_index_data(paths: IndexPaths | str, *, precompute_hot: bool = True,
         return assemble_index_data(load_index_shared(
             paths, precompute_hot=precompute_hot,
             hot_postings_budget=hot_postings_budget))
+    from searchengine_ray.stages.postings import part_id_of
+
     meta, dl_ids, dl, N, avgdl, k1, b = _load_doc_meta(paths)
     parts: dict[int, PartData] = {}
     hot: dict = {}
@@ -542,7 +591,7 @@ def load_index_data(paths: IndexPaths | str, *, precompute_hot: bool = True,
                        if precompute_hot else 0)
     for f in part_files:
         pd_ = PartData(pq.read_table(f))
-        parts[int(f.stem.split("-")[1])] = pd_
+        parts[part_id_of(f)] = pd_
         hot.update(_hot_dict_from_slabs(_hot_slabs_for_part(
             f, pd_, dl_ids, dl, meta, N, avgdl, k1, b, per_part_budget)))
     return {"meta": meta, "dl_ids": dl_ids, "dl": dl, "parts": parts,
@@ -2157,6 +2206,9 @@ class QueryService:
         self.actors = [_QueryActor.remote(root, config, shared, method,
                                           self._pool_cache, pool_cache_min_df)
                        for _ in range(num_actors)]
+        # pin the write-behind persist tasks for the pool's lifetime
+        # (dropping their refs could cancel an unscheduled persist)
+        self._persist_refs = shared.get("persist_refs", [])
         ray.wait(shared["part_refs"], num_returns=len(shared["part_refs"]),
                  fetch_local=False)
         self.spinup_breakdown["load"] = round(time.time() - t0, 3)
@@ -2224,9 +2276,28 @@ class QueryService:
             "score": np.concatenate([p[3] for p in parts]),
         })
 
-    def shutdown(self):
+    def drain_persist(self, timeout: float | None = None) -> int:
+        """Block until the write-behind hot-image persists finish;
+        returns how many parts were actually written this serve (0 on
+        a full cache hit). Tests and benchmarks call this before
+        measuring a re-serve; production never needs to."""
         import ray
 
+        if not self._persist_refs:
+            return 0
+        done = ray.get(self._persist_refs, timeout=timeout)
+        return sum(1 for d in done if d)
+
+    def shutdown(self, wait_persist: bool = True):
+        import ray
+
+        if wait_persist:
+            # let in-flight cache writes finish so the next serve's
+            # mmap fast-path sees them (they are cheap I/O tasks)
+            try:
+                self.drain_persist(timeout=120)
+            except Exception:
+                pass
         for a in self.actors:
             ray.kill(a)
         self.actors = []

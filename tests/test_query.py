@@ -257,3 +257,42 @@ def test_query_service_pool_cache_eviction():
     assert c.get(2) is None
     assert c.get(3) == ["r3"]
     assert c.stats()["postings"] <= 120
+
+
+def test_write_behind_hot_cache(ray_session, tmp_path):
+    """First serve of a fresh index computes the hot image and persists
+    it OFF the critical path (write-behind tasks): drain_persist()
+    reports >0 parts written and the hot_cache dir is populated; a
+    second serve of the same index is a full cache hit (0 pending
+    writes) and answers identically."""
+    from searchengine_ray import IndexConfig
+    from searchengine_ray.corpus import corpus_queries, generate_corpus
+    from searchengine_ray.pipelines.build import build_index
+    from searchengine_ray.pipelines.query import QueryService
+
+    corpus = generate_corpus(400, tmp_path / "corpus", seed=11)
+    cfg = IndexConfig(num_doc_parts=2, num_term_parts=4)
+    paths = build_index(corpus, tmp_path / "index", cfg)
+
+    qs = corpus_queries(n=8)
+    svc = QueryService(paths, cfg, num_actors=2, k=5, method="impact")
+    try:
+        svc.warmup(qs)
+        out1 = svc.search_batch(qs)
+        written = svc.drain_persist()
+        assert written > 0                     # fresh index: cache miss
+    finally:
+        svc.shutdown()
+    cache_files = sorted((tmp_path / "index" / "hot_cache").glob("*.arrow"))
+    assert len(cache_files) == written
+
+    svc = QueryService(paths, cfg, num_actors=2, k=5, method="impact")
+    try:
+        svc.warmup(qs)
+        out2 = svc.search_batch(qs)
+        assert svc.drain_persist() == 0        # re-serve: full cache hit
+    finally:
+        svc.shutdown()
+    import pandas as pd
+    pd.testing.assert_frame_equal(out1.reset_index(drop=True),
+                                  out2.reset_index(drop=True))

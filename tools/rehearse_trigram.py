@@ -98,6 +98,19 @@ def main() -> None:
     res["filtered_contrib_vs_corpus"] = round(
         fstats["contrib_rows_shuffled"] / n_docs, 4)
 
+    # suffix wildcard via the reversed-term-sorted projection (r5):
+    # dictionary row groups read must be a small fraction of the total
+    sstats: dict = {}
+    t0 = time.perf_counter()
+    n = docsearch.suffix_search(str(base), _stats=sstats).count()
+    res["suffix_search_sec"] = round(time.perf_counter() - t0, 2)
+    res["suffix_search_rows"] = int(n)
+    res["suffix_search_stats"] = sstats
+    if sstats.get("proj_row_groups_total"):
+        res["suffix_rg_read_frac"] = round(
+            sstats["proj_row_groups_read"]
+            / sstats["proj_row_groups_total"], 4)
+
     line = json.dumps(res)
     print(line)
     with open(out_json, "w") as f:
