@@ -2181,6 +2181,294 @@ FROM ranked WHERE rnk <= {k}
 """
 
 
+# ---- navigable-graph ANN (NSW-class beam search over the kNN graph) ----
+
+_GRAPH_K = 8          # graph degree (kNN edges per vertex, pre-symmetrize)
+_GRAPH_BEAM = 16      # beam width (HNSW's ef)
+_GRAPH_ROUNDS = 3     # expansion rounds (unrolled in the SQL oracle)
+_GRAPH_ENTRIES = 64   # entry set size: the E smallest md5 orders
+
+
+class _GraphEdgeFlush:
+    """Write one src-sorted block of the adjacency as one parquet file
+    (small row groups -> src-range pruning at query time, the trigram
+    `_ShardFlush` discipline)."""
+
+    def __init__(self, out_dir: str):
+        self.__name__ = "_GraphEdgeFlush"
+        self.out_dir = out_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import os
+
+        import pyarrow.parquet as pq
+
+        if batch.num_rows == 0:
+            return pa.table({"file": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        first = int(batch.column("src")[0].as_py())
+        name = f"edges_{first:012d}_{batch.num_rows}.parquet"
+        pq.write_table(batch.select(["src", "dst"]),
+                       os.path.join(self.out_dir, name),
+                       row_group_size=16384)
+        return pa.table({"file": pa.array([name], pa.string()),
+                         "rows": pa.array([batch.num_rows], pa.int64())})
+
+
+def ensure_graph_index(sf_dir: str, k: int = _GRAPH_K) -> str:
+    """Build (once per sf_dir, cached under /tmp) the navigable graph:
+    the exact kNN edges (``knn_graph``) SYMMETRIZED (undirected
+    navigability — reverse edges let the walk climb back toward a
+    query vertex's own neighborhood) and persisted src-sorted so a
+    beam's adjacency fetch reads only the row groups covering its
+    frontier ids. Edge duplicates after symmetrize are kept
+    (query-time np.unique / SQL DISTINCT dedups) — one sort, no extra
+    shuffle. The NSW search design (Malkov et al. 2014: beam search
+    over a navigable small-world graph from multiple entry points)
+    fits a data-parallel engine better than incremental HNSW
+    insertion: the graph is one batch kNN build, and the hierarchy is
+    replaced by a bounded md5-rank-scattered entry set (clustered
+    embeddings have near-zero inter-cluster cosine gradient, so no
+    graph walk can cross clusters — entry coverage, not hierarchy
+    depth, is what buys recall; measured on the gate sets)."""
+    import hashlib
+    import json as _json
+    import os
+    from pathlib import Path
+
+    fp = _fingerprint_of(sf_dir)
+    tag = hashlib.blake2b(f"{sf_dir}|graph{k}|{fp}".encode(),
+                          digest_size=6).hexdigest()
+    root = f"/tmp/graft_graph_index/{tag}"
+    marker = os.path.join(root, "_DONE")
+    if os.path.exists(marker):
+        return root
+    os.makedirs(root, exist_ok=True)
+    for f in Path(root).glob("*.parquet"):
+        f.unlink()
+
+    def both_ways(batch: pa.Table) -> pa.Table:
+        v = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        n = batch.column("nbr_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": int64_col(np.concatenate([v, n]).astype(np.int64)),
+            "dst": int64_col(np.concatenate([n, v]).astype(np.int64))})
+
+    stats = (knn_graph(sf_dir, k=k)
+             .map_batches(both_ways, batch_format="pyarrow")
+             .sort("src")
+             .map_batches(_GraphEdgeFlush(root), batch_format="pyarrow",
+                          batch_size=None)
+             .take_all())                    # bounded: one row per file
+    with open(marker, "w") as f:
+        _json.dump({"fingerprint": fp, "k": k,
+                    "files": sorted(r["file"] for r in stats)}, f)
+    return root
+
+
+def _fingerprint_of(sf_dir: str) -> str:
+    """size+mtime fingerprint of the embeddings table (cache key)."""
+    import os
+    from pathlib import Path
+
+    p = Path(sf_dir) / "embeddings.parquet"
+    if not p.exists():
+        return "absent"
+    st = os.stat(p)
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
+def _fetch_rows(path, id_col: str, ids: np.ndarray, columns: list[str]):
+    """Filtered parquet read for a bounded id set — row-group statistics
+    prune the scan when the file is id-sorted (testdata and the
+    persisted edge files both are)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path, columns=columns,
+                         filters=pc.field(id_col).isin(
+                             pa.array(ids, pa.int64())))
+
+
+def ann_graph_topk(sf_dir: str, query_ids: list[int] | None = None,
+                   k: int = 10, _stats: dict | None = None):
+    """(query_vec_id, rank, vec_id, cosine_bp) — navigable-graph ANN
+    (NSW-class): score a fixed md5-rank-scattered ENTRY set (the
+    ``_GRAPH_ENTRIES`` smallest ``(md5(vec_id), vec_id)`` orders —
+    deterministic, data-size-adaptive cluster coverage), then
+    ``_GRAPH_ROUNDS`` beam rounds over the persisted symmetric kNN
+    graph with the beam kept by (cosine_bp DESC, vec_id ASC). Every
+    step is integer-tie-broken, so the SQL oracle replays the SEARCH
+    itself via unrolled round CTEs — not just the result.
+
+    Shape: pointer-chasing is inherently sequential per query, so the
+    driver runs the (bounded: queries x beam x degree) round loop and
+    each round issues ONE batched filtered read for all queries'
+    frontier adjacency + candidate vectors (row-group-pruned by the
+    src-sorted edge layout). Corpus-scale work — the kNN edge build
+    and the one-time md5-rank entry selection — happens in
+    ``ensure_graph_index`` / at build; at serving scale the graph
+    shards across an actor pool by vec-id range and the same rounds
+    become ray.get fan-outs to the owning actors."""
+    from pathlib import Path
+
+    import duckdb
+
+    from searchengine_ray.pipelines.common import table_path
+
+    root = ensure_graph_index(sf_dir)
+    qids_list = sorted(query_ids or DEFAULT_QUERY_IDS)
+    qids, qmat = _query_matrix(sf_dir, qids_list)
+    qn = _normalize(qmat)                                  # (q, d)
+    emb_path = table_path(sf_dir, "embeddings")
+    edge_files = sorted(str(f) for f in Path(root).glob("edges_*.parquet"))
+
+    # md5-rank entries: deterministic AND scattered across clusters
+    # (the smallest-vec_ids choice landed every entry in one cluster —
+    # measured recall@10 0.4 on a gate query); at 10^12 vectors this
+    # rank selection is a one-time build step persisted with the index
+    _con = duckdb.connect()
+    entries = np.array([r[0] for r in _con.sql(
+        f"SELECT vec_id FROM '{emb_path}' "
+        f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id "
+        f"LIMIT {_GRAPH_ENTRIES}").fetchall()], dtype=np.int64)
+    _con.close()
+
+    visited: list[dict[int, int]] = [dict() for _ in qids]
+    reads = {"edge_rows": 0}
+
+    def score_ids(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        t = _fetch_rows(emb_path, "vec_id", ids, ["vec_id", "embedding"])
+        got = t.column("vec_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        en = _normalize(emb_matrix(t.column("embedding")))
+        return got, bp(qn @ en.T)                          # (q, m)
+
+    got, sims = score_ids(entries)
+    for qi in range(len(qids)):
+        for j, v in enumerate(got.tolist()):
+            visited[qi][v] = int(sims[qi, j])
+
+    for _ in range(_GRAPH_ROUNDS):
+        frontier: list[np.ndarray] = []
+        for qi in range(len(qids)):
+            vs = np.fromiter(visited[qi].keys(), np.int64,
+                             len(visited[qi]))
+            bps = np.fromiter(visited[qi].values(), np.int64, len(vs))
+            frontier.append(vs[np.lexsort((vs, -bps))[:_GRAPH_BEAM]])
+        need_src = np.unique(np.concatenate(frontier))
+        adj = _fetch_rows(edge_files, "src", need_src, ["src", "dst"])
+        reads["edge_rows"] += adj.num_rows
+        src = adj.column("src").to_numpy(zero_copy_only=False)
+        dst = adj.column("dst").to_numpy(zero_copy_only=False)
+        order = np.argsort(src, kind="stable")
+        src, dst = src[order], dst[order]
+        new_per_q: list[np.ndarray] = []
+        for qi in range(len(qids)):
+            lo = np.searchsorted(src, frontier[qi], side="left")
+            hi = np.searchsorted(src, frontier[qi], side="right")
+            nbrs = np.unique(np.concatenate(
+                [dst[a:b] for a, b in zip(lo, hi)] or
+                [np.empty(0, np.int64)]))
+            seen = visited[qi]
+            new_per_q.append(np.array(
+                [v for v in nbrs.tolist() if v not in seen], np.int64))
+        need = (np.unique(np.concatenate(new_per_q))
+                if any(len(x) for x in new_per_q)
+                else np.empty(0, np.int64))
+        if len(need) == 0:
+            break
+        got, sims = score_ids(need)
+        pos = {int(v): j for j, v in enumerate(got.tolist())}
+        for qi in range(len(qids)):
+            for v in new_per_q[qi].tolist():
+                visited[qi][v] = int(sims[qi, pos[v]])
+    if _stats is not None:
+        _stats["visited_per_query"] = [len(v) for v in visited]
+        _stats["edge_rows_read"] = int(reads["edge_rows"])
+
+    out_q, out_r, out_v, out_s = [], [], [], []
+    for qi in range(len(qids)):
+        vs = np.fromiter(visited[qi].keys(), np.int64, len(visited[qi]))
+        bps = np.fromiter(visited[qi].values(), np.int64, len(vs))
+        top = np.lexsort((vs, -bps))[:k]
+        out_q.append(np.full(len(top), qids[qi], np.int64))
+        out_r.append(np.arange(1, len(top) + 1, dtype=np.int64))
+        out_v.append(vs[top])
+        out_s.append(bps[top])
+    return pa.table({
+        "query_vec_id": int64_col(np.concatenate(out_q)),
+        "rank": int64_col(np.concatenate(out_r)),
+        "vec_id": int64_col(np.concatenate(out_v)),
+        "cosine_bp": int64_col(np.concatenate(out_s))})
+
+
+def ann_graph_topk_sql(query_ids: list[int] | None = None,
+                       k: int = 10) -> str:
+    """Replays the beam SEARCH itself: kNN edges + symmetrize,
+    md5-rank entries, then ``_GRAPH_ROUNDS`` unrolled (beam ->
+    neighbors -> score -> union) CTE rounds with the same
+    (cosine_bp DESC, vec_id ASC) ordering."""
+    ids = ",".join(map(str, sorted(query_ids or DEFAULT_QUERY_IDS)))
+    rounds = []
+    for r in range(1, _GRAPH_ROUNDS + 1):
+        p = r - 1
+        rounds.append(f"""
+b{p} AS (
+  SELECT query_vec_id, vec_id FROM (
+    SELECT v{p}.*, row_number() OVER (PARTITION BY query_vec_id
+           ORDER BY cosine_bp DESC, vec_id ASC) AS rnk FROM v{p})
+  WHERE rnk <= {_GRAPH_BEAM}),
+n{r} AS (
+  SELECT DISTINCT b.query_vec_id, g.dst AS vec_id
+  FROM b{p} b JOIN edges g ON g.src = b.vec_id),
+s{r} AS (
+  SELECT n.query_vec_id, n.vec_id,
+         CAST(floor(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[]))
+                    * 10000 + 0.5) AS BIGINT) AS cosine_bp
+  FROM n{r} n
+  JOIN q ON q.query_vec_id = n.query_vec_id
+  JOIN embeddings e ON e.vec_id = n.vec_id),
+v{r} AS (
+  SELECT DISTINCT * FROM
+    (SELECT * FROM v{p} UNION ALL SELECT * FROM s{r}))""")
+    rounds_sql = ",".join(rounds)
+    return f"""
+WITH q AS (SELECT vec_id AS query_vec_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN ({ids})),
+sims AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[]))
+                    * 10000 + 0.5) AS BIGINT) AS cosine_bp
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+knn AS (
+  SELECT vec_id, nbr_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+           ORDER BY cosine_bp DESC, nbr_id ASC) AS rnk FROM sims)
+  WHERE rnk <= {_GRAPH_K}),
+edges AS (SELECT vec_id AS src, nbr_id AS dst FROM knn
+          UNION SELECT nbr_id, vec_id FROM knn),
+e0 AS (SELECT vec_id FROM embeddings
+       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       LIMIT {_GRAPH_ENTRIES}),
+v0 AS (
+  SELECT q.query_vec_id, e.vec_id,
+         CAST(floor(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[]))
+                    * 10000 + 0.5) AS BIGINT) AS cosine_bp
+  FROM q CROSS JOIN e0 JOIN embeddings e ON e.vec_id = e0.vec_id),
+{rounds_sql}
+SELECT query_vec_id, CAST(rnk AS BIGINT) AS rank, vec_id, cosine_bp
+FROM (SELECT v{_GRAPH_ROUNDS}.*,
+             row_number() OVER (PARTITION BY query_vec_id
+                    ORDER BY cosine_bp DESC, vec_id ASC) AS rnk
+      FROM v{_GRAPH_ROUNDS})
+WHERE rnk <= {k}
+"""
+
+
 # ---- binary quantization (1 bit/dim) + exact rerank ----
 
 class _BqTopK:

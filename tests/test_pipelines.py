@@ -17,7 +17,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 SQL_CHECKED = ["term_df", "doc_token_stats", "token_count_by_lang",
                "text_quality", "repetition_quality", "dedup_exact",
                "embedding_near_dups",
-               "ann_topk", "ann_lsh_topk", "embedding_near_dups_lsh",
+               "ann_topk", "ann_lsh_topk", "ann_graph_topk", "embedding_near_dups_lsh",
                "multimodal_meta", "frame_sample",
                "image_decode_features", "distinct_terms_hll_registers",
                "pricing_summary", "top_orders_by_revenue", "events_daily",
@@ -1559,3 +1559,35 @@ def test_key_upper_bound():
     for pre in ("x", "zz", "a0_"):
         hi = _key_upper_bound(pre)
         assert pre < pre + "zzz" < hi
+
+
+def test_ann_graph_recall_vs_exact(ray_session):
+    """Navigable-graph ANN (NSW beam search over the symmetric kNN
+    graph, md5-rank-scattered entries): recall@10 vs the exact scan
+    must clear the floor at the gate scale, while visiting a fraction
+    of the corpus (the point of the graph)."""
+    from searchengine_ray.pipelines.ann import ann_graph_topk, ann_topk
+
+    st: dict = {}
+    got = ann_graph_topk(SF_DIR, _stats=st).to_pandas()
+    exact = ann_topk(SF_DIR).to_pandas()
+    n_vecs = 500
+    recalls = []
+    for q in sorted(got.query_vec_id.unique()):
+        g = set(got[got.query_vec_id == q].vec_id)
+        e = set(exact[exact.query_vec_id == q].vec_id)
+        recalls.append(len(g & e) / len(e))
+    assert min(recalls) >= 0.8, recalls
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    assert all(v < n_vecs for v in st["visited_per_query"])
+
+
+def test_ann_graph_beam_is_deterministic(ray_session):
+    """Two runs of the beam search return identical tables (fixed
+    entries, integer tie-breaks) — the property that lets the SQL
+    oracle replay the search itself."""
+    from searchengine_ray.pipelines.ann import ann_graph_topk
+
+    a = ann_graph_topk(SF_DIR).to_pandas()
+    b = ann_graph_topk(SF_DIR).to_pandas()
+    assert a.equals(b)
