@@ -193,21 +193,32 @@ _COMPACT_FILES = 8
 
 def compact_trigram_index(root: str, k: int = _COMPACT_FILES) -> None:
     """Fold the shard files into at most ``k`` larger shards — the
-    Lucene merge. Each merge task concatenates a GROUP of whole shards
-    and re-sorts by gram, so the merged file still holds the complete
-    gram set of every doc inside it (the invariant `_ShardCandidates`
-    relies on). One Ray task per group."""
+    Lucene merge — PURGING any pending tombstones (a compaction must
+    leave no trace of deleted docs; the tombstone file is dropped once
+    every shard has been rewritten without them). Each merge task
+    concatenates a GROUP of whole shards and re-sorts by gram, so the
+    merged file still holds the complete gram set of every doc inside
+    it (the invariant `_ShardCandidates` relies on). One Ray task per
+    group."""
     import ray
 
     files = _shard_files(root)
-    if len(files) <= k:
+    tomb = _tombstones(root)
+    if len(files) <= k and len(tomb) == 0:
         return
+    tomb_ref = ray.put(tomb)
 
     @ray.remote
-    def _compact(idx: int, group: list[str]) -> str:
+    def _compact(idx: int, group: list[str], _tomb_ref) -> str:
         import pyarrow.parquet as pq
 
+        tomb_ids = _tomb_ref          # ObjectRef arg auto-dereferenced
         tbl = pa.concat_tables([pq.read_table(f) for f in group])
+        if len(tomb_ids):
+            d = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(tomb_ids, d),
+                             len(tomb_ids) - 1)
+            tbl = tbl.filter(pa.array(tomb_ids[pos] != d))
         tbl = tbl.sort_by([("gram", "ascending"), ("doc_id", "ascending")])
         dest = os.path.join(root, f"shard_c{idx}.parquet")
         tmp = dest + ".tmp"
@@ -218,7 +229,11 @@ def compact_trigram_index(root: str, k: int = _COMPACT_FILES) -> None:
         return dest
 
     groups = [files[i::k] for i in range(k)]
-    ray.get([_compact.remote(i, g) for i, g in enumerate(groups) if g])
+    ray.get([_compact.remote(i, g, tomb_ref)
+             for i, g in enumerate(groups) if g])
+    dp = os.path.join(root, "deletes.parquet")
+    if os.path.exists(dp):
+        os.remove(dp)
 
 
 # ---- index face: trigram document frequency ----
@@ -331,11 +346,83 @@ class _ShardCandidates:
                          "doc_id": int64_col(np.concatenate(out_d))})
 
 
+def delete_trigram_docs(root: str, doc_ids) -> int:
+    """Tombstone docs in a trigram index: queries drop them at
+    candidate time; ``compact_trigram_index`` purges them physically
+    (the Lucene delete->merge lifecycle, mirroring the full-text
+    index's ``delete_documents`` at build.py). Repeated deletes union
+    under a lock (single-node read-modify-write guard; cross-node
+    delete coordination is control-plane, the caller's job). Returns
+    the total tombstone count."""
+    import pyarrow.parquet as pq
+
+    ids = np.unique(np.asarray(list(doc_ids), np.int64))
+    dp = os.path.join(root, "deletes.parquet")
+    lock = os.path.join(root, ".deletes.lock")
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+    try:
+        import fcntl
+
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        if os.path.exists(dp):
+            old = pq.read_table(dp).column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ids = np.unique(np.concatenate([old, ids]))
+        tmp = dp + f".tmp-{os.getpid()}"
+        pq.write_table(pa.table({"doc_id": int64_col(ids)}), tmp)
+        os.replace(tmp, dp)
+    finally:
+        os.close(fd)
+    return int(len(ids))
+
+
+def _tombstones(root: str) -> np.ndarray:
+    """Sorted tombstoned doc_ids of a trigram index ([] if none)."""
+    import pyarrow.parquet as pq
+
+    dp = os.path.join(root, "deletes.parquet")
+    if not os.path.exists(dp):
+        return np.empty(0, np.int64)
+    return np.unique(pq.read_table(dp).column("doc_id").to_numpy(
+        zero_copy_only=False).astype(np.int64))
+
+
+class _DropTombstoned:
+    """map_batches filter: drop candidate rows whose doc_id is
+    tombstoned (sorted-array membership via searchsorted; the
+    tombstone list rides the object store once per pool)."""
+
+    def __init__(self, tomb_ref):
+        import ray
+
+        self.tomb = ray.get(tomb_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(self.tomb, d),
+                         len(self.tomb) - 1)
+        return batch.filter(pa.array(self.tomb[pos] != d))
+
+
+def _drop_tombstoned(ds, root: str):
+    """Apply the tombstone filter to a candidate Dataset (no-op when
+    the index has no pending deletes)."""
+    import ray
+
+    tomb = _tombstones(root)
+    if len(tomb) == 0:
+        return ds
+    tomb_ref = ray.put(tomb)
+    return ds.map_batches(_DropTombstoned, fn_constructor_args=(tomb_ref,),
+                          batch_format="pyarrow", concurrency=(1, 2))
+
+
 def _candidate_pairs(root: str, queries: list[tuple[int, str]]):
     """Dataset of (query_id, doc_id) candidates: docs containing ALL
     trigrams of each query's needle — shard-local intersection, zero
-    shuffle (`_ShardCandidates`). Queries shorter than 3 chars are
-    rejected (no trigram evidence -> would need the full-scan path)."""
+    shuffle (`_ShardCandidates`), minus any tombstoned docs. Queries
+    shorter than 3 chars are rejected (no trigram evidence -> would
+    need the full-scan path)."""
     import ray
 
     if any(len(_needle_grams(n)) == 0 for _, n in queries):
@@ -345,11 +432,12 @@ def _candidate_pairs(root: str, queries: list[tuple[int, str]]):
         return ray.data.from_arrow(pa.table({
             "query_id": pa.array([], pa.int64()),
             "doc_id": pa.array([], pa.int64())}))
-    return ray.data.from_arrow(
+    ds = ray.data.from_arrow(
         pa.table({"path": pa.array(files, pa.string())})) \
         .map_batches(_ShardCandidates, fn_constructor_args=(queries,),
                      batch_format="pyarrow", batch_size=1,
                      concurrency=(1, 8))
+    return _drop_tombstoned(ds, root)
 
 
 class _SubstrVerifyGroup:
@@ -1134,12 +1222,13 @@ def trigram_snapshot_search(sf_dir: str):
             "doc_id": pa.array([], pa.int64()),
             "n_matches": pa.array([], pa.int64()),
             "first_pos": pa.array([], pa.int64())}))
-    cand = ray.data.from_arrow(
-        pa.table({"path": pa.array(gen1, pa.string())})) \
+    cand = _drop_tombstoned(
+        ray.data.from_arrow(
+            pa.table({"path": pa.array(gen1, pa.string())}))
         .map_batches(_ShardCandidates,
                      fn_constructor_args=(SUBSTRING_QUERIES,),
                      batch_format="pyarrow", batch_size=1,
-                     concurrency=(1, 8))
+                     concurrency=(1, 8)), root)
 
     def add_vpart(batch: pa.Table) -> pa.Table:
         d = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -1164,4 +1253,104 @@ SELECT CAST(q.query_id AS BIGINT) AS query_id, d.doc_id,
        CAST(position(q.needle IN d.text) AS BIGINT) AS first_pos
 FROM documents d JOIN q ON position(q.needle IN d.text) > 0
 WHERE d.doc_id % {_INC_MOD} = 0
+"""
+
+
+# ---- delete -> compact lifecycle over the trigram index ----
+
+_TRI_DEL_MOD = 5       # tombstone every doc_id % 5 == 0
+
+
+def ensure_trigram_deleted(sf_dir: str, compacted: bool) -> str:
+    """Dedicated trigram index copy for ``sf_dir`` with every
+    ``doc_id % _TRI_DEL_MOD == 0`` tombstoned — left PENDING
+    (``compacted=False``: queries must drop the docs at candidate
+    time) or COMPACTED (``compacted=True``: the merge physically
+    purged them and dropped the tombstone file). Two separate cached
+    roots so both lifecycle states stay reproducible. The delete list
+    comes from a single-column pruned read of the documents table
+    (deletes are control-plane input; at corpus scale the caller
+    supplies ids, it doesn't scan for them)."""
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.common import table_path
+
+    fp = _corpus_fingerprint(sf_dir)
+    kind = "delc" if compacted else "del"
+    tag = hashlib.blake2b(f"{sf_dir}#{kind}{_TRI_DEL_MOD}|{fp}".encode(),
+                          digest_size=6).hexdigest()
+    root = f"/tmp/graft_trigram_index/{tag}"
+    marker = os.path.join(root, "_DONE")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f).get("fingerprint") == fp:
+                return root
+        os.remove(marker)
+    os.makedirs(root, exist_ok=True)
+    _wipe_shards(root)
+    for leftover in ("deletes.parquet",):
+        lp = os.path.join(root, leftover)
+        if os.path.exists(lp):
+            os.remove(lp)
+    stats = _flush_shards(
+        read(sf_dir, "documents", ["doc_id", "text"]), root, "1")
+    compact_trigram_index(root)
+    ids = pq.read_table(table_path(sf_dir, "documents"),
+                        columns=["doc_id"]).column("doc_id").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    delete_trigram_docs(root, ids[ids % _TRI_DEL_MOD == 0])
+    if compacted:
+        compact_trigram_index(root)       # purges tombstones physically
+    with open(marker, "w") as f:
+        json.dump({"shards": stats, "fingerprint": fp,
+                   "compacted": compacted}, f)
+    return root
+
+
+def _delete_search(sf_dir: str, compacted: bool):
+    root = ensure_trigram_deleted(sf_dir, compacted)
+    cand = _candidate_pairs(root, SUBSTRING_QUERIES)
+
+    def add_vpart(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.append_column("vpart", int64_col(d % _N_VERIFY_PARTS))
+
+    return cand.map_batches(add_vpart, batch_format="pyarrow") \
+        .groupby("vpart").map_groups(
+            _SubstrVerifyGroup(table_path(sf_dir, "documents"),
+                               SUBSTRING_QUERIES),
+            batch_format="pyarrow").filter(expr="n_matches > 0")
+
+
+def trigram_delete_search(sf_dir: str):
+    """(query_id, doc_id, n_matches, first_pos) — the substring query
+    set answered from an index with PENDING tombstones: candidates are
+    filtered against the delete list at query time (the Lucene live-
+    docs bitset). The oracle restricts the corpus to surviving docs,
+    so a hash match proves tombstoned docs are invisible to every
+    query while still physically present in the shards."""
+    return _delete_search(sf_dir, compacted=False)
+
+
+def trigram_delete_compact_search(sf_dir: str):
+    """Same query set AFTER ``compact_trigram_index`` purged the
+    tombstones — same oracle as `trigram_delete_search`: a hash match
+    here plus there proves delete->compact changes no answer while
+    physically removing the dead postings (test_trigram asserts the
+    shards no longer contain the doc ids at all)."""
+    return _delete_search(sf_dir, compacted=True)
+
+
+def trigram_delete_search_sql() -> str:
+    values = ",\n        ".join(f"({qid}, '{_sql_quote(s)}')"
+                                for qid, s in SUBSTRING_QUERIES)
+    return f"""
+WITH q(query_id, needle) AS (VALUES
+        {values})
+SELECT CAST(q.query_id AS BIGINT) AS query_id, d.doc_id,
+       CAST((length(d.text) - length(replace(d.text, q.needle, '')))
+            // length(q.needle) AS BIGINT) AS n_matches,
+       CAST(position(q.needle IN d.text) AS BIGINT) AS first_pos
+FROM documents d JOIN q ON position(q.needle IN d.text) > 0
+WHERE d.doc_id % {_TRI_DEL_MOD} <> 0
 """

@@ -205,3 +205,80 @@ def test_trigram_compaction_equivalence(ray_session, tmp_path):
             batch_format="pyarrow").filter(expr="n_matches > 0") \
         .to_pandas().sort_values(["query_id", "doc_id"]).reset_index(drop=True)
     assert before.equals(after)
+
+
+def test_trigram_delete_lifecycle(ray_session):
+    """Tombstone deletes: (a) pending tombstones are invisible to
+    queries but still physically present in the shards; (b) compaction
+    purges them physically and drops the tombstone file; (c) answers
+    before and after compaction are identical."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.trigram import (
+        _TRI_DEL_MOD,
+        ensure_trigram_deleted,
+        trigram_delete_compact_search,
+        trigram_delete_search,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pending = ensure_trigram_deleted(sf, compacted=False)
+    assert os.path.exists(os.path.join(pending, "deletes.parquet"))
+    # physically present in the pending index
+    docs_in_pending = set()
+    for f in glob.glob(os.path.join(pending, "shard_*.parquet")):
+        docs_in_pending.update(
+            pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist())
+    assert any(d % _TRI_DEL_MOD == 0 for d in docs_in_pending)
+
+    compacted = ensure_trigram_deleted(sf, compacted=True)
+    assert not os.path.exists(os.path.join(compacted, "deletes.parquet"))
+    for f in glob.glob(os.path.join(compacted, "shard_*.parquet")):
+        ids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
+        assert all(d % _TRI_DEL_MOD != 0 for d in ids), f
+
+    a = trigram_delete_search(sf).to_pandas() \
+        .sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    b = trigram_delete_compact_search(sf).to_pandas() \
+        .sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert (a.doc_id % _TRI_DEL_MOD != 0).all()
+
+
+def test_trigram_deletes_honored_by_all_faces(ray_session, tmp_path):
+    """Every query face sharing `_candidate_pairs` (substring, regex,
+    filtered) and the snapshot face must drop tombstoned docs — delete
+    a doc from a tiny index and check it vanishes from candidates."""
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.trigram import (
+        _candidate_pairs,
+        compact_trigram_index,
+        delete_trigram_docs,
+        ensure_trigram_index,
+    )
+
+    d = tmp_path / "sfd"
+    d.mkdir()
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["alpha target beta", "target gamma",
+                                    "delta epsilon"])})
+    pq.write_table(t, str(d / "documents.parquet"))
+    root = ensure_trigram_index(str(d))
+    pairs = _candidate_pairs(root, [(1, "target")]).take_all()
+    assert {r["doc_id"] for r in pairs} == {1, 2}
+    n = delete_trigram_docs(root, [2])
+    assert n == 1
+    pairs = _candidate_pairs(root, [(1, "target")]).take_all()
+    assert {r["doc_id"] for r in pairs} == {1}
+    # repeated deletes union
+    delete_trigram_docs(root, [1, 2])
+    pairs = _candidate_pairs(root, [(1, "target")]).take_all()
+    assert pairs == []
+    # compaction purges and the answers stay identical
+    compact_trigram_index(root)
+    pairs = _candidate_pairs(root, [(1, "target")]).take_all()
+    assert pairs == []
