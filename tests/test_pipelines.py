@@ -525,7 +525,18 @@ def test_entry_smoke(ray_session):
     r = e.entry()
     df = _to_pandas(r)
     assert len(df) > 0
-    assert set(df.columns) == {"query_id", "rank", "doc_id", "score_bp"}
+    assert set(df.columns) == {"face", "query_id", "rank", "doc_id",
+                               "score_bp", "n_matches"}
+    # all four index layers answered
+    assert set(df.face.unique()) == {"bm25", "phrase", "boolean",
+                                     "filtered"}
+    # each face's slice equals its registry row (the composition adds
+    # nothing and loses nothing)
+    bm25 = _canon(_to_pandas(e.queries()["bm25_topk"](
+        "/root/testdata/sf0.001")))
+    sub = _canon(df[df.face == "bm25"][
+        ["query_id", "rank", "doc_id", "score_bp"]])
+    assert bm25.equals(sub)
 
 
 def test_repetition_quality_multiline():
