@@ -32,6 +32,27 @@ import numpy as np
 import pyarrow as pa
 
 
+def _make_map_stats():
+    import ray
+
+    @ray.remote
+    class MapStats:
+        def __init__(self):
+            self.sum = 0.0
+            self.max = 0.0
+            self.n = 0
+
+        def add(self, sec: float) -> None:
+            self.sum += sec
+            self.max = max(self.max, sec)
+            self.n += 1
+
+        def get(self):
+            return {"sum": self.sum, "max": self.max, "n": self.n}
+
+    return MapStats
+
+
 def run_partition_exchange(files: list[str], n_parts: int, map_fn, reduce_fn,
                            *, skip_parts: set[int] | None = None,
                            max_in_flight: int | None = None,
@@ -71,9 +92,19 @@ def run_partition_exchange(files: list[str], n_parts: int, map_fn, reduce_fn,
         # of one), so the tree-fold loop below would spin forever
         reduce_fanin = 2
 
+    # fn-seconds side channel: a num_cpus=0 counter actor lets map tasks
+    # report in-task fn time without widening the n_parts return tuple —
+    # wall vs fn_sum/cpus separates real work from scheduling/serialize
+    # overhead at any width (the map-side analog of reduce_fn_sum_sec)
+    stats_actor = (_make_map_stats().options(num_cpus=0).remote()
+                   if timings is not None else None)
+
     @ray.remote(num_returns=n_parts)
     def _map(path):
+        t_fn = time.time()
         out = map_fn(path)
+        if stats_actor is not None:
+            stats_actor.add.remote(time.time() - t_fn)
         if n_parts == 1:
             return out[0]
         return tuple(out)
@@ -142,6 +173,9 @@ def run_partition_exchange(files: list[str], n_parts: int, map_fn, reduce_fn,
         while pending:
             _, pending = ray.wait(pending, num_returns=len(pending))
         timings["map_wall_sec"] = round(time.time() - t0, 3)
+        ms = ray.get(stats_actor.get.remote())
+        timings["map_fn_sum_sec"] = round(ms["sum"], 3)
+        timings["map_fn_max_sec"] = round(ms["max"], 3)
         t0 = time.time()
     out_refs = [_reduce.remote(p, *slice_refs[p])
                 for p in range(n_parts) if p not in skip]
