@@ -2102,6 +2102,24 @@ class _KnnGraphStage:
         self.ids = ray.get(ids_ref)             # (N,)
         self.k = k
 
+    def _topk(self, row: np.ndarray, self_id: int) -> np.ndarray:
+        """Exact top-k candidate indices by (bp DESC, vec_id ASC),
+        self excluded. O(N) argpartition pre-select (a full per-row
+        lexsort is O(N log N) PER ROW — measured intractable at 100k
+        vectors): everything strictly above the k-th value is in;
+        boundary ties resolve by the same lexsort over the small
+        >= -threshold set, so results are bit-identical to the naive
+        sort (the hash oracle's order)."""
+        cand = np.flatnonzero(self.ids != self_id)
+        if len(cand) > 4 * self.k:
+            r = cand_r = row[cand]
+            kth = min(self.k, len(cand)) - 1
+            thr = r[np.argpartition(-r, kth)[kth]]
+            keep = cand[cand_r >= thr]          # ties included; small
+        else:
+            keep = cand
+        return keep[np.lexsort((self.ids[keep], -row[keep]))[:self.k]]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         emb = _normalize(emb_matrix(batch.column("embedding")))
         ids = batch.column("vec_id").to_numpy(
@@ -2110,8 +2128,7 @@ class _KnnGraphStage:
         out_v, out_r, out_n, out_s = [], [], [], []
         for i in range(len(ids)):
             row = sims_bp[i]
-            cand = np.flatnonzero(self.ids != ids[i])
-            top = cand[np.lexsort((self.ids[cand], -row[cand]))[:self.k]]
+            top = self._topk(row, int(ids[i]))
             kk = len(top)
             out_v.append(np.full(kk, ids[i], np.int64))
             out_r.append(np.arange(1, kk + 1, dtype=np.int64))
@@ -2291,7 +2308,9 @@ def _fetch_rows(path, id_col: str, ids: np.ndarray, columns: list[str]):
 
 
 def ann_graph_topk(sf_dir: str, query_ids: list[int] | None = None,
-                   k: int = 10, _stats: dict | None = None):
+                   k: int = 10, _stats: dict | None = None,
+                   rounds: int | None = None, beam: int | None = None,
+                   n_entries: int | None = None):
     """(query_vec_id, rank, vec_id, cosine_bp) — navigable-graph ANN
     (NSW-class): score a fixed md5-rank-scattered ENTRY set (the
     ``_GRAPH_ENTRIES`` smallest ``(md5(vec_id), vec_id)`` orders —
@@ -2316,6 +2335,15 @@ def ann_graph_topk(sf_dir: str, query_ids: list[int] | None = None,
 
     from searchengine_ray.pipelines.common import table_path
 
+    # rounds/beam/entries are SERVING-QUALITY knobs (HNSW's ef): the
+    # defaults are the gate-scale constants the SQL oracle unrolls; at
+    # larger corpora size them with the graph diameter (rounds ~ log N,
+    # beam up) — tools/rehearse_graph.py measures the recall/visited
+    # trade-off at 100k
+    rounds = _GRAPH_ROUNDS if rounds is None else rounds
+    beam = _GRAPH_BEAM if beam is None else beam
+    n_entries = _GRAPH_ENTRIES if n_entries is None else n_entries
+
     root = ensure_graph_index(sf_dir)
     qids_list = sorted(query_ids or DEFAULT_QUERY_IDS)
     qids, qmat = _query_matrix(sf_dir, qids_list)
@@ -2331,7 +2359,7 @@ def ann_graph_topk(sf_dir: str, query_ids: list[int] | None = None,
     entries = np.array([r[0] for r in _con.sql(
         f"SELECT vec_id FROM '{emb_path}' "
         f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id "
-        f"LIMIT {_GRAPH_ENTRIES}").fetchall()], dtype=np.int64)
+        f"LIMIT {n_entries}").fetchall()], dtype=np.int64)
     _con.close()
 
     visited: list[dict[int, int]] = [dict() for _ in qids]
@@ -2349,13 +2377,13 @@ def ann_graph_topk(sf_dir: str, query_ids: list[int] | None = None,
         for j, v in enumerate(got.tolist()):
             visited[qi][v] = int(sims[qi, j])
 
-    for _ in range(_GRAPH_ROUNDS):
+    for _ in range(rounds):
         frontier: list[np.ndarray] = []
         for qi in range(len(qids)):
             vs = np.fromiter(visited[qi].keys(), np.int64,
                              len(visited[qi]))
             bps = np.fromiter(visited[qi].values(), np.int64, len(vs))
-            frontier.append(vs[np.lexsort((vs, -bps))[:_GRAPH_BEAM]])
+            frontier.append(vs[np.lexsort((vs, -bps))[:beam]])
         need_src = np.unique(np.concatenate(frontier))
         adj = _fetch_rows(edge_files, "src", need_src, ["src", "dst"])
         reads["edge_rows"] += adj.num_rows
