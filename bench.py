@@ -168,6 +168,10 @@ def run_bench() -> dict:
         from searchengine_ray.pipelines import trigram as tg
 
         timed("trigram_substring", tg.trigram_substring_search)
+        # r5 rows: candidate-scale filtered retrieval (trigram /\ BM25)
+        # and navigable-graph ANN (first call builds the kNN graph)
+        timed("filtered_search", tg.filtered_search)
+        timed("ann_graph", ann.ann_graph_topk)
 
     total = sum(timings.values())
     return {

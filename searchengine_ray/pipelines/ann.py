@@ -177,7 +177,7 @@ def ensure_ann_index(sf_dir: str, n_bits: int = 6, seed: int = 42) -> str:
 
     import ray
 
-    tag = hashlib.blake2b(f"{sf_dir}|{n_bits}|{seed}".encode(),
+    tag = hashlib.blake2b(f"{sf_dir}|{n_bits}|{seed}|{_fingerprint_of(sf_dir)}".encode(),
                           digest_size=6).hexdigest()
     root = Path(f"/tmp/graft_ann_index/{tag}")
     marker = root / "_DONE.json"
@@ -359,7 +359,7 @@ def ensure_ivf_index(sf_dir: str, n_centroids: int = 16, seed: int = 42
 
     import ray
 
-    tag = hashlib.blake2b(f"{sf_dir}|ivf|{n_centroids}|{seed}".encode(),
+    tag = hashlib.blake2b(f"{sf_dir}|ivf|{n_centroids}|{seed}|{_fingerprint_of(sf_dir)}".encode(),
                           digest_size=6).hexdigest()
     root = Path(f"/tmp/graft_ivf_index/{tag}")
     marker = root / "_DONE.json"
@@ -971,7 +971,7 @@ def ensure_pq_index(sf_dir: str, m: int = _PQ_M, ks: int = _PQ_KS,
 
     import ray
 
-    tag = hashlib.blake2b(f"{sf_dir}|pq|{m}|{ks}|{seed}".encode(),
+    tag = hashlib.blake2b(f"{sf_dir}|pq|{m}|{ks}|{seed}|{_fingerprint_of(sf_dir)}".encode(),
                           digest_size=6).hexdigest()
     root = Path(f"/tmp/graft_pq_index/{tag}")
     marker = root / "_DONE.json"
@@ -1143,7 +1143,7 @@ def ensure_ivfpq_index(sf_dir: str, n_centroids: int = 16, m: int = _PQ_M,
     import ray
 
     tag = hashlib.blake2b(
-        f"{sf_dir}|ivfpq|{n_centroids}|{m}|{ks}|{seed}".encode(),
+        f"{sf_dir}|ivfpq|{n_centroids}|{m}|{ks}|{seed}|{_fingerprint_of(sf_dir)}".encode(),
         digest_size=6).hexdigest()
     root = Path(f"/tmp/graft_ivfpq_index/{tag}")
     marker = root / "_DONE.json"
@@ -1329,7 +1329,7 @@ def ensure_ivfpq_res_index(sf_dir: str, n_centroids: int = 16,
     import ray
 
     tag = hashlib.blake2b(
-        f"{sf_dir}|ivfpqres|{n_centroids}|{m}|{ks}|{seed}".encode(),
+        f"{sf_dir}|ivfpqres|{n_centroids}|{m}|{ks}|{seed}|{_fingerprint_of(sf_dir)}".encode(),
         digest_size=6).hexdigest()
     root = Path(f"/tmp/graft_ivfpq_res_index/{tag}")
     marker = root / "_DONE.json"
@@ -2884,7 +2884,7 @@ def ensure_ivf_incr_index(sf_dir: str, n_centroids: int = 16, seed: int = 42
 
     import ray
 
-    tag = hashlib.blake2b(f"{sf_dir}|ivfincr|{n_centroids}|{seed}".encode(),
+    tag = hashlib.blake2b(f"{sf_dir}|ivfincr|{n_centroids}|{seed}|{_fingerprint_of(sf_dir)}".encode(),
                           digest_size=6).hexdigest()
     root = Path(f"/tmp/graft_ivf_incr_index/{tag}")
     marker = root / "_DONE.json"

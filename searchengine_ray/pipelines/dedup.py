@@ -2418,7 +2418,11 @@ def _ensure_sig_store(sf_dir: str) -> str:
 
     import ray.data
 
-    tag = hashlib.blake2b(f"{sf_dir}|sig".encode(), digest_size=6).hexdigest()
+    from searchengine_ray.pipelines.trigram import _corpus_fingerprint
+
+    tag = hashlib.blake2b(
+        f"{sf_dir}|sig|{_corpus_fingerprint(sf_dir)}".encode(),
+        digest_size=6).hexdigest()
     root = Path(f"/tmp/graft_sig_store/{tag}")
     marker = root / "_DONE.json"
     out = root / "sigs"
@@ -2530,8 +2534,11 @@ def _ensure_band_store(sf_dir: str) -> str:
     import json
     from pathlib import Path
 
-    tag = hashlib.blake2b(f"{sf_dir}|bands".encode(),
-                          digest_size=6).hexdigest()
+    from searchengine_ray.pipelines.trigram import _corpus_fingerprint
+
+    tag = hashlib.blake2b(
+        f"{sf_dir}|bands|{_corpus_fingerprint(sf_dir)}".encode(),
+        digest_size=6).hexdigest()
     root = Path(f"/tmp/graft_band_store/{tag}")
     marker = root / "_DONE.json"
     out = root / "bands"

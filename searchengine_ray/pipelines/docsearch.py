@@ -1428,8 +1428,11 @@ def ensure_merged_doc_index(sf_dir: str) -> IndexPaths:
 
     from searchengine_ray.pipelines.build import merge_indexes
 
-    tag = hashlib.blake2b(f"{sf_dir}|merge".encode(),
-                          digest_size=6).hexdigest()
+    from searchengine_ray.pipelines.trigram import _corpus_fingerprint
+
+    tag = hashlib.blake2b(
+        f"{sf_dir}|merge|{_corpus_fingerprint(sf_dir)}".encode(),
+        digest_size=6).hexdigest()
     root = Path(f"/tmp/graft_merge_index/{tag}")
     merged = root / "merged"
     marker = root / "_DONE.json"
@@ -3705,8 +3708,11 @@ def ensure_compacted_index(sf_dir: str) -> IndexPaths:
                                                   delete_documents)
     from searchengine_ray.pipelines.common import table_path
 
-    tag = hashlib.blake2b(f"{sf_dir}|del{DEL_MOD}".encode(),
-                          digest_size=6).hexdigest()
+    from searchengine_ray.pipelines.trigram import _corpus_fingerprint
+
+    tag = hashlib.blake2b(
+        f"{sf_dir}|del{DEL_MOD}|{_corpus_fingerprint(sf_dir)}".encode(),
+        digest_size=6).hexdigest()
     root = Path(f"/tmp/graft_del_index/{tag}")
     marker = root / "_DONE.json"
     compacted = root / "compacted"
