@@ -119,6 +119,19 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--stemming", action="store_true", default=None)
     pr.add_argument("--analyzer", choices=["code", "simple"], default=None)
 
+    gp = sub.add_parser("grep", help="indexed substring search over a "
+                        "documents parquet dir (builds/reuses the cached "
+                        "trigram index; prints doc_id, count, first pos)")
+    gp.add_argument("corpus_dir",
+                    help="directory containing documents.parquet")
+    gp.add_argument("needle", help="substring, >= 3 chars")
+
+    eg = sub.add_parser("egrep", help="indexed regex search over a "
+                        "documents parquet dir (required-literal trigram "
+                        "prefilter; honest full scan when no safe literal)")
+    eg.add_argument("corpus_dir")
+    eg.add_argument("pattern", help="RE2-compatible regex")
+
     q = sub.add_parser("batch", help="run a queries.txt file -> results dir")
     q.add_argument("index_dir")
     q.add_argument("queries_file")
@@ -286,6 +299,24 @@ def main(argv: list[str] | None = None) -> int:
             docs, n_terms = s_.terms_union(terms)
             for doc, n in zip(docs, n_terms):
                 print(f"{int(doc)}\t{int(n)}")
+        elif args.cmd == "grep":
+            from searchengine_ray.pipelines.trigram import (
+                trigram_substring_search)
+
+            df = trigram_substring_search(
+                args.corpus_dir, [(0, args.needle)]).to_pandas() \
+                .sort_values("doc_id")
+            for r in df.itertuples(index=False):
+                print(f"{int(r.doc_id)}\t{int(r.n_matches)}\t{int(r.first_pos)}")
+        elif args.cmd == "egrep":
+            from searchengine_ray.pipelines.trigram import (
+                trigram_regex_search)
+
+            df = trigram_regex_search(
+                args.corpus_dir, [(0, args.pattern)]).to_pandas() \
+                .sort_values("doc_id")
+            for r in df.itertuples(index=False):
+                print(f"{int(r.doc_id)}\t{int(r.n_matches)}\t{r.first_match}")
         elif args.cmd == "batch":
             from searchengine_ray.pipelines.query import search_queries
             from searchengine_ray.sources.queries_file import (read_queries_file,

@@ -492,15 +492,19 @@ def _verified(sf_dir: str, queries: list[tuple[int, str]]):
             batch_format="pyarrow")
 
 
-def trigram_substring_search(sf_dir: str):
+def trigram_substring_search(sf_dir: str,
+                             queries: list[tuple[int, str]] | None = None):
     """(query_id, doc_id, n_matches, first_pos) — substring search
     SERVED FROM THE TRIGRAM INDEX: posting-intersection candidates,
     then exact verification reading only candidate texts. Matches the
     full-scan answer exactly (hash oracle = position()/replace()
     arithmetic over the raw corpus); the index path touches only the
     posting parts and the candidate docs — at 10^12 files that is the
-    difference between a grep of everything and a few list reads."""
-    return _verified(sf_dir, SUBSTRING_QUERIES).filter(expr="n_matches > 0")
+    difference between a grep of everything and a few list reads.
+    ``queries`` overrides the fixed registry set (the CLI ``grep``
+    face passes a single user needle)."""
+    return _verified(sf_dir, queries or SUBSTRING_QUERIES) \
+        .filter(expr="n_matches > 0")
 
 
 def trigram_substring_search_sql() -> str:
@@ -734,7 +738,8 @@ class _FallbackScan:
                          "first_match": pa.array(out_f, pa.string())})
 
 
-def trigram_regex_search(sf_dir: str):
+def trigram_regex_search(sf_dir: str,
+                         queries: list[tuple[int, str]] | None = None):
     """(query_id, doc_id, n_matches, first_match) — regex retrieval
     ACCELERATED by the trigram index: each pattern's required literal
     (see `required_literal`) prefilters candidates through posting
@@ -742,8 +747,10 @@ def trigram_regex_search(sf_dir: str):
     patterns with no extractable literal take the honest full-scan
     path (query 3 exercises it). Answers are exactly the full-scan
     `regex_search` semantics — the oracle replays every pattern over
-    the raw corpus with RE2, blind to the acceleration."""
-    accel = [(qid, p, required_literal(p)) for qid, p in TRI_REGEX_QUERIES]
+    the raw corpus with RE2, blind to the acceleration. ``queries``
+    overrides the fixed registry set (the CLI ``egrep`` face)."""
+    accel = [(qid, p, required_literal(p))
+             for qid, p in (queries or TRI_REGEX_QUERIES)]
     indexed = [(qid, p, lit) for qid, p, lit in accel if lit is not None]
     fallback = [(qid, p) for qid, p, lit in accel if lit is None]
 

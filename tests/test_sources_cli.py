@@ -178,3 +178,46 @@ def test_corpus_jsonl_gzip_parity(ray_session, tmp_path):
     (gz_dir / "extra.jsonl").write_text('{"content": "plain row"}\n')
     with pytest.raises(ValueError, match="mixed"):
         corpus_from_jsonl(gz_dir)
+
+
+def test_cli_grep_egrep(ray_session):
+    """`grep`/`egrep` == a DuckDB recompute over the raw corpus, row
+    for row (the trigram index path must be invisible to answers)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    out = subprocess.run(
+        [sys.executable, "-m", "searchengine_ray", "--num-cpus", "2",
+         "grep", sf, "merge batch"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert out.returncode == 0, out.stderr[-500:]
+    got = [tuple(map(int, ln.split("\t")))
+           for ln in out.stdout.splitlines() if "\t" in ln]
+    con = duckdb.connect()
+    want = con.sql(f"""
+        SELECT doc_id,
+               (length(text) - length(replace(text, 'merge batch', '')))
+                 // length('merge batch') AS n,
+               position('merge batch' IN text) AS pos
+        FROM '{sf}/documents.parquet'
+        WHERE position('merge batch' IN text) > 0 ORDER BY doc_id
+    """).fetchall()
+    assert got == [(int(d), int(n), int(p)) for d, n, p in want]
+    assert len(got) > 0
+
+    out = subprocess.run(
+        [sys.executable, "-m", "searchengine_ray", "--num-cpus", "2",
+         "egrep", sf, "slow query[a-z ]{0,10}"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert out.returncode == 0, out.stderr[-500:]
+    rows = [ln.split("\t") for ln in out.stdout.splitlines() if "\t" in ln]
+    want = con.sql(f"""
+        SELECT doc_id, len(regexp_extract_all(text, 'slow query[a-z ]{{0,10}}')),
+               regexp_extract(text, 'slow query[a-z ]{{0,10}}')
+        FROM '{sf}/documents.parquet'
+        WHERE len(regexp_extract_all(text, 'slow query[a-z ]{{0,10}}')) > 0
+        ORDER BY doc_id
+    """).fetchall()
+    assert [(int(r[0]), int(r[1]), r[2]) for r in rows] == \
+        [(int(d), int(n), m) for d, n, m in want]
+    assert len(rows) > 0
